@@ -1,0 +1,111 @@
+"""Index build CLI — Doc2Vec PV-DBOW training + similarity index + BM25 artifacts.
+
+TPU-native rebuild of the reference's genmodel.py. Same public surface:
+
+    python -m anime_illust_image_searcher_tpu.cli.genmodel [--update]
+
+Same artifact chain (genmodel.py:21-43,84-97,155-177):
+  tags-wd-tagger.txt -> tags-wd-tagger_doc2vec_idx.csv (docs with >= 3 tags, in order)
+                     -> doc2vec_dictionary, doc2vec_model, doc2vec_index
+                     -> bm25_corpus / bm25_idf / bm25_avgdl / bm25_D / bm25_doc_lengths
+
+Same --update semantics: the idx csv is backed up, only docs beyond the old line count
+get new vectors appended to the similarity index, the dictionary is NOT extended, and
+BM25 is always rebuilt from the full corpus (genmodel.py:123-148,177 — see QUIRKS.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Tuple
+
+from ..config import DEFAULT_CONFIG, Doc2VecConfig
+from ..index import artifacts
+from ..index.bm25_index import build_bm25_stats, save_bm25_artifacts
+from ..index.dictionary import TagDictionary
+from ..index.similarity import SimilarityIndex
+from ..models.doc2vec import Doc2VecModel
+
+
+def read_documents_and_gen_idx_text(file_path: str) -> Tuple[List[List[str]], List[str]]:
+    """Read the tag file, keep docs with >= 3 tags, and write the docid-ordered idx csv
+    (reference: genmodel.py:21-43). Returns (token docs, original lines kept)."""
+    processed_docs: List[List[str]] = []
+    kept_lines: List[str] = []
+    idx_text_fpath = file_path.split(".")[0] + "_doc2vec_idx.csv"
+    with open(idx_text_fpath, "w", encoding="utf-8") as idx_f:
+        with open(file_path, "r", encoding="utf-8") as f:
+            for line in f:
+                row = line.strip().split(",")
+                tokens = row[1:]  # drop the file-path element
+                if tokens and len(tokens) >= 3:
+                    processed_docs.append(tokens)
+                    kept_lines.append(line)
+                    idx_f.write(line)
+    return processed_docs, kept_lines
+
+
+def main(arg_str: List[str]) -> None:
+    logging.basicConfig(
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s", level=logging.INFO
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--update", action="store_true", help="add new images to index")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override Doc2Vec training epochs (default 100)")
+    args = parser.parse_args(arg_str)
+
+    if args.update:
+        import os
+
+        if os.path.exists(artifacts.DOC2VEC_IDX_CSV):
+            artifacts.backup_file(artifacts.DOC2VEC_IDX_CSV, artifacts.DOC2VEC_IDX_CSV_BAK)
+        else:
+            print(f"{artifacts.DOC2VEC_IDX_CSV} not found")
+            sys.exit(1)
+
+    processed_docs, _ = read_documents_and_gen_idx_text(artifacts.TAGS_FILE)
+    all_docs = processed_docs
+
+    cfg: Doc2VecConfig = DEFAULT_CONFIG.doc2vec
+    if args.epochs is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, epochs=args.epochs, infer_epochs=args.epochs)
+
+    if args.update:
+        dictionary = TagDictionary.load(artifacts.DOC2VEC_DICTIONARY)
+        model = Doc2VecModel.load(artifacts.DOC2VEC_MODEL)
+        index = SimilarityIndex.load(artifacts.DOC2VEC_INDEX, mmap=None)
+        before = artifacts.count_non_empty_lines(artifacts.DOC2VEC_IDX_CSV_BAK)
+        print(f"update index: {len(processed_docs) - before} files")
+        new_docs = processed_docs[before:]
+    else:
+        dictionary = TagDictionary(processed_docs)
+        dictionary.save(artifacts.DOC2VEC_DICTIONARY)
+        model = Doc2VecModel.train(processed_docs, cfg, log_every=10)
+        model.save(artifacts.DOC2VEC_MODEL)
+        index = None
+        new_docs = processed_docs
+
+    # Per-doc infer_vector, batched on device (reference loops one doc at a time —
+    # genmodel.py:168-173).
+    if new_docs:
+        vectors = model.infer_vectors(new_docs)
+        if index is None:
+            index = SimilarityIndex(artifacts.DOC2VEC_INDEX, num_features=cfg.vector_size)
+        index.add_documents(list(vectors))
+    if index is None:
+        index = SimilarityIndex(artifacts.DOC2VEC_INDEX, num_features=cfg.vector_size)
+    index.save(artifacts.DOC2VEC_INDEX)
+
+    # BM25 is always regenerated from the full corpus (genmodel.py:134,177).
+    stats = build_bm25_stats(all_docs, dictionary)
+    save_bm25_artifacts(stats)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,197 @@
+"""Host-side image ingest: listing, date filtering, decode, and batching.
+
+Reference behavior covered here:
+  - recursive listing by case-sensitive extension suffix (tagging.py:91-98)
+  - ``--after`` filtering by st_ctime *date* (tagging.py:266-274; the reference's help
+    text says mtime, the code uses ctime — we keep the code's behavior, see QUIRKS.md)
+  - RGBA/LA → white-background flatten + center pad-to-square on a white canvas
+    (tagging.py:100-120)
+  - threaded decode pipeline that keeps the accelerator fed (tagging.py:304-338),
+    redesigned as a bounded-queue prefetcher with fixed-size batches so the jitted
+    forward is compiled exactly once (static shapes) and the tail batch is padded, not
+    dropped (the reference silently drops up to BATCH_SIZE-1 trailing files —
+    tagging.py:309; fixed here, see QUIRKS.md).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import datetime
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..utils.errors import format_error
+
+DEFAULT_EXTENSIONS: Tuple[str, ...] = (".png", ".jpg", ".jpeg", ".PNG", ".JPG", ".JPEG")
+
+
+def list_files_recursive(dir_path: str, extensions: Sequence[str] = DEFAULT_EXTENSIONS) -> List[str]:
+    """os.walk order, suffix-matched against the literal extension list
+    (reference: tagging.py:91-98)."""
+    file_list: List[str] = []
+    for root, _, files in os.walk(dir_path):
+        for file in files:
+            file_path = os.path.join(root, file)
+            if any(file_path.endswith(ext) for ext in extensions):
+                file_list.append(file_path)
+    return file_list
+
+
+def filter_files_by_date(file_list: Sequence[str], added_date: datetime.date) -> List[str]:
+    """Keep files whose st_ctime date >= added_date (reference: tagging.py:266-274)."""
+    filtered: List[str] = []
+    for file_path in file_list:
+        stat = os.stat(file_path)
+        ctime = datetime.date.fromtimestamp(stat.st_ctime)
+        if ctime >= added_date:
+            filtered.append(file_path)
+    return filtered
+
+
+def prepare_image(image: Image.Image) -> Image.Image:
+    """Flatten alpha onto white and center-pad to square on a white canvas
+    (reference: tagging.py:100-120)."""
+    if image.mode in ("RGBA", "LA"):
+        background = Image.new("RGB", image.size, (255, 255, 255))
+        background.paste(image, mask=image.split()[-1])
+        image = background
+    else:
+        image = image.copy()
+        image = image.convert("RGB")
+
+    w, h = image.size
+    max_dim = max(w, h)
+    pad_left = (max_dim - w) // 2
+    pad_top = (max_dim - h) // 2
+    padded = Image.new("RGB", (max_dim, max_dim), (255, 255, 255))
+    padded.paste(image, (pad_left, pad_top))
+    return padded
+
+
+def load_rgb_square(file_path: str, size: int, resample: int = Image.BICUBIC,
+                    pad_to_square: bool = True) -> Optional[np.ndarray]:
+    """Decode one image to an HWC uint8 array of shape (size, size, 3).
+
+    ``pad_to_square=True`` gives the tagger path (pad then resize; the timm transform
+    the reference resolves for the WD tagger is a square resize — tagging.py:154);
+    ``False`` gives the CCIP path (direct bilinear resize — gen_cfeatures.py:104-110).
+    Returns None on decode failure (per-image skip semantics, tagging.py:245-252).
+    """
+    img: Optional[Image.Image] = None
+    try:
+        img = Image.open(file_path)
+        img.load()
+        if pad_to_square:
+            prepared = prepare_image(img)
+        else:
+            prepared = img.copy().convert("RGB") if img.mode != "RGB" else img
+            if img.mode in ("RGBA", "LA"):
+                prepared = prepare_image(img)  # alpha must still be flattened
+        resized = prepared.resize((size, size), resample=resample)
+        return np.asarray(resized, dtype=np.uint8)
+    except Exception as e:  # noqa: BLE001 — skip-and-continue is the contract
+        if img is not None:
+            img.close()
+        print(format_error(e))
+        return None
+
+
+@dataclass
+class Batch:
+    """A fixed-size host batch. ``valid`` marks real rows; the rest is padding."""
+
+    images: np.ndarray        # (B, size, size, 3) uint8
+    paths: List[str]          # len == valid
+    valid: int
+
+
+class PrefetchLoader:
+    """Threaded decode → bounded queue of fixed-size uint8 batches.
+
+    Replaces the reference's ThreadPoolExecutor/as_completed tangle
+    (tagging.py:304-338) with a simple pipeline: N decoder threads pull file paths,
+    a collector packs successful decodes into full batches, and the consumer (the
+    jitted TPU forward) overlaps with decoding automatically. Failed decodes are
+    skipped and counted, never crash the run.
+    """
+
+    def __init__(
+        self,
+        file_list: Sequence[str],
+        size: int,
+        batch_size: int,
+        workers: int = 8,
+        pad_to_square: bool = True,
+        resample: int = Image.BICUBIC,
+        decode_fn: Optional[Callable[[str], Optional[np.ndarray]]] = None,
+        queue_depth: int = 4,
+    ) -> None:
+        self.file_list = list(file_list)
+        self.size = size
+        self.batch_size = batch_size
+        self.workers = workers
+        self.pad_to_square = pad_to_square
+        self.resample = resample
+        self.decode_fn = decode_fn or (
+            lambda p: load_rgb_square(p, size, resample=resample, pad_to_square=pad_to_square)
+        )
+        self.queue_depth = queue_depth
+        self.failed_count = 0
+
+    def __iter__(self) -> Iterator[Batch]:
+        out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=self.queue_depth)
+
+        def producer() -> None:
+            images: List[np.ndarray] = []
+            paths: List[str] = []
+            try:
+                with concurrent.futures.ThreadPoolExecutor(max_workers=self.workers) as ex:
+                    # map() preserves input order so output file lines follow listing
+                    # order deterministically (the reference's as_completed ordering is
+                    # nondeterministic; see QUIRKS.md).
+                    for path, arr in zip(self.file_list, ex.map(self.decode_fn, self.file_list)):
+                        if arr is None:
+                            self.failed_count += 1
+                            continue
+                        images.append(arr)
+                        paths.append(path)
+                        if len(images) == self.batch_size:
+                            out_q.put(Batch(np.stack(images), paths, len(paths)))
+                            images, paths = [], []
+                    if images:
+                        # Pad the tail batch to the fixed shape: one compiled program.
+                        valid = len(images)
+                        pad = self.batch_size - valid
+                        tail = np.stack(images + [np.zeros_like(images[0])] * pad)
+                        out_q.put(Batch(tail, paths, valid))
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = out_q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+
+
+def iter_fixed_batches(arrays: Iterable[np.ndarray], batch_size: int) -> Iterator[Tuple[np.ndarray, int]]:
+    """Pack an iterable of same-shape arrays into padded fixed-size batches."""
+    buf: List[np.ndarray] = []
+    for a in arrays:
+        buf.append(a)
+        if len(buf) == batch_size:
+            yield np.stack(buf), batch_size
+            buf = []
+    if buf:
+        valid = len(buf)
+        buf = buf + [np.zeros_like(buf[0])] * (batch_size - valid)
+        yield np.stack(buf), valid

@@ -1,0 +1,127 @@
+"""BM25 index build, persistence, and device-side representation.
+
+Build semantics follow genmodel.py:51-99 exactly: per-document term-frequency maps over
+dictionary term ids, doc length = number of in-dictionary tag occurrences, avgdl = mean
+length, D = number of docs, idf = log(1 + (D - df + 0.5) / (df + 0.5)).
+
+Persistence keeps the reference's five artifact files with the same names and logical
+payloads (genmodel.py:84-97): ``bm25_corpus`` (list of {term_id: tf}), ``bm25_idf``
+({term_id: idf}), ``bm25_avgdl`` (float), ``bm25_D`` (int), ``bm25_doc_lengths``
+(ndarray). The device form (sorted COO + precomputed contributions) is derived on load.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..config import BM25Config
+from . import artifacts
+from .dictionary import TagDictionary
+
+
+@dataclass
+class BM25Stats:
+    corpus: List[Dict[int, int]]   # per-doc {term_id: tf}
+    idf: Dict[int, float]
+    avgdl: float
+    num_docs: int
+    doc_lengths: np.ndarray
+
+
+def build_bm25_stats(corpus: Sequence[Sequence[str]], dictionary: TagDictionary) -> BM25Stats:
+    bm25_corpus: List[Dict[int, int]] = []
+    doc_lengths: List[int] = []
+    term_doc_freq: Dict[int, int] = {}
+    num_docs = len(corpus)
+
+    for tags in corpus:
+        term_ids = [dictionary.token2id[tag] for tag in tags if tag in dictionary.token2id]
+        term_freq: Dict[int, int] = {}
+        for term_id in term_ids:
+            term_freq[term_id] = term_freq.get(term_id, 0) + 1
+        bm25_corpus.append(term_freq)
+        doc_lengths.append(len(term_ids))
+        for term_id in term_freq:
+            term_doc_freq[term_id] = term_doc_freq.get(term_id, 0) + 1
+
+    lengths = np.array(doc_lengths)
+    avgdl = float(np.mean(lengths)) if num_docs else 0.0
+    idf = {
+        term_id: float(np.log(1 + (num_docs - df + 0.5) / (df + 0.5)))
+        for term_id, df in term_doc_freq.items()
+    }
+    return BM25Stats(bm25_corpus, idf, avgdl, num_docs, lengths)
+
+
+def save_bm25_artifacts(stats: BM25Stats, directory: str = ".") -> None:
+    import os
+
+    def dump(name: str, obj) -> None:
+        with open(os.path.join(directory, name), "wb") as f:
+            pickle.dump(obj, f)
+
+    dump(artifacts.BM25_CORPUS, stats.corpus)
+    dump(artifacts.BM25_IDF, stats.idf)
+    dump(artifacts.BM25_AVGDL, stats.avgdl)
+    dump(artifacts.BM25_D, stats.num_docs)
+    dump(artifacts.BM25_DOC_LENGTHS, stats.doc_lengths)
+    print("BM25 index generated")
+
+
+def load_bm25_artifacts(directory: str = ".") -> BM25Stats:
+    import os
+
+    def load(name: str):
+        with open(os.path.join(directory, name), "rb") as f:
+            return pickle.load(f)
+
+    return BM25Stats(
+        corpus=load(artifacts.BM25_CORPUS),
+        idf=load(artifacts.BM25_IDF),
+        avgdl=load(artifacts.BM25_AVGDL),
+        num_docs=load(artifacts.BM25_D),
+        doc_lengths=np.asarray(load(artifacts.BM25_DOC_LENGTHS)),
+    )
+
+
+@dataclass
+class BM25DeviceIndex:
+    """Sorted-COO device arrays consumed by ops.bm25.bm25_scores_device."""
+
+    doc_ids: np.ndarray    # (nnz,) int32, sorted
+    term_ids: np.ndarray   # (nnz,) int32
+    contrib: np.ndarray    # (nnz,) f32
+    vocab_size: int
+    num_docs: int
+
+    @staticmethod
+    def from_stats(stats: BM25Stats, vocab_size: int, cfg: BM25Config = BM25Config()) -> "BM25DeviceIndex":
+        doc_ids: List[int] = []
+        term_ids: List[int] = []
+        contribs: List[float] = []
+        k1, b = cfg.k1, cfg.b
+        avgdl = stats.avgdl if stats.avgdl else 1.0
+        for doc_idx, term_freq in enumerate(stats.corpus):
+            dl = float(stats.doc_lengths[doc_idx])
+            norm = k1 * (1 - b + b * (dl / avgdl))
+            for term_id, tf in term_freq.items():
+                idf = stats.idf.get(term_id, 0.0)
+                doc_ids.append(doc_idx)
+                term_ids.append(term_id)
+                contribs.append(idf * (tf * (k1 + 1)) / (tf + norm))
+        return BM25DeviceIndex(
+            doc_ids=np.asarray(doc_ids, dtype=np.int32),
+            term_ids=np.asarray(term_ids, dtype=np.int32),
+            contrib=np.asarray(contribs, dtype=np.float32),
+            vocab_size=vocab_size,
+            num_docs=stats.num_docs,
+        )
+
+    def to_device(self):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(self.doc_ids), jnp.asarray(self.term_ids), jnp.asarray(self.contrib))

@@ -1,0 +1,126 @@
+"""Dense vector similarity index.
+
+Replaces gensim's ``Similarity``/``MatrixSimilarity`` (reference: genmodel.py:171,
+webui.py:352, gen_cfeatures.py:307-315). gensim L2-normalizes each stored vector and
+each query, so "similarity" is cosine; scoring the whole index is a single (D, F) @ (F,)
+matvec — exactly the MXU-shaped op we want on TPU.
+
+Design points:
+  - storage is a single .npy matrix with a tiny JSON sidecar; ``add_documents`` appends
+    in O(amortized) via capacity doubling and is flushed on ``save``
+  - queries run through a jitted matvec kept on device; the matrix is transferred once
+    and cached (important for the ≤10 ms query target — no per-query H2D of the index)
+  - zero vectors normalize to zero (gensim's matutils.unitvec behavior)
+  - a ``vector_by_id`` accessor mirrors gensim's Similarity API used by the CCIP
+    reranker (webui.py:309)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+Vector = Union[np.ndarray, Sequence[Tuple[int, float]]]
+
+
+def _to_dense(vec: Vector, num_features: int) -> np.ndarray:
+    if isinstance(vec, np.ndarray):
+        arr = np.asarray(vec, dtype=np.float32)
+        if arr.shape != (num_features,):
+            raise ValueError(f"expected ({num_features},), got {arr.shape}")
+        return arr
+    dense = np.zeros(num_features, dtype=np.float32)
+    for idx, val in vec:
+        dense[int(round(idx))] = val
+    return dense
+
+
+def unitvec(v: np.ndarray) -> np.ndarray:
+    norm = float(np.linalg.norm(v))
+    if norm == 0.0 or not np.isfinite(norm):
+        return v.astype(np.float32)
+    return (v / norm).astype(np.float32)
+
+
+class SimilarityIndex:
+    """Append-able cosine-similarity index over unit-normalized vectors."""
+
+    def __init__(self, path: str, vectors: Optional[Sequence[Vector]] = None,
+                 num_features: int = 0) -> None:
+        self.path = path
+        self.num_features = num_features
+        self._n = 0
+        self._matrix = np.zeros((0, num_features), dtype=np.float32)
+        self._device_matrix = None  # lazily transferred jax array
+        if vectors:
+            self.add_documents(vectors)
+
+    # ---- construction -------------------------------------------------------
+
+    def add_documents(self, vectors: Sequence[Vector]) -> None:
+        dense = np.stack([unitvec(_to_dense(v, self.num_features)) for v in vectors])
+        needed = self._n + len(dense)
+        if needed > self._matrix.shape[0]:
+            new_cap = max(needed, max(16, self._matrix.shape[0] * 2))
+            grown = np.zeros((new_cap, self.num_features), dtype=np.float32)
+            grown[: self._n] = self._matrix[: self._n]
+            self._matrix = grown
+        self._matrix[self._n : needed] = dense
+        self._n = needed
+        self._device_matrix = None  # invalidate device cache
+
+    # ---- persistence --------------------------------------------------------
+
+    def save(self, path: Optional[str] = None) -> None:
+        path = path or self.path
+        np.save(path + ".npy", self._matrix[: self._n])
+        with open(path + ".meta.json", "w", encoding="utf-8") as f:
+            json.dump({"num_features": self.num_features, "num_docs": self._n,
+                       "format": "aiis-tpu-simindex-v1"}, f)
+        # The bare artifact name (e.g. 'doc2vec_index') exists as a marker so code and
+        # users that test os.path.exists(name) keep working like with gensim's files.
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("aiis-tpu-simindex-v1\n")
+
+    @staticmethod
+    def load(path: str, mmap: Optional[str] = "r") -> "SimilarityIndex":
+        with open(path + ".meta.json", "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        idx = SimilarityIndex(path, num_features=meta["num_features"])
+        matrix = np.load(path + ".npy", mmap_mode=mmap)
+        idx._matrix = matrix
+        idx._n = meta["num_docs"]
+        return idx
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(path + ".meta.json") and os.path.exists(path + ".npy")
+
+    # ---- queries ------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def matrix(self) -> np.ndarray:
+        return self._matrix[: self._n]
+
+    def vector_by_id(self, doc_id: int) -> np.ndarray:
+        return np.asarray(self._matrix[doc_id], dtype=np.float32)
+
+    def _device(self):
+        import jax.numpy as jnp
+
+        if self._device_matrix is None or self._device_matrix.shape[0] != self._n:
+            self._device_matrix = jnp.asarray(self._matrix[: self._n])
+        return self._device_matrix
+
+    def __getitem__(self, query: Vector) -> np.ndarray:
+        """Cosine scores of a query against every stored vector, shape (num_docs,)."""
+        from ..ops.cosine import cosine_scores
+
+        q = unitvec(_to_dense(query, self.num_features))
+        return np.asarray(cosine_scores(self._device(), q))

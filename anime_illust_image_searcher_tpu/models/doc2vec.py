@@ -1,0 +1,385 @@
+"""Doc2Vec PV-DBOW, implemented as a jitted JAX embedding-training loop.
+
+Replaces gensim's ``Doc2Vec(vector_size=300, window=50, min_count=1, workers=1, dm=0)``
+(reference: genmodel.py:159-161) and ``infer_vector`` (genmodel.py:169, webui.py:106).
+
+PV-DBOW with dbow_words=0 is skip-gram negative sampling where the "input" vector is
+the document vector and the targets are the document's words: for each surviving word
+occurrence, pull the doc vector toward the word's output embedding (label 1) and push
+it from ``negative`` sampled words (label 0). The window parameter is never read in
+this mode — matching gensim.
+
+Semantics preserved from gensim (ranking parity is rank-level, not bit-level — gensim's
+Hogwild SGD is nondeterministic anyway; SURVEY.md §7 "Hard parts"):
+  - vocabulary sorted by descending count (ties by insertion), min_count filter
+  - negative-sampling noise distribution ∝ count^0.75 (ns_exponent)
+  - frequent-word downsampling with sample=1e-3 via gensim's keep-probability formula,
+    applied both in training and inference
+  - linear LR decay alpha→min_alpha across epochs
+  - inference = frozen word weights, fresh doc vector, same update rule
+
+TPU-first deviations (documented in QUIRKS.md):
+  - docs are padded to a fixed max length and trained in jitted batches; updates within
+    a batch are accumulated (mini-batch) instead of gensim's sequential Hogwild
+  - inference is deterministic: the fresh vector and sampling keys are seeded from a
+    stable hash of the token ids, so identical queries always return identical vectors
+    (gensim's infer_vector is stochastic across calls)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Doc2VecConfig
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Vocab:
+    token2id: Dict[str, int]
+    tokens: List[str]
+    counts: np.ndarray          # (V,) int64
+    keep_prob: np.ndarray       # (V,) f32 downsampling keep probability
+    cum_table: np.ndarray       # (V,) f32 cumulative noise distribution in [0, 1]
+
+    @staticmethod
+    def build(corpus: Sequence[Sequence[str]], cfg: Doc2VecConfig) -> "Vocab":
+        raw_counts: Dict[str, int] = {}
+        order: Dict[str, int] = {}
+        for doc in corpus:
+            for tok in doc:
+                if tok not in raw_counts:
+                    order[tok] = len(order)
+                raw_counts[tok] = raw_counts.get(tok, 0) + 1
+        items = [(t, c) for t, c in raw_counts.items() if c >= cfg.min_count]
+        items.sort(key=lambda tc: (-tc[1], order[tc[0]]))
+        tokens = [t for t, _ in items]
+        counts = np.array([c for _, c in items], dtype=np.int64)
+        token2id = {t: i for i, t in enumerate(tokens)}
+
+        total = float(counts.sum()) if len(counts) else 1.0
+        freq = counts / total
+        if cfg.sample > 0:
+            # gensim's keep probability: (sqrt(f/s) + 1) * (s/f), clipped to 1.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                kp = (np.sqrt(freq / cfg.sample) + 1) * (cfg.sample / freq)
+            keep_prob = np.minimum(kp, 1.0).astype(np.float32)
+        else:
+            keep_prob = np.ones(len(tokens), dtype=np.float32)
+
+        noise = counts.astype(np.float64) ** cfg.ns_exponent
+        cum = np.cumsum(noise)
+        cum_table = (cum / cum[-1]).astype(np.float32) if len(cum) else np.zeros(0, np.float32)
+        return Vocab(token2id, tokens, counts, keep_prob, cum_table)
+
+    def __len__(self) -> int:
+        return len(self.tokens)
+
+
+def _stable_doc_seed(word_ids: Sequence[int], model_seed: int) -> int:
+    """Deterministic 63-bit seed from token ids (order-sensitive)."""
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.int64(model_seed).tobytes())
+    h.update(np.asarray(sorted(word_ids), dtype=np.int64).tobytes())
+    return int.from_bytes(h.digest(), "little") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+# ---------------------------------------------------------------------------
+# Padded corpus
+# ---------------------------------------------------------------------------
+
+
+def pad_corpus(
+    corpus_ids: Sequence[Sequence[int]], max_len: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad token-id docs to (N, max_len) plus a validity mask. Longer docs truncate."""
+    n = len(corpus_ids)
+    ids = np.zeros((n, max_len), dtype=np.int32)
+    mask = np.zeros((n, max_len), dtype=np.float32)
+    for i, doc in enumerate(corpus_ids):
+        m = min(len(doc), max_len)
+        ids[i, :m] = np.asarray(doc[:m], dtype=np.int32)
+        mask[i, :m] = 1.0
+    return ids, mask
+
+
+# ---------------------------------------------------------------------------
+# Core SGNS math (shared by train and infer)
+# ---------------------------------------------------------------------------
+
+
+def _sgns_grads(
+    dvec: jax.Array,       # (B, dim)
+    syn1: jax.Array,       # (V, dim)
+    words: jax.Array,      # (B, L) int32
+    live: jax.Array,       # (B, L) f32 — mask * downsample-keep
+    negs: jax.Array,       # (B, L, K) int32
+    lr: jax.Array,         # () f32
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Return (doc-vector delta, flat word ids, flat syn1 deltas, positive logits).
+
+    Standard negative-sampling gradients with label 1 for the document's own words and
+    label 0 for noise words; negatives that collide with their positive word are
+    dropped (gensim skips them too).
+    """
+    wpos = syn1[words]                                  # (B, L, dim)
+    logit_pos = jnp.einsum("bd,bld->bl", dvec, wpos)
+    g_pos = (1.0 - jax.nn.sigmoid(logit_pos)) * lr * live          # (B, L)
+
+    wneg = syn1[negs]                                   # (B, L, K, dim)
+    logit_neg = jnp.einsum("bd,blkd->blk", dvec, wneg)
+    neg_live = live[..., None] * (negs != words[..., None])
+    g_neg = (0.0 - jax.nn.sigmoid(logit_neg)) * lr * neg_live      # (B, L, K)
+
+    d_doc = jnp.einsum("bl,bld->bd", g_pos, wpos) + jnp.einsum(
+        "blk,blkd->bd", g_neg, wneg
+    )
+
+    # syn1 deltas: outer products g * dvec, scattered at word/neg indices.
+    d_pos = g_pos[..., None] * dvec[:, None, :]          # (B, L, dim)
+    d_neg = g_neg[..., None] * dvec[:, None, None, :]    # (B, L, K, dim)
+    flat_ids = jnp.concatenate([words.reshape(-1), negs.reshape(-1)])
+    flat_deltas = jnp.concatenate(
+        [d_pos.reshape(-1, d_pos.shape[-1]), d_neg.reshape(-1, d_neg.shape[-1])]
+    )
+    return d_doc, flat_ids, flat_deltas, logit_pos
+
+
+def _sample_negatives(key: jax.Array, cum_table: jax.Array, shape) -> jax.Array:
+    u = jax.random.uniform(key, shape)
+    return jnp.searchsorted(cum_table, u).astype(jnp.int32)
+
+
+def _downsample_mask(key: jax.Array, keep_prob: jax.Array, words: jax.Array, mask: jax.Array) -> jax.Array:
+    u = jax.random.uniform(key, words.shape)
+    return mask * (u < keep_prob[words])
+
+
+@partial(jax.jit, static_argnames=("negative",), donate_argnums=(0, 1))
+def _train_step(
+    docvecs: jax.Array,     # (N, dim)
+    syn1: jax.Array,        # (V, dim)
+    doc_idx: jax.Array,     # (B,) int32
+    words: jax.Array,       # (B, L)
+    mask: jax.Array,        # (B, L)
+    keep_prob: jax.Array,   # (V,)
+    cum_table: jax.Array,   # (V,)
+    key: jax.Array,
+    lr: jax.Array,
+    negative: int,
+) -> Tuple[jax.Array, jax.Array]:
+    k_keep, k_neg = jax.random.split(key)
+    live = _downsample_mask(k_keep, keep_prob, words, mask)
+    negs = _sample_negatives(k_neg, cum_table, (*words.shape, negative))
+    dvec = docvecs[doc_idx]
+    d_doc, flat_ids, flat_deltas, _ = _sgns_grads(dvec, syn1, words, live, negs, lr)
+    docvecs = docvecs.at[doc_idx].add(d_doc)
+    syn1 = syn1.at[flat_ids].add(flat_deltas)
+    return docvecs, syn1
+
+
+@partial(jax.jit, static_argnames=("epochs", "negative"))
+def _infer_vectors(
+    syn1: jax.Array,        # (V, dim) frozen
+    words: jax.Array,       # (B, L)
+    mask: jax.Array,        # (B, L)
+    keep_prob: jax.Array,
+    cum_table: jax.Array,
+    init_vecs: jax.Array,   # (B, dim)
+    seeds: jax.Array,       # (B,) int32 per-doc deterministic seeds
+    alpha: float,
+    min_alpha: float,
+    epochs: int,
+    negative: int,
+) -> jax.Array:
+    """Gradient-descend fresh doc vectors against frozen word weights."""
+
+    def epoch_body(e, dvecs):
+        lr = alpha - (alpha - min_alpha) * e / jnp.maximum(epochs, 1)
+        key = jax.random.fold_in(jax.random.PRNGKey(0), e)
+        # Per-doc decorrelation: fold each doc's stable seed into the epoch key.
+        keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(seeds)
+
+        def per_doc(dvec, w, m, k):
+            k1, k2 = jax.random.split(k)
+            live = _downsample_mask(k1, keep_prob, w[None], m[None])[0]
+            negs = _sample_negatives(k2, cum_table, (*w.shape, negative))
+            d_doc, _, _, _ = _sgns_grads(
+                dvec[None], syn1, w[None], live[None], negs[None], lr
+            )
+            return dvec + d_doc[0]
+
+        return jax.vmap(per_doc)(dvecs, words, mask, keys)
+
+    return jax.lax.fori_loop(0, epochs, epoch_body, init_vecs)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Doc2VecModel:
+    """Trained PV-DBOW model. Pickled to the ``doc2vec_model`` artifact
+    (name per genmodel.py:162)."""
+
+    cfg: Doc2VecConfig
+    vocab: Vocab
+    syn1neg: np.ndarray                 # (V, dim) word output embeddings
+    docvecs: np.ndarray                 # (N, dim) trained doc vectors
+    corpus_count: int = 0
+    _infer_cache: dict = field(default_factory=dict, repr=False, compare=False)
+
+    # ---- training ----------------------------------------------------------
+
+    @staticmethod
+    def train(
+        corpus: Sequence[Sequence[str]],
+        cfg: Doc2VecConfig = Doc2VecConfig(),
+        batch_size: int = 512,
+        log_every: int = 0,
+    ) -> "Doc2VecModel":
+        vocab = Vocab.build(corpus, cfg)
+        corpus_ids = [
+            [vocab.token2id[t] for t in doc if t in vocab.token2id] for doc in corpus
+        ]
+        n_docs, dim = len(corpus_ids), cfg.vector_size
+        words_np, mask_np = pad_corpus(corpus_ids, cfg.max_doc_len)
+
+        rng = np.random.RandomState(cfg.seed)
+        docvecs = jnp.asarray(
+            (rng.rand(n_docs, dim).astype(np.float32) - 0.5) / dim
+        )
+        syn1 = jnp.zeros((len(vocab), dim), dtype=jnp.float32)
+        keep_prob = jnp.asarray(vocab.keep_prob)
+        cum_table = jnp.asarray(vocab.cum_table)
+
+        # Fixed-size batches (pad the doc count) so one program serves all steps.
+        n_pad = (-n_docs) % batch_size
+        if n_pad:
+            words_np = np.concatenate([words_np, np.zeros((n_pad, cfg.max_doc_len), np.int32)])
+            mask_np = np.concatenate([mask_np, np.zeros((n_pad, cfg.max_doc_len), np.float32)])
+        words_all = jnp.asarray(words_np)
+        mask_all = jnp.asarray(mask_np)
+        # Padding docs are routed to a scratch doc-vector row (index n_docs).
+        docvecs = jnp.concatenate([docvecs, jnp.zeros((1 if n_pad else 0, dim), jnp.float32)])
+        doc_index = np.concatenate(
+            [np.arange(n_docs, dtype=np.int32),
+             np.full(n_pad, n_docs, dtype=np.int32)]
+        )
+        n_batches = len(doc_index) // batch_size
+
+        base_key = jax.random.PRNGKey(cfg.seed)
+        for epoch in range(cfg.epochs):
+            lr = jnp.float32(
+                cfg.alpha - (cfg.alpha - cfg.min_alpha) * epoch / max(cfg.epochs, 1)
+            )
+            for bi in range(n_batches):
+                sl = slice(bi * batch_size, (bi + 1) * batch_size)
+                key = jax.random.fold_in(jax.random.fold_in(base_key, epoch), bi)
+                docvecs, syn1 = _train_step(
+                    docvecs, syn1,
+                    jnp.asarray(doc_index[sl]),
+                    words_all[sl], mask_all[sl],
+                    keep_prob, cum_table, key, lr,
+                    negative=cfg.negative,
+                )
+            if log_every and (epoch + 1) % log_every == 0:
+                print(f"doc2vec epoch {epoch + 1}/{cfg.epochs}")
+
+        docvecs_np = np.asarray(docvecs[:n_docs])
+        return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np, corpus_count=n_docs)
+
+    # ---- inference ----------------------------------------------------------
+
+    def infer_vector(self, doc_words: Sequence[str], epochs: Optional[int] = None) -> np.ndarray:
+        return self.infer_vectors([doc_words], epochs=epochs)[0]
+
+    def infer_vectors(
+        self, docs: Sequence[Sequence[str]], epochs: Optional[int] = None
+    ) -> np.ndarray:
+        """Batched infer_vector — one jitted call for any number of docs."""
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.infer_epochs
+        dim = cfg.vector_size
+        ids = [
+            [self.vocab.token2id[t] for t in doc if t in self.vocab.token2id]
+            for doc in docs
+        ]
+        words_np, mask_np = pad_corpus(ids, cfg.max_doc_len)
+        seeds = np.array(
+            [_stable_doc_seed(d, cfg.seed) & 0xFFFFFFFF for d in ids], dtype=np.uint32
+        )
+        init = np.stack([
+            (np.random.RandomState(s & 0x7FFFFFFF).rand(dim).astype(np.float32) - 0.5) / dim
+            for s in seeds
+        ])
+        out = _infer_vectors(
+            jnp.asarray(self.syn1neg),
+            jnp.asarray(words_np), jnp.asarray(mask_np),
+            jnp.asarray(self.vocab.keep_prob), jnp.asarray(self.vocab.cum_table),
+            jnp.asarray(init), jnp.asarray(seeds.astype(np.int32)),
+            alpha=cfg.alpha, min_alpha=cfg.min_alpha,
+            epochs=int(epochs), negative=cfg.negative,
+        )
+        return np.asarray(out)
+
+    # ---- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        state = {
+            "cfg": self.cfg,
+            "tokens": self.vocab.tokens,
+            "counts": self.vocab.counts,
+            "syn1neg": self.syn1neg,
+            "docvecs": self.docvecs,
+            "corpus_count": self.corpus_count,
+            "format": "aiis-tpu-doc2vec-v1",
+        }
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    @staticmethod
+    def load(path: str) -> "Doc2VecModel":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        cfg: Doc2VecConfig = state["cfg"]
+        tokens: List[str] = state["tokens"]
+        counts: np.ndarray = np.asarray(state["counts"])
+        tmp_cfg = cfg
+        vocab = Vocab.build([], tmp_cfg)
+        vocab.tokens = tokens
+        vocab.token2id = {t: i for i, t in enumerate(tokens)}
+        vocab.counts = counts
+        total = float(counts.sum()) if len(counts) else 1.0
+        freq = counts / total
+        if cfg.sample > 0:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                kp = (np.sqrt(freq / cfg.sample) + 1) * (cfg.sample / freq)
+            vocab.keep_prob = np.minimum(kp, 1.0).astype(np.float32)
+        else:
+            vocab.keep_prob = np.ones(len(tokens), dtype=np.float32)
+        noise = counts.astype(np.float64) ** cfg.ns_exponent
+        cum = np.cumsum(noise)
+        vocab.cum_table = (cum / cum[-1]).astype(np.float32) if len(cum) else np.zeros(0, np.float32)
+        return Doc2VecModel(
+            cfg, vocab, np.asarray(state["syn1neg"]), np.asarray(state["docvecs"]),
+            corpus_count=state.get("corpus_count", len(state["docvecs"])),
+        )
+
+    @property
+    def vector_size(self) -> int:
+        return self.cfg.vector_size

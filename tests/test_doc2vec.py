@@ -1,0 +1,84 @@
+"""PV-DBOW training/inference semantics: determinism, persistence, and — the property
+the search engine actually relies on — docs cluster with the tags they contain."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from anime_illust_image_searcher_tpu.config import Doc2VecConfig
+from anime_illust_image_searcher_tpu.models.doc2vec import Doc2VecModel, Vocab
+
+CFG = Doc2VecConfig(vector_size=32, epochs=40, infer_epochs=40, max_doc_len=16,
+                    sample=0)  # no downsampling in tiny corpora: every tag is frequent
+
+CAT_DOCS = [["cat", "whiskers", "feline", "meow"] for _ in range(8)]
+DOG_DOCS = [["dog", "bark", "canine", "fetch"] for _ in range(8)]
+CORPUS = CAT_DOCS + DOG_DOCS
+
+
+def cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+
+
+def test_vocab_sorted_by_count():
+    v = Vocab.build([["a"], ["b", "b"], ["c", "c", "c"]], CFG)
+    assert v.tokens == ["c", "b", "a"]
+    assert v.counts.tolist() == [3, 2, 1]
+
+
+def test_vocab_min_count():
+    cfg = dataclasses.replace(CFG, min_count=2)
+    v = Vocab.build([["a", "b"], ["b"]], cfg)
+    assert v.tokens == ["b"]
+
+
+def test_infer_is_deterministic(model):
+    a = model.infer_vector(["cat", "meow"])
+    b = model.infer_vector(["cat", "meow"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_training_is_deterministic():
+    m1 = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+    m2 = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+    np.testing.assert_array_equal(m1.syn1neg, m2.syn1neg)
+    np.testing.assert_array_equal(m1.docvecs, m2.docvecs)
+
+
+def test_topic_separation(model):
+    """A 'cat' query vector must rank cat docs above dog docs — the core retrieval
+    property the engine depends on (webui.py:106,352)."""
+    cat_q = model.infer_vector(["cat"])
+    cat_doc = model.infer_vector(CAT_DOCS[0])
+    dog_doc = model.infer_vector(DOG_DOCS[0])
+    assert cos(cat_q, cat_doc) > cos(cat_q, dog_doc)
+
+
+def test_batched_infer_matches_single(model):
+    batch = model.infer_vectors([["cat"], ["dog"]])
+    single_cat = model.infer_vector(["cat"])
+    single_dog = model.infer_vector(["dog"])
+    np.testing.assert_allclose(batch[0], single_cat, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(batch[1], single_dog, rtol=1e-5, atol=1e-6)
+
+
+def test_save_load_roundtrip(tmp_path, model):
+    p = str(tmp_path / "doc2vec_model")
+    model.save(p)
+    m2 = Doc2VecModel.load(p)
+    np.testing.assert_array_equal(m2.syn1neg, model.syn1neg)
+    a = model.infer_vector(["cat", "meow"])
+    b = m2.infer_vector(["cat", "meow"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_oov_tokens_ignored(model):
+    v = model.infer_vector(["cat", "not_in_vocab_tag"])
+    assert v.shape == (CFG.vector_size,)
+    assert np.all(np.isfinite(v))
