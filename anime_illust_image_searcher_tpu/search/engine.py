@@ -1,0 +1,241 @@
+"""Query-time search engine: Doc2Vec + BM25 score fusion with reranking.
+
+Library-grade rebuild of the reference's query path (webui.py:82-390): the web UI (and
+any other caller) goes through :class:`SearchEngine` instead of module globals. All
+artifact arrays are loaded once and kept on device; each query is a handful of jitted
+calls (batched tag inference, one index matvec, one BM25 gather/segment-sum) — no
+per-query retracing, which is what the ≤10 ms serving target requires.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import Config, DEFAULT_CONFIG
+from ..index import artifacts
+from ..index.bm25_index import BM25DeviceIndex, load_bm25_artifacts
+from ..index.dictionary import TagDictionary
+from ..index.similarity import SimilarityIndex
+from ..models.doc2vec import Doc2VecModel
+from ..ops.bm25 import bm25_scores_device, build_query_vectors
+from .filters import filter_searched_result, is_include_ng_word
+from .parser import BM25Query, parse_bm25_query, parse_doc2vec_query
+
+Result = Tuple[int, float]
+
+
+@dataclass
+class ResultInfo:
+    file_path: str
+    doc_id: int
+    similarity: float
+    tags: List[str]
+
+
+class SearchEngine:
+    """Loads the artifact chain from ``directory`` and serves queries.
+
+    ``cfeature_reranker`` is the character-oriented rerank hook (reference:
+    webui.py:255-342); it is injected so the heavy CCIP model only loads when the
+    character mode is actually used.
+    """
+
+    def __init__(
+        self,
+        directory: str = ".",
+        config: Config = DEFAULT_CONFIG,
+        rep: Optional[Sequence[str]] = None,
+        cfeature_reranker: Optional[
+            Callable[[np.ndarray, int, List[str], List[str]], List[Result]]
+        ] = None,
+    ) -> None:
+        self.cfg = config
+        self.directory = directory
+        self.rep = list(rep) if rep else None
+        self.cfeature_reranker = cfeature_reranker
+
+        def p(name: str) -> str:
+            return os.path.join(directory, name)
+
+        # tag file arrays (webui.py:620-647)
+        self.image_files_name_tags_arr: List[str] = []
+        with open(p(artifacts.DOC2VEC_IDX_CSV), "r", encoding="utf-8") as f:
+            for line in f:
+                self.image_files_name_tags_arr.append(line.strip())
+        self.file_tag_index_dict: Dict[str, Dict[str, bool]] = {}
+        self.filepath_docid_dict: Dict[str, int] = {}
+        for idx, line in enumerate(self.image_files_name_tags_arr):
+            splited = line.split(",")
+            self.filepath_docid_dict[splited[0]] = idx
+            self.file_tag_index_dict[splited[0]] = {t: True for t in splited[1:]}
+
+        self.model = Doc2VecModel.load(p(artifacts.DOC2VEC_MODEL))
+        self.index = SimilarityIndex.load(p(artifacts.DOC2VEC_INDEX))
+        self.dictionary = TagDictionary.load(p(artifacts.DOC2VEC_DICTIONARY))
+        stats = load_bm25_artifacts(directory)
+        self.bm25 = BM25DeviceIndex.from_stats(stats, vocab_size=len(self.dictionary),
+                                               cfg=config.bm25)
+        self._bm25_dev = self.bm25.to_device()
+        # Pre-transfer the similarity matrix to device.
+        self.index._device()
+
+    # ------------------------------------------------------------------ queries
+
+    def doc2vec_query_vector(self, new_doc: str) -> np.ndarray:
+        """Weighted, normalized Doc2Vec query vector (webui.py:82-117).
+
+        All per-tag inferences run as ONE batched device call (the reference loops
+        tag-by-tag through gensim's Python SGD)."""
+        tag_and_weight_list, all_weight = parse_doc2vec_query(new_doc)
+        tag_vecs = self.model.infer_vectors([[t] for t, _ in tag_and_weight_list])
+        got_vector = np.zeros(self.model.vector_size, dtype=np.float64)
+        for (_, weight), vec in zip(tag_and_weight_list, tag_vecs):
+            norm = np.linalg.norm(vec)
+            if norm > 0:
+                got_vector += weight * (vec / norm)
+        got_vector = got_vector / all_weight
+        norm = float(np.linalg.norm(got_vector))
+        if math.isinf(norm) or norm == 0:
+            norm = 1.0
+        return (got_vector / norm).astype(np.float32)
+
+    def compute_bm25_scores(self, query: BM25Query) -> np.ndarray:
+        import jax.numpy as jnp
+
+        eff, excl, req, n_req = build_query_vectors(
+            query.term_weights, self.bm25.vocab_size,
+            magic=self.cfg.search.require_tag_magic_number,
+        )
+        doc_ids, term_ids, contrib = self._bm25_dev
+        out = bm25_scores_device(
+            doc_ids, term_ids, contrib,
+            jnp.asarray(eff), jnp.asarray(excl), jnp.asarray(req),
+            jnp.asarray(n_req), num_docs=self.bm25.num_docs,
+        )
+        return np.asarray(out)
+
+    def find_similar_documents(
+        self, new_doc: str, topn: int = 50, search_mode: str = "normal"
+    ) -> List[Result]:
+        """Fused BM25 + Doc2Vec ranking with rerank dispatch (webui.py:345-390)."""
+        vec = self.doc2vec_query_vector(new_doc)
+        sims_doc2vec = self.index[vec]
+
+        query = parse_bm25_query(new_doc, self.dictionary)
+        bm25_scores = self.compute_bm25_scores(query)
+
+        if sims_doc2vec.max() > 0:
+            sims_doc2vec = sims_doc2vec / sims_doc2vec.max()
+        if bm25_scores.max() > 0:
+            bm25_scores = bm25_scores / bm25_scores.max()
+
+        final_scores = (
+            self.cfg.search.bm25_weight * bm25_scores
+            + self.cfg.search.doc2vec_weight * sims_doc2vec
+        )
+
+        if search_mode == "character oriented":
+            if self.cfeature_reranker is None:
+                raise RuntimeError(
+                    "character-oriented mode requires a CCIP reranker "
+                    "(build the cfeature index with gen_cfeatures first)"
+                )
+            return self.cfeature_reranker(
+                final_scores, topn, query.required_tags, query.exclude_tags
+            )
+        return self.doc2vec_rerank(final_scores, topn)
+
+    # ------------------------------------------------------------------ rerank
+
+    def get_embedded_vectors_by_doc_ids(self, doc_ids: Sequence[int]) -> np.ndarray:
+        """Re-infer stored docs' vectors from their tags, batched
+        (reference does this one doc at a time with a ±1 index dance —
+        webui.py:182-187,198; QUIRKS.md #4)."""
+        docs = [
+            self.image_files_name_tags_arr[doc_id].split(",")[1:] for doc_id in doc_ids
+        ]
+        return self.model.infer_vectors(docs)
+
+    def doc2vec_rerank(self, final_scores: np.ndarray, topn: int) -> List[Result]:
+        """Pseudo-relevance-feedback rerank (webui.py:189-253).
+
+        Implements the *intended* math: score-weighted mean of the top-10 documents'
+        re-inferred vectors, L2-normalized, rescored against the whole index (one
+        matvec), fused 0.7/0.3 with the original scores. The reference's tuple-array
+        normalization bug made this a near-no-op; see QUIRKS.md #5.
+        """
+        k = self.cfg.search.rerank_top_k
+        sims: List[Result] = sorted(
+            enumerate(final_scores), key=lambda item: -item[1]
+        )
+        if len(sims) > k:
+            top10_sims = sims[:k]
+            top10_doc_ids = [doc_id for doc_id, _ in top10_sims]
+            top10_doc_ids_set = set(top10_doc_ids)
+            top10_vecs = self.get_embedded_vectors_by_doc_ids(top10_doc_ids)
+            weights = np.asarray([score for _, score in top10_sims], dtype=np.float64)
+            wsum = weights.sum()
+            if wsum == 0:
+                weights = np.ones_like(weights)
+                wsum = weights.sum()
+            mean_vec = (weights[:, None] * top10_vecs).sum(axis=0) / wsum
+            norm = np.linalg.norm(mean_vec)
+            if norm > 0:
+                mean_vec = mean_vec / norm
+            reranked_scores = self.index[mean_vec.astype(np.float32)]
+
+            reranked_final = (
+                self.cfg.search.original_score_weight * final_scores
+                + self.cfg.search.reranked_score_weight * reranked_scores
+            )
+            if reranked_final.max() > 0:
+                reranked_final = reranked_final / reranked_final.max()
+
+            rest = [
+                item for item in enumerate(reranked_final)
+                if item[0] not in top10_doc_ids_set
+            ]
+            final_sims: List[Result] = [(doc_id, 1.0) for doc_id, _ in top10_sims]
+            final_sims.extend(rest)
+
+            def sorting_key(item: Result):
+                doc_id, score = item
+                if doc_id in top10_doc_ids_set:
+                    return (-2, top10_doc_ids.index(doc_id))
+                return (-1, -score)
+
+            final_sims = sorted(final_sims, key=sorting_key)
+            final_sims = filter_searched_result(final_sims)
+            return final_sims[: min(topn, len(final_sims))]
+
+        sims = filter_searched_result(sims)
+        return sims[: min(topn, len(sims))]
+
+    # ------------------------------------------------------------------ results
+
+    def search(
+        self, new_doc: str, topn: Optional[int] = None, search_mode: str = "normal"
+    ) -> List[ResultInfo]:
+        """Full result assembly with NG-word filtering and --rep path rewriting
+        (webui.py:580-609)."""
+        topn = topn if topn is not None else self.cfg.search.topn
+        similar_docs = self.find_similar_documents(new_doc, topn=topn, search_mode=search_mode)
+        found: List[ResultInfo] = []
+        for doc_id, similarity in similar_docs:
+            try:
+                splited = self.image_files_name_tags_arr[doc_id].split(",")
+                if is_include_ng_word(splited, self.cfg.search.ng_words):
+                    continue
+                fpath = splited[0]
+                if self.rep:
+                    fpath = fpath.replace(self.rep[0], self.rep[1])
+                found.append(ResultInfo(fpath, doc_id, float(similarity), splited[1:]))
+            except Exception as e:  # noqa: BLE001 — skip bad rows like the reference
+                print(f"Error: {e}")
+                continue
+        return found
