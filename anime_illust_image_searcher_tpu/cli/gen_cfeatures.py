@@ -1,0 +1,141 @@
+"""Character-feature index build CLI.
+
+Public surface matches gen_cfeatures.py:461-483:
+
+    python -m anime_illust_image_searcher_tpu.cli.gen_cfeatures --dir D [--after YYYY-MM-DD]
+
+Behavior (gen_cfeatures.py:337-459):
+  - recursive listing + optional ctime --after filter
+  - --after: timestamped backup dir for all charactor-featues-idx* files, then the old
+    index rows are copied into revision N+1 and new rows append there
+  - batched CCIP feature extraction; paths appended to charactor-featues-idx.csv
+    (reference misspelling preserved); vectors into the revisioned similarity index
+  - FIXED vs reference: tail batch processed, deterministic listing order (QUIRKS.md
+    #1/#13); index writes stay on the main thread since add_documents is O(memcpy)
+    here, not a gensim shard rebuild
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+from typing import Optional
+
+from ..config import CCIPConfig, DEFAULT_CONFIG
+from ..data.ingest import PrefetchLoader, filter_files_by_date, list_files_recursive
+from ..index import artifacts
+from ..index.similarity import SimilarityIndex
+from ..models.ccip import CCIPPredictor
+from ..utils.progress import ProgressMeter
+
+
+class Predictor(CCIPPredictor):
+    """Directory-processing wrapper (reference Predictor — gen_cfeatures.py:68,337)."""
+
+    def __init__(self, config: CCIPConfig = DEFAULT_CONFIG.ccip, **kw) -> None:
+        super().__init__(config=config, **kw)
+        self.cindex: Optional[SimilarityIndex] = None
+
+    def get_current_cfeature_number(self) -> int:
+        return artifacts.get_current_cfeature_number()
+
+    def process_directory(
+        self, dir_path: str, added_date: Optional[datetime.date] = None
+    ) -> None:
+        cfg = self.config
+        file_list = list_files_recursive(dir_path)
+        print(f"{len(file_list)} files found")
+
+        index_name = artifacts.cfeatures_index_name(0)
+        if added_date is not None:
+            file_list = filter_files_by_date(file_list, added_date)
+            print(f"{len(file_list)} files found after {added_date}")
+
+            backup_dir = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+            copied = artifacts.backup_cfeature_indexes(backup_dir)
+            for name in copied:
+                print(f"Backed up {name} to {backup_dir}")
+
+            max_number = self.get_current_cfeature_number()
+            print("copying index files to new index files")
+            old_index = SimilarityIndex.load(
+                artifacts.cfeatures_index_name(max_number), mmap=None
+            )
+            index_name = artifacts.cfeatures_index_name(max_number + 1)
+            self.cindex = SimilarityIndex(index_name, num_features=cfg.feature_dim)
+            if len(old_index):
+                self.cindex.add_documents([old_index.vector_by_id(i) for i in range(len(old_index))])
+            print("copying index files to new index files done")
+            self.threshold = self.ccip_default_threshold() / 1.5
+        elif SimilarityIndex.exists(index_name):
+            # append mode on rev 0, like gensim Similarity reopened by name
+            self.cindex = SimilarityIndex.load(index_name, mmap=None)
+
+        self.load_model()
+        self.threshold = self.ccip_default_threshold()
+        out = open(artifacts.CFEATURES_CSV, "a", encoding="utf-8")
+
+        if self.cindex is None:
+            self.cindex = SimilarityIndex(index_name, num_features=cfg.feature_dim)
+
+        from PIL import Image
+
+        meter = ProgressMeter(cfg.progress_interval)
+        loader = PrefetchLoader(
+            file_list,
+            size=cfg.image_size,
+            batch_size=cfg.batch_size,
+            workers=cfg.decode_workers,
+            pad_to_square=False,
+            resample=Image.BILINEAR,
+        )
+        try:
+            for batch in loader:
+                feats = self.ccip_batch_extract_features(batch.images)[: batch.valid]
+                for path in batch.paths:
+                    out.write(path + "\n")
+                self.cindex.add_documents(list(feats))
+                meter.add(batch.valid)
+        finally:
+            out.close()
+        self.cindex.save(index_name)
+        meter.report(final=True)
+        if loader.failed_count:
+            print(f"{loader.failed_count} files failed to decode and were skipped")
+
+
+def main(arg_str: list) -> None:
+    from ..utils.jax_setup import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dir", nargs=1, required=True, help="tagging target directory path")
+    parser.add_argument(
+        "--after", nargs=1,
+        help="tagging new images after this date (mtime attribute). Format: YYYY-MM-DD",
+    )
+    parser.add_argument("--batch-size", type=int, default=None, help="device batch size")
+    args = parser.parse_args(arg_str)
+
+    cfg = DEFAULT_CONFIG.ccip
+    if args.batch_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+
+    predictor = Predictor(config=cfg)
+    if args.after is not None:
+        try:
+            after_date = datetime.datetime.strptime(args.after[0], "%Y-%m-%d").date()
+        except Exception as e:  # noqa: BLE001
+            print("%s: %s" % (type(e), str(e)))
+            print("Invalid date format. format is YYYY-MM-DD")
+            sys.exit(1)
+        predictor.process_directory(args.dir[0], after_date)
+    else:
+        predictor.process_directory(args.dir[0])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -48,6 +48,9 @@ def read_documents_and_gen_idx_text(file_path: str) -> Tuple[List[List[str]], Li
 
 
 def main(arg_str: List[str]) -> None:
+    from ..utils.jax_setup import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     logging.basicConfig(
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s", level=logging.INFO
     )

@@ -1,0 +1,119 @@
+"""Tagging CLI — batched WD-EVA02 ViT tagging of an image directory.
+
+Public surface matches the reference (tagging.py:361-383):
+
+    python -m anime_illust_image_searcher_tpu.cli.tagging --dir D [--after YYYY-MM-DD]
+
+plus TPU-era extras: --model-dir (local converted checkpoint; zero-egress environments
+can't pull from HF at runtime), --batch-size.
+
+Behavior parity (see QUIRKS.md):
+  - output appended to tags-wd-tagger.txt, one ``path,tag,...`` line per image (#2)
+  - --after filters by st_ctime date and backs up the tag file first (#3)
+  - per-image decode failures are skipped and counted, never fatal
+  - FIXED vs reference: the tail batch is padded and processed instead of dropped (#1),
+    and output order is deterministic listing order (#13)
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+from typing import Optional
+
+from ..config import DEFAULT_CONFIG, TaggerConfig
+from ..data.ingest import PrefetchLoader, filter_files_by_date, list_files_recursive
+from ..index import artifacts
+from ..models.tagger import TaggerPredictor
+from ..utils.progress import ProgressMeter
+
+
+class Predictor(TaggerPredictor):
+    """Directory-processing wrapper keeping the reference's entry-point API
+    (``Predictor().process_directory(dir, added_date)`` — tagging.py:276)."""
+
+    def process_directory(
+        self, dir_path: str, added_date: Optional[datetime.date] = None
+    ) -> None:
+        cfg: TaggerConfig = self.config
+        file_list = list_files_recursive(dir_path, cfg.extensions)
+        print(f"{len(file_list)} files found")
+
+        if added_date is not None:
+            file_list = filter_files_by_date(file_list, added_date)
+            print(f"{len(file_list)} files found after {added_date}")
+            import os
+
+            if os.path.exists(cfg.output_file):
+                artifacts.backup_file(cfg.output_file)
+            else:
+                print(f"{cfg.output_file} not found")
+                sys.exit(1)
+
+        self.load_model()
+        out = open(cfg.output_file, "a", encoding="utf-8")
+        meter = ProgressMeter(cfg.progress_interval)
+        loader = PrefetchLoader(
+            file_list,
+            size=cfg.image_size,
+            batch_size=cfg.batch_size,
+            workers=cfg.decode_workers,
+            pad_to_square=True,
+        )
+        try:
+            for batch in loader:
+                results = self.predict(
+                    batch.images,
+                    cfg.general_thresh, cfg.general_mcut_enabled,
+                    cfg.character_thresh, cfg.character_mcut_enabled,
+                )
+                for path, line in zip(batch.paths, results[: batch.valid]):
+                    out.write(path + "," + line + "\n")
+                meter.add(batch.valid)
+        finally:
+            out.close()
+        meter.report(final=True)
+        if loader.failed_count:
+            print(f"{loader.failed_count} files failed to decode and were skipped")
+
+
+def main(arg_str: list) -> None:
+    from ..utils.jax_setup import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dir", nargs=1, required=True, help="tagging target directory path")
+    parser.add_argument(
+        "--after", nargs=1,
+        help="tagging new images after this date (mtime attribute). Format: YYYY-MM-DD",
+    )
+    parser.add_argument(
+        "--model-dir", default=None,
+        help="local checkpoint dir with model.safetensors + selected_tags.csv "
+             "(converted from SmilingWolf/wd-eva02-large-tagger-v3)",
+    )
+    parser.add_argument("--batch-size", type=int, default=None, help="device batch size")
+    args = parser.parse_args(arg_str)
+
+    cfg = DEFAULT_CONFIG.tagger
+    if args.batch_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+
+    predictor = Predictor(config=cfg, model_dir=args.model_dir)
+    if args.after is not None:
+        try:
+            after_date = datetime.datetime.strptime(args.after[0], "%Y-%m-%d").date()
+        except Exception as e:  # noqa: BLE001
+            print("%s: %s" % (type(e), str(e)))
+            print("Invalid date format. format is YYYY-MM-DD")
+            sys.exit(1)
+        predictor.process_directory(args.dir[0], after_date)
+    else:
+        predictor.process_directory(args.dir[0])
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,198 @@
+"""Search web UI — dependency-free HTTP server + single-page app.
+
+Feature-parity rebuild of the reference Streamlit app (webui.py:392-788):
+  - query box with TAG:WEIGHT / +require / -exclude syntax, Search button
+  - search-mode selector ("normal" / "character oriented"), shown only when the
+    cfeature index exists (webui.py:772-778)
+  - 5×5 result grid with Top/Prev/Next/Last pagination (webui.py:436-556)
+  - image info view: score %, path, tags (webui.py:558-578)
+  - slideshow with 5 s auto-advance (webui.py:466-492)
+  - export hit paths to ``query_timestamp.txt`` — shift_jis on win32, utf-8 elsewhere
+    (webui.py:497-513)
+  - max-display-limit input + Apply (webui.py:691-714)
+  - ``--rep FROM TO`` path rewriting (webui.py:722-724)
+  - NG-word filtering server-side (webui.py:592-594)
+
+The server is ``http.server.ThreadingHTTPServer`` (streamlit is not a dependency of
+this framework); the search engine loads once at startup, so queries hit warm jitted
+programs. Default port 8501 matches the reference's .streamlit/config.toml:5-6.
+
+    python -m anime_illust_image_searcher_tpu.cli.webui [--rep FROM TO] [--port 8501]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import mimetypes
+import os
+import sys
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+from ..index import artifacts
+from ..search.engine import SearchEngine
+from ..search.rerank_ccip import CCIPReranker
+
+_HTML_PATH = os.path.join(os.path.dirname(__file__), "webui_static", "index.html")
+
+
+class WebUIServer:
+    def __init__(self, directory: str = ".", rep: Optional[List[str]] = None) -> None:
+        self.directory = directory
+        self.rep = rep
+        self.engine: Optional[SearchEngine] = None
+
+    def load(self) -> SearchEngine:
+        if self.engine is None:
+            engine = SearchEngine(self.directory, rep=self.rep)
+            if os.path.exists(os.path.join(self.directory, artifacts.CFEATURES_CSV)):
+                engine.cfeature_reranker = CCIPReranker(
+                    engine.image_files_name_tags_arr,
+                    engine.file_tag_index_dict,
+                    engine.filepath_docid_dict,
+                    directory=self.directory,
+                )
+            self._warmup(engine)
+            self.engine = engine
+        return self.engine
+
+    @staticmethod
+    def _warmup(engine: SearchEngine) -> None:
+        """Compile every per-query program once at startup so user queries hit warm
+        code (persistent-serving requirement, SURVEY.md §7)."""
+        try:
+            some_tag = next(iter(engine.dictionary.token2id))
+        except StopIteration:
+            return
+        try:
+            engine.search(some_tag)
+        except Exception as e:  # noqa: BLE001 — warm-up must never kill the server
+            print(f"warmup skipped: {e}")
+
+    def has_character_mode(self) -> bool:
+        return os.path.exists(os.path.join(self.directory, artifacts.CFEATURES_CSV))
+
+    # ------------------------------------------------------------------ API
+
+    def api_search(self, query: str, search_mode: str) -> dict:
+        engine = self.load()
+        t0 = time.perf_counter()
+        try:
+            infos = engine.search(query, search_mode=search_mode)
+        except KeyError as e:
+            # unknown tag — user-facing reference behavior (QUIRKS.md #7)
+            return {"error": f"unknown tag: {e}", "results": []}
+        except RuntimeError as e:
+            return {"error": str(e), "results": []}
+        latency_ms = (time.perf_counter() - t0) * 1000.0
+        return {
+            "results": [
+                {
+                    "file_path": i.file_path,
+                    "doc_id": i.doc_id,
+                    "similarity": i.similarity,
+                    "tags": i.tags,
+                }
+                for i in infos
+            ],
+            "latency_ms": round(latency_ms, 2),
+            "character_mode_available": self.has_character_mode(),
+        }
+
+    def api_export(self, query: str, paths: List[str]) -> dict:
+        encoding = "shift_jis" if sys.platform == "win32" else "utf-8"
+        out_name = f"{query.replace(' ', '_').replace(':', '_')}_{int(time.time())}.txt"
+        with open(out_name, "w", encoding=encoding) as f:
+            for p in paths:
+                try:
+                    f.write(f"{p}\n")
+                except Exception as e:  # noqa: BLE001
+                    print(f"Error: {e}")
+                    continue
+        return {"file": out_name, "count": len(paths)}
+
+
+def make_handler(server: WebUIServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, obj: dict, code: int = 200) -> None:
+            self._send(code, json.dumps(obj).encode("utf-8"), "application/json")
+
+        def do_GET(self) -> None:
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path in ("/", "/index.html"):
+                with open(_HTML_PATH, "rb") as f:
+                    self._send(200, f.read(), "text/html; charset=utf-8")
+            elif parsed.path == "/api/config":
+                self._send_json({
+                    "character_mode_available": server.has_character_mode(),
+                })
+            elif parsed.path == "/api/image":
+                q = urllib.parse.parse_qs(parsed.query)
+                fpath = q.get("path", [""])[0]
+                if not os.path.isfile(fpath):
+                    self._send_json({"error": "not found"}, 404)
+                    return
+                ctype = mimetypes.guess_type(fpath)[0] or "application/octet-stream"
+                with open(fpath, "rb") as f:
+                    self._send(200, f.read(), ctype)
+            else:
+                self._send_json({"error": "not found"}, 404)
+
+        def do_POST(self) -> None:
+            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send_json({"error": "bad json"}, 400)
+                return
+            if self.path == "/api/search":
+                self._send_json(
+                    server.api_search(
+                        body.get("query", ""), body.get("search_mode", "normal")
+                    )
+                )
+            elif self.path == "/api/export":
+                self._send_json(
+                    server.api_export(body.get("query", ""), body.get("paths", []))
+                )
+            else:
+                self._send_json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def main(arg_str: Optional[List[str]] = None) -> None:
+    from ..utils.jax_setup import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rep", nargs=2, required=False,
+                        help="replace the string in file path to one you want")
+    parser.add_argument("--port", type=int, default=8501)
+    parser.add_argument("--host", default="127.0.0.1")
+    args = parser.parse_args(arg_str if arg_str is not None else sys.argv[1:])
+
+    ui = WebUIServer(rep=args.rep)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(ui))
+    print(f"webui listening on http://{args.host}:{args.port}")
+    print("loading search artifacts...")
+    ui.load()
+    print("ready")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""CCIP character-feature encoder: a CAFormer backbone in Flax + a batched metric op.
+
+Replaces the reference's ONNX black boxes (gen_cfeatures.py:112-130: ``model_feat.onnx``
+and ``model_metrics.onnx`` from deepghs/ccip_onnx, model
+``ccip-caformer-24-randaug-pruned``). CAFormer ("MetaFormer Baselines for Vision") is a
+4-stage hierarchical net: depthwise-conv token mixers in the first two stages,
+self-attention in the last two — the attention stages run through the same Pallas
+kernel as the tagger.
+
+The metric op computes the full pairwise difference matrix as ONE batched matmul
+(1 - cosine over unit features, consistent with the published CCIP examples where the
+diagonal is ~1e-8), replacing the reference's one-ONNX-call-per-image loop
+(webui.py:306-309 — the worst query-time hot spot in SURVEY.md §3.3).
+
+The exact published ONNX weights cannot be fetched in this environment (zero egress);
+``init_params`` gives seeded weights so the pipeline runs end-to-end, and the intended
+conversion path (ONNX graph -> this param tree) is documented in models/weights.py
+style. Features are deterministic for fixed weights, so index build + rerank semantics
+are fully exercised.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.flash_attention import attention_reference, mha_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class CAFormerConfig:
+    img_size: int = 384
+    # "caformer-24": depths sum to 24 (pruned s36-family geometry)
+    depths: Tuple[int, int, int, int] = (3, 3, 15, 3)
+    dims: Tuple[int, int, int, int] = (64, 128, 320, 512)
+    num_heads: Tuple[int, int, int, int] = (0, 0, 10, 16)  # attention stages only
+    feature_dim: int = 768
+    mlp_ratio: int = 4
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+
+
+def tiny_test_config() -> CAFormerConfig:
+    return CAFormerConfig(
+        img_size=64, depths=(1, 1, 1, 1), dims=(16, 32, 48, 64),
+        num_heads=(0, 0, 2, 2), feature_dim=32, dtype=jnp.float32,
+    )
+
+
+class StarReLU(nn.Module):
+    """MetaFormer's activation: s * relu(x)^2 + b (learned scalars)."""
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale", nn.initializers.constant(0.8944), ())
+        b = self.param("bias", nn.initializers.constant(-0.4472), ())
+        r = nn.relu(x)
+        return s * r * r + b
+
+
+class Mlp(nn.Module):
+    dim: int
+    ratio: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.ratio, name="fc1", dtype=self.dtype)(x)
+        h = StarReLU(name="act")(h)
+        return nn.Dense(self.dim, name="fc2", dtype=self.dtype)(h)
+
+
+class SepConvMixer(nn.Module):
+    """ConvFormer token mixer: pw expand -> StarReLU -> dw 7x7 -> pw project."""
+
+    dim: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        mid = self.dim * 2
+        h = nn.Dense(mid, name="pw1", dtype=self.dtype)(x)
+        h = StarReLU(name="act")(h)
+        h = nn.Conv(mid, kernel_size=(7, 7), feature_group_count=mid,
+                    padding="SAME", name="dw", dtype=self.dtype)(h)
+        return nn.Dense(self.dim, name="pw2", dtype=self.dtype)(h)
+
+
+class AttentionMixer(nn.Module):
+    dim: int
+    heads: int
+    dtype: Any
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        b, hh, ww, c = x.shape
+        n = hh * ww
+        t = x.reshape(b, n, c)
+        head_dim = c // self.heads
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv", dtype=self.dtype)(t)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(a):
+            return a.reshape(b, n, self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        if self.use_pallas:
+            o = mha_attention(q, k, v)
+        else:
+            o = attention_reference(q, k, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, c)
+        o = nn.Dense(c, name="proj", dtype=self.dtype)(o)
+        return o.reshape(b, hh, ww, c)
+
+
+class MetaFormerBlock(nn.Module):
+    dim: int
+    heads: int  # 0 -> conv mixer
+    cfg: CAFormerConfig
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1", dtype=jnp.float32)(x)
+        if self.heads:
+            y = AttentionMixer(self.dim, self.heads, cfg.dtype, self.use_pallas,
+                               name="mixer")(y)
+        else:
+            y = SepConvMixer(self.dim, cfg.dtype, name="mixer")(y)
+        res_scale1 = self.param("res_scale1", nn.initializers.ones, (self.dim,))
+        x = x * res_scale1 + y
+
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2", dtype=jnp.float32)(x)
+        y = Mlp(self.dim, cfg.mlp_ratio, cfg.dtype, name="mlp")(y)
+        res_scale2 = self.param("res_scale2", nn.initializers.ones, (self.dim,))
+        return x * res_scale2 + y
+
+
+class CAFormer(nn.Module):
+    """images (B, H, W, 3) f32 -> character features (B, feature_dim) f32."""
+
+    cfg: CAFormerConfig
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = images.astype(cfg.dtype)
+        for stage in range(4):
+            if stage == 0:
+                x = nn.Conv(cfg.dims[0], kernel_size=(7, 7), strides=(4, 4),
+                            padding=((2, 2), (2, 2)), name="stem", dtype=cfg.dtype)(x)
+            else:
+                x = nn.Conv(cfg.dims[stage], kernel_size=(3, 3), strides=(2, 2),
+                            padding="SAME", name=f"downsample_{stage}",
+                            dtype=cfg.dtype)(x)
+            for blk in range(cfg.depths[stage]):
+                x = MetaFormerBlock(
+                    cfg.dims[stage], cfg.num_heads[stage], cfg, self.use_pallas,
+                    name=f"stage{stage}_block{blk}",
+                )(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm", dtype=jnp.float32)(x)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        feat = nn.Dense(cfg.feature_dim, name="head", dtype=jnp.float32)(pooled)
+        return feat
+
+
+def init_params(cfg: CAFormerConfig, seed: int = 0, use_pallas: bool = True):
+    model = CAFormer(cfg, use_pallas=use_pallas)
+    dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    # jit the init: eager op-by-op dispatch is ~100x slower than one compiled program
+    return jax.jit(model.init)(jax.random.PRNGKey(seed), dummy)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def extract_features(
+    params,
+    images_u8: jax.Array,   # (B, S, S, 3) uint8 RGB
+    mean: jax.Array,
+    std: jax.Array,
+    cfg: CAFormerConfig,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Fused CLIP-normalize preprocess (gen_cfeatures.py:100-110) + forward."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - mean) / std
+    return CAFormer(cfg, use_pallas=use_pallas).apply(params, x)
+
+
+# ---------------------------------------------------------------------------
+# Metric ops (replace model_metrics.onnx)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def ccip_batch_differences_op(feats: jax.Array) -> jax.Array:
+    """(N, F) features -> (N, N) pairwise difference matrix = 1 - cosine.
+
+    Full-f32 MXU precision: TPU matmuls default to bf16 passes, which costs ~1e-3 on
+    the diagonal — too coarse against a 0.119 match threshold."""
+    f = feats.astype(jnp.float32)
+    n = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+    return 1.0 - jnp.dot(n, n.T, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def ccip_differences_vs_index_op(index_matrix: jax.Array, query: jax.Array) -> jax.Array:
+    """Differences of ONE query feature vs every indexed row — a single matvec
+    (replaces the reference's per-row ONNX loop, webui.py:306-309)."""
+    m = index_matrix.astype(jnp.float32)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    q = query.astype(jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    return 1.0 - jnp.dot(m, q, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)

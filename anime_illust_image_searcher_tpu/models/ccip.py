@@ -1,0 +1,109 @@
+"""CCIP predictor facade: feature extraction, thresholds, pairwise metrics.
+
+Mirrors the reference's ``Predictor`` surface (gen_cfeatures.py:68-335) so downstream
+code (index build CLI, webui character reranker) keeps the same call shapes:
+``ccip_batch_extract_features``, ``ccip_extract_feature``, ``ccip_difference``,
+``ccip_batch_differences``, ``ccip_default_threshold``, ``get_image_feature``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CCIPConfig
+from ..data.ingest import load_rgb_square
+from .caformer import (
+    CAFormerConfig, ccip_batch_differences_op, ccip_differences_vs_index_op,
+    extract_features, init_params,
+)
+
+FeatureOrImage = Union[np.ndarray, str]
+
+
+class CCIPPredictor:
+    def __init__(
+        self,
+        config: CCIPConfig = CCIPConfig(),
+        model_cfg: Optional[CAFormerConfig] = None,
+        use_pallas: bool = True,
+        seed: int = 0,
+    ) -> None:
+        self.config = config
+        self.model_cfg = model_cfg or CAFormerConfig(
+            img_size=config.image_size, feature_dim=config.feature_dim,
+        )
+        self.use_pallas = use_pallas
+        self.seed = seed
+        self.params = None
+        self.threshold: float = -1.0
+        self._mean = jnp.asarray(config.mean, jnp.float32)
+        self._std = jnp.asarray(config.std, jnp.float32)
+
+    def load_model(self) -> None:
+        if self.params is None:
+            self.params = init_params(self.model_cfg, seed=self.seed,
+                                      use_pallas=self.use_pallas)
+
+    def ccip_default_threshold(self) -> float:
+        """Published metrics.json threshold of ccip-caformer-24-randaug-pruned
+        (gen_cfeatures.py:183-202)."""
+        return self.config.default_threshold
+
+    # ---- features ------------------------------------------------------------
+
+    def ccip_batch_extract_features(self, images_u8: np.ndarray) -> np.ndarray:
+        """(B, S, S, 3) uint8 RGB -> (B, feature_dim) f32."""
+        self.load_model()
+        return np.asarray(
+            extract_features(
+                self.params, jnp.asarray(images_u8), self._mean, self._std,
+                self.model_cfg, self.use_pallas,
+            )
+        )
+
+    def ccip_extract_feature(self, image_u8: np.ndarray) -> np.ndarray:
+        return self.ccip_batch_extract_features(image_u8[None])[0]
+
+    def gen_image_ndarray(self, file_path: str) -> Optional[np.ndarray]:
+        """Decode one file to the CCIP input: white-flattened RGB, bilinear 384²
+        (gen_cfeatures.py:285-295). Returns uint8 HWC; normalization is on device."""
+        from PIL import Image
+
+        return load_rgb_square(
+            file_path, self.config.image_size, resample=Image.BILINEAR,
+            pad_to_square=False,
+        )
+
+    def get_image_feature(self, file_path: str) -> np.ndarray:
+        if self.threshold == -1.0:
+            self.threshold = self.ccip_default_threshold() / 1.5  # webui lazy path (gen_cfeatures.py:299)
+        img = self.gen_image_ndarray(file_path)
+        if img is None:
+            raise ValueError(f"failed to load {file_path}")
+        return self.ccip_extract_feature(img)
+
+    # ---- metrics ---------------------------------------------------------------
+
+    def _p_feature(self, x: FeatureOrImage) -> np.ndarray:
+        if isinstance(x, np.ndarray) and x.ndim == 1:
+            return x
+        if isinstance(x, str):
+            return self.get_image_feature(x)
+        return self.ccip_extract_feature(np.asarray(x))
+
+    def ccip_difference(self, x: FeatureOrImage, y: FeatureOrImage) -> float:
+        return float(self.ccip_batch_differences([x, y])[0, 1])
+
+    def ccip_batch_differences(self, images: List[FeatureOrImage]) -> np.ndarray:
+        feats = np.stack([self._p_feature(i) for i in images]).astype(np.float32)
+        return np.asarray(ccip_batch_differences_op(jnp.asarray(feats)))
+
+    def ccip_differences_vs_index(self, index_matrix: np.ndarray,
+                                  query_feat: np.ndarray) -> np.ndarray:
+        """All-rows difference in one device call."""
+        return np.asarray(
+            ccip_differences_vs_index_op(jnp.asarray(index_matrix), jnp.asarray(query_feat))
+        )

@@ -308,20 +308,46 @@ class Doc2VecModel:
     def infer_vector(self, doc_words: Sequence[str], epochs: Optional[int] = None) -> np.ndarray:
         return self.infer_vectors([doc_words], epochs=epochs)[0]
 
+    # Fixed batch buckets so each (bucket, epochs) pair compiles exactly once —
+    # arbitrary query-tag counts reuse a warm program (first-query latency).
+    _INFER_BUCKETS = (8, 64, 512)
+
     def infer_vectors(
         self, docs: Sequence[Sequence[str]], epochs: Optional[int] = None
     ) -> np.ndarray:
-        """Batched infer_vector — one jitted call for any number of docs."""
+        """Batched infer_vector — bucketed jitted calls for any number of docs."""
         cfg = self.cfg
-        epochs = epochs if epochs is not None else cfg.infer_epochs
+        epochs = int(epochs if epochs is not None else cfg.infer_epochs)
         dim = cfg.vector_size
         ids = [
             [self.vocab.token2id[t] for t in doc if t in self.vocab.token2id]
             for doc in docs
         ]
-        words_np, mask_np = pad_corpus(ids, cfg.max_doc_len)
+        n = len(ids)
+        out = np.empty((n, dim), dtype=np.float32)
+        chunk = self._INFER_BUCKETS[-1]
+        start = 0
+        while start < n:
+            remaining = n - start
+            bucket = next(
+                (b for b in self._INFER_BUCKETS if remaining <= b), chunk
+            )
+            take = min(remaining, bucket)
+            out[start : start + take] = self._infer_bucket(
+                ids[start : start + take], bucket, epochs
+            )
+            start += take
+        return out
+
+    def _infer_bucket(self, ids: List[List[int]], bucket: int, epochs: int) -> np.ndarray:
+        cfg = self.cfg
+        dim = cfg.vector_size
+        n = len(ids)
+        padded_ids = ids + [[] for _ in range(bucket - n)]
+        words_np, mask_np = pad_corpus(padded_ids, cfg.max_doc_len)
         seeds = np.array(
-            [_stable_doc_seed(d, cfg.seed) & 0xFFFFFFFF for d in ids], dtype=np.uint32
+            [_stable_doc_seed(d, cfg.seed) & 0xFFFFFFFF for d in padded_ids],
+            dtype=np.uint32,
         )
         init = np.stack([
             (np.random.RandomState(s & 0x7FFFFFFF).rand(dim).astype(np.float32) - 0.5) / dim
@@ -333,9 +359,9 @@ class Doc2VecModel:
             jnp.asarray(self.vocab.keep_prob), jnp.asarray(self.vocab.cum_table),
             jnp.asarray(init), jnp.asarray(seeds.astype(np.int32)),
             alpha=cfg.alpha, min_alpha=cfg.min_alpha,
-            epochs=int(epochs), negative=cfg.negative,
+            epochs=epochs, negative=cfg.negative,
         )
-        return np.asarray(out)
+        return np.asarray(out[:n])
 
     # ---- persistence ---------------------------------------------------------
 

@@ -1,0 +1,275 @@
+"""EVA02 vision transformer in Flax — the WD-EVA02-Large tagger backbone.
+
+Re-implements (TPU-first, not a port) the timm ``Eva`` architecture instantiated by
+``timm.create_model("hf-hub:SmilingWolf/wd-eva02-large-tagger-v3")`` (reference:
+tagging.py:146-148): patch embed 14×14 → 1024-d, 24 blocks × 16 heads, learned absolute
+position embedding + 2D axial cat-RoPE on q/k (cls token excluded), SwiGLU MLP with
+sub-LN (EVA02 paper's extra LayerNorm on the FFN hidden), final norm + linear
+multi-label head.
+
+TPU mapping:
+  - attention runs through the Pallas blocked-attention kernel (ops/flash_attention);
+  - all matmuls execute in bf16 on the MXU with f32 accumulation; LayerNorms and
+    softmax stay f32;
+  - the forward is shape-static (448² → 1025 tokens) so XLA compiles exactly one
+    program per batch bucket, and pjit shards the batch over the ``data`` mesh axis.
+
+Weight conversion from the HF safetensors checkpoint is in models/weights.py. Exact
+numerical parity vs timm requires the published weights, which this environment cannot
+download (zero egress); tools/parity_harness.py carries the per-layer diff harness to
+run where they are available (SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.flash_attention import attention_reference, mha_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class Eva02Config:
+    img_size: int = 448
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    # EVA02's SwiGLU ratio: hidden = int(dim * 4 * 2/3)
+    mlp_hidden_dim: int = 2730
+    num_classes: int = 10861
+    use_rope: bool = True
+    rope_temperature: float = 10000.0
+    ref_feat_shape: Tuple[int, int] = (16, 16)  # pretraining grid (224/14)
+    use_abs_pos_emb: bool = True
+    # sub-LN inside the attention (before out-proj). EVA02-L uses it only in the MLP;
+    # the weight converter flips this if the checkpoint carries attn.norm weights.
+    scale_attn_inner: bool = False
+    use_layer_scale: bool = False
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16  # compute dtype; params stay f32
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        g = self.img_size // self.patch_size
+        return (g, g)
+
+    @property
+    def num_patches(self) -> int:
+        g = self.grid_size
+        return g[0] * g[1]
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+def tiny_test_config(num_classes: int = 32) -> Eva02Config:
+    """Small config for CPU tests."""
+    return Eva02Config(
+        img_size=56, patch_size=14, embed_dim=64, depth=2, num_heads=2,
+        mlp_hidden_dim=112, num_classes=num_classes, ref_feat_shape=(4, 4),
+        dtype=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# RoPE (timm RotaryEmbeddingCat semantics: lang-mode freq bands, axial 2D,
+# sin/cos concatenated with per-band duplication, rotate-interleaved-pairs apply)
+# ---------------------------------------------------------------------------
+
+
+def build_rope_cat(
+    grid: Tuple[int, int],
+    head_dim: int,
+    temperature: float,
+    ref_shape: Optional[Tuple[int, int]],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (sin, cos), each (grid_h*grid_w, head_dim), f32."""
+    num_bands = head_dim // 4
+    exp = jnp.arange(num_bands, dtype=jnp.float32) / num_bands
+    bands = 1.0 / (temperature ** exp)                       # (num_bands,)
+
+    coords = []
+    for axis, size in enumerate(grid):
+        t = jnp.arange(size, dtype=jnp.float32)
+        if ref_shape is not None:
+            t = t / size * ref_shape[axis]
+        coords.append(t)
+    yy, xx = jnp.meshgrid(coords[0], coords[1], indexing="ij")
+    pos = jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)   # (N, 2)
+
+    angles = pos[:, :, None] * bands[None, None, :]              # (N, 2, num_bands)
+    angles = angles.reshape(pos.shape[0], 2 * num_bands)         # [y bands | x bands]
+    # duplicate each band for the (even, odd) rotation pair
+    angles = jnp.repeat(angles, 2, axis=-1)                      # (N, head_dim)
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def apply_rope_cat(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+    """x: (..., N, head_dim). Rotate interleaved pairs: (x0, x1) -> (-x1, x0)."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    return x * cos + rot * sin
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+
+class EvaAttention(nn.Module):
+    cfg: Eva02Config
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, rope: Optional[Tuple[jnp.ndarray, jnp.ndarray]]):
+        cfg = self.cfg
+        b, n, c = x.shape
+        h, dh = cfg.num_heads, cfg.head_dim
+
+        q = nn.Dense(c, use_bias=True, name="q_proj", dtype=cfg.dtype)(x)
+        k = nn.Dense(c, use_bias=False, name="k_proj", dtype=cfg.dtype)(x)
+        v = nn.Dense(c, use_bias=True, name="v_proj", dtype=cfg.dtype)(x)
+
+        def split_heads(t):
+            return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)  # (B, H, N, Dh)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+        if rope is not None:
+            sin, cos = rope
+            sin = sin.astype(q.dtype)
+            cos = cos.astype(q.dtype)
+            # cls token (index 0) is exempt from rotation
+            q = jnp.concatenate([q[:, :, :1], apply_rope_cat(q[:, :, 1:], sin, cos)], axis=2)
+            k = jnp.concatenate([k[:, :, :1], apply_rope_cat(k[:, :, 1:], sin, cos)], axis=2)
+
+        if self.use_pallas:
+            out = mha_attention(q, k, v)
+        else:
+            out = attention_reference(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+        if cfg.scale_attn_inner:
+            out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm",
+                               dtype=jnp.float32)(out)
+        out = nn.Dense(c, use_bias=True, name="proj", dtype=cfg.dtype)(out)
+        return out
+
+
+class SwiGLU(nn.Module):
+    """EVA02 MLP: silu(w1(x)) * w2(x) -> sub-LN -> w3 (timm SwiGLU: fc1_g/fc1_x/norm/fc2)."""
+
+    cfg: Eva02Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        cfg = self.cfg
+        g = nn.Dense(cfg.mlp_hidden_dim, name="w1", dtype=cfg.dtype)(x)
+        u = nn.Dense(cfg.mlp_hidden_dim, name="w2", dtype=cfg.dtype)(x)
+        hidden = nn.silu(g) * u
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm",
+                              dtype=jnp.float32)(hidden)
+        return nn.Dense(cfg.embed_dim, name="w3", dtype=cfg.dtype)(hidden)
+
+
+class EvaBlock(nn.Module):
+    cfg: Eva02Config
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x, rope):
+        cfg = self.cfg
+        attn_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1",
+                               dtype=jnp.float32)(x)
+        attn_out = EvaAttention(cfg, self.use_pallas, name="attn")(attn_in, rope)
+        if cfg.use_layer_scale:
+            gamma_1 = self.param("gamma_1", nn.initializers.ones, (cfg.embed_dim,))
+            attn_out = attn_out * gamma_1
+        x = x + attn_out
+
+        mlp_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2",
+                              dtype=jnp.float32)(x)
+        mlp_out = SwiGLU(cfg, name="mlp")(mlp_in)
+        if cfg.use_layer_scale:
+            gamma_2 = self.param("gamma_2", nn.initializers.ones, (cfg.embed_dim,))
+            mlp_out = mlp_out * gamma_2
+        return x + mlp_out
+
+
+class Eva02(nn.Module):
+    """Full tagger network: images (B, H, W, 3) f32 -> logits (B, num_classes) f32."""
+
+    cfg: Eva02Config
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        b = images.shape[0]
+
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            name="patch_embed",
+            dtype=cfg.dtype,
+        )(images.astype(cfg.dtype))
+        x = x.reshape(b, cfg.num_patches, cfg.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, cfg.embed_dim),
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, cfg.embed_dim)).astype(x.dtype), x], axis=1)
+
+        if cfg.use_abs_pos_emb:
+            pos_embed = self.param(
+                "pos_embed", nn.initializers.truncated_normal(0.02),
+                (1, cfg.num_patches + 1, cfg.embed_dim),
+            )
+            x = x + pos_embed.astype(x.dtype)
+
+        rope = None
+        if cfg.use_rope:
+            sin, cos = build_rope_cat(
+                cfg.grid_size, cfg.head_dim, cfg.rope_temperature, cfg.ref_feat_shape
+            )
+            rope = (sin, cos)
+
+        for i in range(cfg.depth):
+            x = EvaBlock(cfg, self.use_pallas, name=f"blocks_{i}")(x, rope)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm", dtype=jnp.float32)(x)
+        cls = x[:, 0]
+        logits = nn.Dense(cfg.num_classes, name="head", dtype=jnp.float32)(
+            cls.astype(jnp.float32)
+        )
+        return logits
+
+
+def init_params(cfg: Eva02Config, seed: int = 0, use_pallas: bool = True):
+    model = Eva02(cfg, use_pallas=use_pallas)
+    dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    # jit the init: eager op-by-op dispatch is ~100x slower than one compiled program
+    return jax.jit(model.init)(jax.random.PRNGKey(seed), dummy)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def forward_logits(params, images: jnp.ndarray, cfg: Eva02Config, use_pallas: bool = True):
+    return Eva02(cfg, use_pallas=use_pallas).apply(params, images)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def forward_probs(params, images: jnp.ndarray, cfg: Eva02Config, use_pallas: bool = True):
+    """sigmoid(logits) — the reference applies the activation outside the model
+    (tagging.py:176)."""
+    return jax.nn.sigmoid(forward_logits(params, images, cfg, use_pallas))

@@ -1,0 +1,156 @@
+"""The WD tagger predictor: batched ViT forward + MCut thresholding + CSV assembly.
+
+TPU-native rebuild of the reference ``Predictor`` (tagging.py:81-359). Differences by
+design (SURVEY.md §7):
+  - preprocessing (scale, normalize, RGB→BGR swap) is fused on device in the same jit
+    as the forward, so the host only ships uint8 pixels over PCIe;
+  - MCut runs vectorized on device for the whole batch × both tag categories;
+  - per-image tag selection/ordering semantics match tagging.py:184-227 exactly
+    (general: MCut threshold; character: max(0.15, MCut); sort desc; spaces→underscores;
+    general tags then character tags, comma-joined).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TaggerConfig
+from ..ops.mcut import mcut_threshold_batch
+from .eva02 import Eva02, Eva02Config, init_params
+from .weights import LabelSet, load_tagger_checkpoint
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def _predict_probs(
+    params,
+    images_u8: jax.Array,   # (B, S, S, 3) uint8, RGB, already resized
+    mean: jax.Array,        # (3,)
+    std: jax.Array,         # (3,)
+    cfg: Eva02Config,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Fused preprocess + forward + sigmoid. Returns (B, num_classes) f32."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - mean) / std
+    x = x[..., ::-1]  # RGB -> BGR channel swap (tagging.py:243)
+    logits = Eva02(cfg, use_pallas=use_pallas).apply(params, x)
+    return jax.nn.sigmoid(logits)
+
+
+@partial(jax.jit, static_argnames=())
+def _category_thresholds(
+    probs: jax.Array,            # (B, C)
+    general_gather: jax.Array,   # (G,) int32
+    character_gather: jax.Array, # (K,) int32
+    character_floor: float,
+) -> Tuple[jax.Array, jax.Array]:
+    general = probs[:, general_gather]
+    character = probs[:, character_gather]
+    g_thresh = mcut_threshold_batch(general)
+    c_thresh = jnp.maximum(character_floor, mcut_threshold_batch(character))
+    return g_thresh, c_thresh
+
+
+class TaggerPredictor:
+    """Predictor facade: loads weights/labels once, then tags uint8 batches."""
+
+    def __init__(
+        self,
+        config: TaggerConfig = TaggerConfig(),
+        model_dir: Optional[str] = None,
+        use_pallas: bool = True,
+        model_cfg: Optional[Eva02Config] = None,
+    ) -> None:
+        self.config = config
+        self.model_dir = model_dir
+        self.use_pallas = use_pallas
+        self._model_cfg = model_cfg
+        self.params = None
+        self.labels: Optional[LabelSet] = None
+
+    def load_model(self) -> None:
+        if self.params is not None:
+            return
+        if self.model_dir:
+            self.params, self.model_cfg, self.labels = load_tagger_checkpoint(self.model_dir)
+        else:
+            self.model_cfg = self._model_cfg or Eva02Config(
+                img_size=self.config.image_size,
+                dtype=jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32,
+            )
+            print(
+                "WARNING: no --model-dir given; using seeded RANDOM weights and "
+                "synthetic labels. Output format is real, tag semantics are not."
+            )
+            self.params = init_params(self.model_cfg, seed=0, use_pallas=self.use_pallas)
+            self.labels = LabelSet.synthetic(self.model_cfg.num_classes)
+        self._general_gather = jnp.asarray(np.asarray(self.labels.general_index, np.int32))
+        self._character_gather = jnp.asarray(np.asarray(self.labels.character_index, np.int32))
+        # mean/std 0.5 is the WD-v3 timm data config; overridable per checkpoint later.
+        self._mean = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+        self._std = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+        self._general_names = [self.labels.names[i] for i in self.labels.general_index]
+        self._character_names = [self.labels.names[i] for i in self.labels.character_index]
+
+    # ------------------------------------------------------------------ predict
+
+    def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
+        self.load_model()
+        return np.asarray(
+            _predict_probs(
+                self.params, jnp.asarray(images_u8), self._mean, self._std,
+                self.model_cfg, self.use_pallas,
+            )
+        )
+
+    def predict(
+        self,
+        images_u8: np.ndarray,
+        general_thresh: float,
+        general_mcut_enabled: bool,
+        character_thresh: float,
+        character_mcut_enabled: bool,
+    ) -> List[str]:
+        """Batch -> per-image comma-joined tag strings (tagging.py:156-229 semantics)."""
+        self.load_model()
+        probs_dev = _predict_probs(
+            self.params, jnp.asarray(images_u8), self._mean, self._std,
+            self.model_cfg, self.use_pallas,
+        )
+        g_thresh_dev, c_thresh_dev = _category_thresholds(
+            probs_dev, self._general_gather, self._character_gather,
+            self.config.character_thresh_floor,
+        )
+        probs = np.asarray(probs_dev)
+        g_mcut = np.asarray(g_thresh_dev)
+        c_mcut = np.asarray(c_thresh_dev)
+
+        general = probs[:, np.asarray(self.labels.general_index)]
+        character = probs[:, np.asarray(self.labels.character_index)]
+
+        ret_strings: List[str] = []
+        for idx in range(probs.shape[0]):
+            g_t = g_mcut[idx] if general_mcut_enabled else general_thresh
+            c_t = c_mcut[idx] if character_mcut_enabled else character_thresh
+
+            ret_strings.append(
+                self._assemble_line(general[idx], g_t, character[idx], c_t)
+            )
+        return ret_strings
+
+    def _assemble_line(self, general: np.ndarray, g_t: float,
+                       character: np.ndarray, c_t: float) -> str:
+        g_sel = np.where(general > g_t)[0]
+        g_sel = g_sel[np.argsort(-general[g_sel], kind="stable")]
+        parts = [self._general_names[i].replace(" ", "_") for i in g_sel]
+        c_sel = np.where(character > c_t)[0]
+        if len(c_sel) > 0:
+            c_sel = c_sel[np.argsort(-character[c_sel], kind="stable")]
+            parts += [self._character_names[i].replace(" ", "_") for i in c_sel]
+        return ",".join(parts)

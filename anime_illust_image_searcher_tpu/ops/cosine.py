@@ -15,14 +15,19 @@ import jax.numpy as jnp
 
 @jax.jit
 def cosine_scores(matrix: jax.Array, query: jax.Array) -> jax.Array:
-    """(D, F) @ (F,) -> (D,) cosine scores (rows and query are pre-normalized)."""
-    return jnp.dot(matrix, query, preferred_element_type=jnp.float32)
+    """(D, F) @ (F,) -> (D,) cosine scores (rows and query are pre-normalized).
+
+    HIGHEST precision: ranking ties at bf16 granularity would reorder results; the
+    matvec is bandwidth-bound so full-f32 MXU passes cost nothing measurable."""
+    return jnp.dot(matrix, query, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
 def cosine_scores_batch(matrix: jax.Array, queries: jax.Array) -> jax.Array:
     """(D, F) @ (Q, F)^T -> (Q, D) scores for a batch of queries."""
-    return jnp.dot(queries, matrix.T, preferred_element_type=jnp.float32)
+    return jnp.dot(queries, matrix.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("k",))

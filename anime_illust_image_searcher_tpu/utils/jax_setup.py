@@ -1,0 +1,21 @@
+"""JAX runtime setup shared by all CLI entry points.
+
+Persistent compiled programs are a serving requirement (SURVEY.md §7: "p50 ≤10 ms
+serving requires persistent compiled programs — no per-query retrace"): the on-disk
+compilation cache makes warm-up a one-time cost per machine instead of per process.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/aiis_tpu/jax_compilation")
+
+
+def enable_persistent_compile_cache(cache_dir: str = "") -> None:
+    cache_dir = cache_dir or os.environ.get("AIIS_JAX_CACHE_DIR", _DEFAULT_CACHE_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

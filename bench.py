@@ -1,0 +1,82 @@
+"""Headline benchmark: WD-EVA02-Large tagging throughput on one TPU chip.
+
+Measures the full device-side tagging step (uint8 preprocess + ViT forward + sigmoid
++ MCut thresholds) at the flagship 448²/24-block/1024-d configuration with seeded
+weights — weights don't change FLOPs, so throughput is representative.
+
+Prints ONE JSON line:
+  {"metric": "wd_vit_tagging_throughput", "value": N, "unit": "images/sec/chip",
+   "vs_baseline": N / 2.0}
+vs_baseline divides by the reference's GPU rate (~0.5 s/file ≈ 2 images/s on a GTX
+1660 SUPER, README.md:37-43 — the stronger of its two published numbers; its CPU rate
+is ≈0.59 images/s).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_GPU_IMAGES_PER_SEC = 2.0  # reference README.md:37-43
+BATCH = 128
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+
+
+def main() -> None:
+    from anime_illust_image_searcher_tpu.utils.jax_setup import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.models.eva02 import Eva02Config, init_params
+    from anime_illust_image_searcher_tpu.models.tagger import (
+        _category_thresholds, _predict_probs,
+    )
+    from anime_illust_image_searcher_tpu.models.weights import LabelSet
+
+    cfg = Eva02Config()
+    params = init_params(cfg, seed=0)
+    labels = LabelSet.synthetic(cfg.num_classes)
+    general = jnp.asarray(np.asarray(labels.general_index, np.int32))
+    character = jnp.asarray(np.asarray(labels.character_index, np.int32))
+    mean = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    std = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randint(0, 255, size=(BATCH, cfg.img_size, cfg.img_size, 3), dtype=np.uint8)
+    )
+
+    def step(images):
+        probs = _predict_probs(params, images, mean, std, cfg, True)
+        g, c = _category_thresholds(probs, general, character, 0.15)
+        return probs, g, c
+
+    for _ in range(WARMUP_STEPS):
+        jax.block_until_ready(step(images))
+        _ = [np.asarray(x) for x in step(images)]
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        out = step(images)
+        # force full host sync each step (the axon relay reports readiness early)
+        _ = [np.asarray(x) for x in out]
+    dt = (time.perf_counter() - t0) / MEASURE_STEPS
+    images_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": "wd_vit_tagging_throughput",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+"""Root shim: `python gen_cfeatures.py ...` matches the reference's CLI surface.
+Implementation: anime_illust_image_searcher_tpu/cli/gen_cfeatures.py."""
+import sys
+
+from anime_illust_image_searcher_tpu.cli.gen_cfeatures import main
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

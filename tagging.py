@@ -1,0 +1,8 @@
+"""Root shim: `python tagging.py ...` matches the reference's CLI surface.
+Implementation: anime_illust_image_searcher_tpu/cli/tagging.py."""
+import sys
+
+from anime_illust_image_searcher_tpu.cli.tagging import main
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

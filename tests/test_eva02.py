@@ -1,0 +1,133 @@
+"""EVA02 model structure, rope math, weight converter, and tagger assembly."""
+
+import numpy as np
+import pytest
+
+from anime_illust_image_searcher_tpu.models.eva02 import (
+    Eva02Config, apply_rope_cat, build_rope_cat, forward_logits, init_params,
+    tiny_test_config,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_test_config()
+    params = init_params(cfg, seed=0, use_pallas=False)
+    return cfg, params
+
+
+def test_forward_shape_and_dtype(tiny, rng):
+    cfg, params = tiny
+    x = rng.rand(2, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+    logits = forward_logits(params, x, cfg, use_pallas=False)
+    assert logits.shape == (2, cfg.num_classes)
+    assert logits.dtype == np.float32
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_forward_deterministic(tiny, rng):
+    cfg, params = tiny
+    x = rng.rand(1, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+    a = np.asarray(forward_logits(params, x, cfg, use_pallas=False))
+    b = np.asarray(forward_logits(params, x, cfg, use_pallas=False))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_rope_shapes_and_norm_preservation(rng):
+    sin, cos = build_rope_cat((4, 4), 64, 10000.0, (4, 4))
+    assert sin.shape == (16, 64) and cos.shape == (16, 64)
+    # rotation preserves vector norms
+    x = rng.randn(1, 16, 64).astype(np.float32)
+    out = np.asarray(apply_rope_cat(x, np.asarray(sin), np.asarray(cos)))
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=-1), np.linalg.norm(x, axis=-1), rtol=1e-5
+    )
+
+
+def test_rope_zero_position_is_identity(rng):
+    sin, cos = build_rope_cat((2, 2), 32, 10000.0, None)
+    x = rng.randn(1, 1, 32).astype(np.float32)
+    out = np.asarray(apply_rope_cat(x, np.asarray(sin[:1]), np.asarray(cos[:1])))
+    np.testing.assert_allclose(out, x, rtol=1e-6)
+
+
+def test_rope_ref_shape_rescales():
+    sin_a, _ = build_rope_cat((8, 8), 32, 10000.0, (4, 4))
+    sin_b, _ = build_rope_cat((4, 4), 32, 10000.0, (4, 4))
+    # grid position (2, 2) in the 8x8/ref4 grid == position (1, 1) in the 4x4 grid
+    np.testing.assert_allclose(
+        np.asarray(sin_a).reshape(8, 8, 32)[2, 2],
+        np.asarray(sin_b).reshape(4, 4, 32)[1, 1],
+        rtol=1e-6,
+    )
+
+
+def test_weight_converter_roundtrip(tiny):
+    """Synthesize a timm-style state dict for the tiny config, convert it, and verify
+    the converted model runs."""
+    from anime_illust_image_searcher_tpu.models.weights import (
+        convert_timm_eva02, detect_config_from_state_dict,
+    )
+
+    cfg = tiny_test_config()
+    rng = np.random.RandomState(0)
+    d, hid, ncls, p = cfg.embed_dim, cfg.mlp_hidden_dim, cfg.num_classes, cfg.patch_size
+
+    sd = {
+        "patch_embed.proj.weight": rng.randn(d, 3, p, p).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(d).astype(np.float32),
+        "cls_token": rng.randn(1, 1, d).astype(np.float32),
+        "pos_embed": rng.randn(1, cfg.num_patches + 1, d).astype(np.float32),
+        "norm.weight": np.ones(d, np.float32),
+        "norm.bias": np.zeros(d, np.float32),
+        "head.weight": rng.randn(ncls, d).astype(np.float32),
+        "head.bias": np.zeros(ncls, np.float32),
+    }
+    for i in range(cfg.depth):
+        sd.update({
+            f"blocks.{i}.norm1.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm1.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.norm2.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm2.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.q_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.q_proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.k_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.v_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.v_proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.mlp.w1.weight": rng.randn(hid, d).astype(np.float32),
+            f"blocks.{i}.mlp.w1.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.w2.weight": rng.randn(hid, d).astype(np.float32),
+            f"blocks.{i}.mlp.w2.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.norm.weight": np.ones(hid, np.float32),
+            f"blocks.{i}.mlp.norm.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.w3.weight": rng.randn(d, hid).astype(np.float32),
+            f"blocks.{i}.mlp.w3.bias": np.zeros(d, np.float32),
+        })
+
+    detected = detect_config_from_state_dict(sd, base=cfg)
+    assert detected.embed_dim == d
+    assert detected.depth == cfg.depth
+    assert detected.num_classes == ncls
+    assert detected.img_size == cfg.img_size
+    assert not detected.scale_attn_inner
+
+    params = convert_timm_eva02(sd, detected)
+    x = np.zeros((1, cfg.img_size, cfg.img_size, 3), np.float32)
+    import dataclasses
+    import jax.numpy as jnp
+
+    run_cfg = dataclasses.replace(detected, dtype=jnp.float32)
+    logits = forward_logits(params, x, run_cfg, use_pallas=False)
+    assert logits.shape == (1, ncls)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_head_weight_transposed_correctly(tiny):
+    """Converter must transpose torch (out,in) Linear weights."""
+    from anime_illust_image_searcher_tpu.models.weights import _t
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)  # (out=2, in=3)
+    assert _t(w).shape == (3, 2)
+    np.testing.assert_array_equal(_t(w)[0], [0.0, 3.0])

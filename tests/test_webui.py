@@ -1,0 +1,130 @@
+"""Web UI server: drive the real HTTP surface (search, config, image, export)."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from anime_illust_image_searcher_tpu.cli import genmodel
+from anime_illust_image_searcher_tpu.cli.webui import WebUIServer, make_handler
+from anime_illust_image_searcher_tpu.index import artifacts
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    from http.server import ThreadingHTTPServer
+
+    tmp = tmp_path_factory.mktemp("webui")
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rng = np.random.RandomState(0)
+        img_dir = tmp / "imgs"
+        img_dir.mkdir()
+        pools = [
+            ["1girl", "solo", "smile", "black_hair"],
+            ["1boy", "sword", "armor", "standing"],
+            ["no_humans", "white_background", "still_life", "bottle"],
+        ]
+        lines = []
+        for i in range(30):
+            p = img_dir / f"{i:02d}.png"
+            Image.fromarray(rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)).save(p)
+            tags = list(rng.choice(pools[i % 3], size=3, replace=False))
+            lines.append(f"{p},{','.join(tags)}")
+        with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        genmodel.main(["--epochs", "5"])
+
+        ui = WebUIServer(directory=str(tmp))
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(ui))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{port}", tmp
+        httpd.shutdown()
+    finally:
+        os.chdir(cwd)
+
+
+def post(url, path, obj):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def get(url, path):
+    with urllib.request.urlopen(url + path) as r:
+        return r.read(), r.headers.get("Content-Type")
+
+
+def test_index_page(server_url):
+    url, _ = server_url
+    body, ctype = get(url, "/")
+    assert b"search" in body.lower()
+    assert "text/html" in ctype
+
+
+def test_config_endpoint(server_url):
+    url, _ = server_url
+    body, _ = get(url, "/api/config")
+    assert json.loads(body) == {"character_mode_available": False}
+
+
+def test_search_endpoint(server_url):
+    url, _ = server_url
+    data = post(url, "/api/search", {"query": "1girl", "search_mode": "normal"})
+    assert "results" in data and len(data["results"]) > 0
+    r0 = data["results"][0]
+    assert set(r0) == {"file_path", "doc_id", "similarity", "tags"}
+    assert data["latency_ms"] > 0
+
+
+def test_search_unknown_tag_returns_error(server_url):
+    url, _ = server_url
+    data = post(url, "/api/search", {"query": "zzz_unknown", "search_mode": "normal"})
+    assert "unknown tag" in data["error"]
+    assert data["results"] == []
+
+
+def test_image_endpoint(server_url):
+    url, _ = server_url
+    data = post(url, "/api/search", {"query": "1girl", "search_mode": "normal"})
+    fpath = data["results"][0]["file_path"]
+    body, ctype = get(url, "/api/image?path=" + urllib.request.quote(fpath))
+    assert ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_image_endpoint_missing(server_url):
+    url, _ = server_url
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get(url, "/api/image?path=/nope.png")
+    assert ei.value.code == 404
+
+
+def test_export_endpoint(server_url):
+    url, tmp = server_url
+    data = post(url, "/api/export",
+                {"query": "1girl smile:2", "paths": ["/a.png", "/b.png"]})
+    assert data["count"] == 2
+    out = tmp / data["file"]
+    assert out.exists()
+    assert data["file"].startswith("1girl_smile_2_")
+    assert out.read_text(encoding="utf-8").splitlines() == ["/a.png", "/b.png"]
+
+
+def test_character_mode_unavailable_is_clean_error(server_url):
+    url, _ = server_url
+    data = post(url, "/api/search",
+                {"query": "1girl", "search_mode": "character oriented"})
+    assert "character" in data["error"]
