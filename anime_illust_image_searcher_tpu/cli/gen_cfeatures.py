@@ -137,5 +137,11 @@ def main(arg_str: list) -> None:
         predictor.process_directory(args.dir[0])
 
 
+def _console() -> None:
+    """pip console-script entry (pyproject [project.scripts])."""
+    import sys as _sys
+
+    main(_sys.argv[1:])
+
 if __name__ == "__main__":
     main(sys.argv[1:])

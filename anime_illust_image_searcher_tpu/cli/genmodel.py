@@ -110,5 +110,11 @@ def main(arg_str: List[str]) -> None:
     save_bm25_artifacts(stats)
 
 
+def _console() -> None:
+    """pip console-script entry (pyproject [project.scripts])."""
+    import sys as _sys
+
+    main(_sys.argv[1:])
+
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -61,16 +61,28 @@ class Predictor(TaggerPredictor):
             workers=cfg.decode_workers,
             pad_to_square=True,
         )
+        def flush(pending) -> None:
+            pbatch, devs = pending
+            results = self.finalize(
+                devs,
+                cfg.general_thresh, cfg.general_mcut_enabled,
+                cfg.character_thresh, cfg.character_mcut_enabled,
+            )
+            for path, line in zip(pbatch.paths, results[: pbatch.valid]):
+                out.write(path + "," + line + "\n")
+            meter.add(pbatch.valid)
+
+        pending = None
         try:
+            # depth-1 pipeline: dispatch batch N to the device, then assemble batch
+            # N-1's CSV lines on the host while the TPU runs.
             for batch in loader:
-                results = self.predict(
-                    batch.images,
-                    cfg.general_thresh, cfg.general_mcut_enabled,
-                    cfg.character_thresh, cfg.character_mcut_enabled,
-                )
-                for path, line in zip(batch.paths, results[: batch.valid]):
-                    out.write(path + "," + line + "\n")
-                meter.add(batch.valid)
+                devs = self.predict_device(batch.images)
+                if pending is not None:
+                    flush(pending)
+                pending = (batch, devs)
+            if pending is not None:
+                flush(pending)
         finally:
             out.close()
         meter.report(final=True)
@@ -114,6 +126,12 @@ def main(arg_str: list) -> None:
     else:
         predictor.process_directory(args.dir[0])
 
+
+def _console() -> None:
+    """pip console-script entry (pyproject [project.scripts])."""
+    import sys as _sys
+
+    main(_sys.argv[1:])
 
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -194,5 +194,11 @@ def main(arg_str: Optional[List[str]] = None) -> None:
     httpd.serve_forever()
 
 
+def _console() -> None:
+    """pip console-script entry (pyproject [project.scripts])."""
+    import sys as _sys
+
+    main(_sys.argv[1:])
+
 if __name__ == "__main__":
     main()

@@ -131,6 +131,7 @@ class PrefetchLoader:
         resample: int = Image.BICUBIC,
         decode_fn: Optional[Callable[[str], Optional[np.ndarray]]] = None,
         queue_depth: int = 4,
+        use_native: Optional[bool] = None,
     ) -> None:
         self.file_list = list(file_list)
         self.size = size
@@ -143,44 +144,90 @@ class PrefetchLoader:
         )
         self.queue_depth = queue_depth
         self.failed_count = 0
+        # The C++ ingest runtime (runtime/ingest.cpp) handles the default PIL-shaped
+        # decode path; custom decode_fn (e.g. .npy loading) stays in Python.
+        if use_native is None:
+            use_native = decode_fn is None
+        self.use_native = bool(use_native) and decode_fn is None
+
+    def _native_producer(self, out_q: "queue.Queue[Optional[Batch]]", decoder) -> None:
+        bilinear = self.resample == Image.BILINEAR
+        for start in range(0, len(self.file_list), self.batch_size):
+            chunk = self.file_list[start : start + self.batch_size]
+            images, ok = decoder.decode_batch(
+                chunk, self.size, pad_to_square=self.pad_to_square, bilinear=bilinear
+            )
+            self.failed_count += int((~ok).sum())
+            good = np.where(ok)[0]
+            if len(good) == 0:
+                continue
+            paths = [chunk[i] for i in good]
+            if len(good) == self.batch_size:
+                out_q.put(Batch(images, paths, self.batch_size))
+            else:
+                packed = np.zeros(
+                    (self.batch_size, self.size, self.size, 3), dtype=np.uint8
+                )
+                packed[: len(good)] = images[good]
+                out_q.put(Batch(packed, paths, len(good)))
+
+    def _python_producer(self, out_q: "queue.Queue[Optional[Batch]]") -> None:
+        images: List[np.ndarray] = []
+        paths: List[str] = []
+        with concurrent.futures.ThreadPoolExecutor(max_workers=self.workers) as ex:
+            # map() preserves input order so output file lines follow listing
+            # order deterministically (the reference's as_completed ordering is
+            # nondeterministic; see QUIRKS.md).
+            for path, arr in zip(self.file_list, ex.map(self.decode_fn, self.file_list)):
+                if arr is None:
+                    self.failed_count += 1
+                    continue
+                images.append(arr)
+                paths.append(path)
+                if len(images) == self.batch_size:
+                    out_q.put(Batch(np.stack(images), paths, len(paths)))
+                    images, paths = [], []
+            if images:
+                # Pad the tail batch to the fixed shape: one compiled program.
+                valid = len(images)
+                pad = self.batch_size - valid
+                tail = np.stack(images + [np.zeros_like(images[0])] * pad)
+                out_q.put(Batch(tail, paths, valid))
 
     def __iter__(self) -> Iterator[Batch]:
         out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=self.queue_depth)
 
+        decoder = None
+        if self.use_native:
+            from . import native_ingest
+
+            if native_ingest.available():
+                try:
+                    decoder = native_ingest.NativeBatchDecoder(self.workers)
+                except Exception:  # noqa: BLE001 — fall back to PIL
+                    decoder = None
+
         def producer() -> None:
-            images: List[np.ndarray] = []
-            paths: List[str] = []
             try:
-                with concurrent.futures.ThreadPoolExecutor(max_workers=self.workers) as ex:
-                    # map() preserves input order so output file lines follow listing
-                    # order deterministically (the reference's as_completed ordering is
-                    # nondeterministic; see QUIRKS.md).
-                    for path, arr in zip(self.file_list, ex.map(self.decode_fn, self.file_list)):
-                        if arr is None:
-                            self.failed_count += 1
-                            continue
-                        images.append(arr)
-                        paths.append(path)
-                        if len(images) == self.batch_size:
-                            out_q.put(Batch(np.stack(images), paths, len(paths)))
-                            images, paths = [], []
-                    if images:
-                        # Pad the tail batch to the fixed shape: one compiled program.
-                        valid = len(images)
-                        pad = self.batch_size - valid
-                        tail = np.stack(images + [np.zeros_like(images[0])] * pad)
-                        out_q.put(Batch(tail, paths, valid))
+                if decoder is not None:
+                    self._native_producer(out_q, decoder)
+                else:
+                    self._python_producer(out_q)
             finally:
                 out_q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = out_q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+            t.join()
+        finally:
+            if decoder is not None:
+                decoder.close()
 
 
 def iter_fixed_batches(arrays: Iterable[np.ndarray], batch_size: int) -> Iterator[Tuple[np.ndarray, int]]:

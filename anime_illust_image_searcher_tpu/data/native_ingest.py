@@ -1,0 +1,131 @@
+"""ctypes binding for the native ingest runtime (runtime/ingest.cpp).
+
+The native path fuses JPEG/PNG decode + alpha flatten + pad-to-square + antialiased
+resize in a C++ thread pool, cutting Python out of the per-image hot loop. It is the
+data-loader half of the TPU runtime (SURVEY.md §7: "at ≥100 images/s/chip, PIL decode
+becomes the bottleneck the reference never faced").
+
+Selection:
+  - built automatically on first use if g++ and libjpeg/libpng are present
+    (set AIIS_NATIVE_INGEST=0 to force the PIL path)
+  - falls back silently to the PIL loader otherwise (bit-parity default for the
+    tagger's golden tests stays PIL — resampling differs in rounding only)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "runtime")
+_SO_PATH = os.path.join(_RUNTIME_DIR, "libaiis_ingest.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> bool:
+    script = os.path.join(_RUNTIME_DIR, "build.sh")
+    try:
+        out = subprocess.run(["sh", script], capture_output=True, text=True, timeout=180)
+        if out.returncode != 0:
+            print(f"native ingest build failed:\n{out.stderr}")
+            return False
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"native ingest build failed: {e}")
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if os.environ.get("AIIS_NATIVE_INGEST", "1") == "0":
+        _load_failed = True
+        return None
+    if not os.path.exists(_SO_PATH) and not _build():
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError as e:
+        print(f"native ingest load failed: {e}")
+        _load_failed = True
+        return None
+    lib.aiis_decode_resize.restype = ctypes.c_int
+    lib.aiis_decode_resize.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.aiis_pool_create.restype = ctypes.c_void_p
+    lib.aiis_pool_create.argtypes = [ctypes.c_int]
+    lib.aiis_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.aiis_pool_decode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def decode_resize(path: str, size: int, pad_to_square: bool = True,
+                  bilinear: bool = False) -> Optional[np.ndarray]:
+    """Single-image native decode -> (size, size, 3) uint8 RGB, or None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), dtype=np.uint8)
+    ok = lib.aiis_decode_resize(
+        path.encode(), size, int(pad_to_square), int(bilinear),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if ok else None
+
+
+class NativeBatchDecoder:
+    """Thread-pooled batch decoder. decode_batch returns (images, ok_mask)."""
+
+    def __init__(self, workers: int = 8) -> None:
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native ingest runtime unavailable")
+        self._lib = lib
+        self._pool = lib.aiis_pool_create(workers)
+
+    def decode_batch(
+        self, paths: Sequence[str], size: int,
+        pad_to_square: bool = True, bilinear: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(paths)
+        out = np.empty((n, size, size, 3), dtype=np.uint8)
+        ok = np.zeros(n, dtype=np.int32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        self._lib.aiis_pool_decode_batch(
+            self._pool, arr, n, size, int(pad_to_square), int(bilinear),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        return out, ok.astype(bool)
+
+    def close(self) -> None:
+        if self._pool:
+            self._lib.aiis_pool_destroy(self._pool)
+            self._pool = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass

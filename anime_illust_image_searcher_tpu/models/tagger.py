@@ -109,15 +109,10 @@ class TaggerPredictor:
             )
         )
 
-    def predict(
-        self,
-        images_u8: np.ndarray,
-        general_thresh: float,
-        general_mcut_enabled: bool,
-        character_thresh: float,
-        character_mcut_enabled: bool,
-    ) -> List[str]:
-        """Batch -> per-image comma-joined tag strings (tagging.py:156-229 semantics)."""
+    def predict_device(self, images_u8: np.ndarray):
+        """Dispatch the device part (forward + thresholds) WITHOUT syncing — lets the
+        CLI overlap host-side CSV assembly of batch N-1 with TPU compute of batch N
+        (replaces the reference's decode/inference future overlap, tagging.py:304-330)."""
         self.load_model()
         probs_dev = _predict_probs(
             self.params, jnp.asarray(images_u8), self._mean, self._std,
@@ -127,6 +122,32 @@ class TaggerPredictor:
             probs_dev, self._general_gather, self._character_gather,
             self.config.character_thresh_floor,
         )
+        return probs_dev, g_thresh_dev, c_thresh_dev
+
+    def predict(
+        self,
+        images_u8: np.ndarray,
+        general_thresh: float,
+        general_mcut_enabled: bool,
+        character_thresh: float,
+        character_mcut_enabled: bool,
+    ) -> List[str]:
+        """Batch -> per-image comma-joined tag strings (tagging.py:156-229 semantics)."""
+        return self.finalize(
+            self.predict_device(images_u8),
+            general_thresh, general_mcut_enabled,
+            character_thresh, character_mcut_enabled,
+        )
+
+    def finalize(
+        self,
+        device_outputs,
+        general_thresh: float,
+        general_mcut_enabled: bool,
+        character_thresh: float,
+        character_mcut_enabled: bool,
+    ) -> List[str]:
+        probs_dev, g_thresh_dev, c_thresh_dev = device_outputs
         probs = np.asarray(probs_dev)
         g_mcut = np.asarray(g_thresh_dev)
         c_mcut = np.asarray(c_thresh_dev)

@@ -1,0 +1,87 @@
+"""Native C++ ingest runtime vs the PIL reference loader."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from anime_illust_image_searcher_tpu.data import native_ingest
+from anime_illust_image_searcher_tpu.data.ingest import load_rgb_square
+
+pytestmark = pytest.mark.skipif(
+    not native_ingest.available(), reason="native ingest runtime not built/available"
+)
+
+
+def save(tmp_path, name, arr, mode="RGB"):
+    p = str(tmp_path / name)
+    Image.fromarray(arr, mode).save(p)
+    return p
+
+
+def test_decode_jpeg_close_to_pil(tmp_path, rng):
+    arr = rng.randint(0, 255, (90, 70, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    native = native_ingest.decode_resize(p, 64, pad_to_square=True, bilinear=False)
+    pil = load_rgb_square(p, 64, pad_to_square=True)
+    assert native is not None
+    diff = np.abs(native.astype(int) - pil.astype(int))
+    # same decode lib underneath; resampling differs in rounding only
+    assert diff.mean() < 3.0, diff.mean()
+
+
+def test_decode_png_rgba_white_flatten(tmp_path):
+    # fully transparent pixels must become white (tagging.py:103-106 semantics)
+    arr = np.zeros((20, 20, 4), dtype=np.uint8)
+    arr[..., 0] = 200
+    arr[..., 3] = 0  # fully transparent
+    p = save(tmp_path, "t.png", arr, "RGBA")
+    native = native_ingest.decode_resize(p, 20, pad_to_square=True, bilinear=True)
+    assert native is not None
+    assert np.all(native > 250)  # white
+
+
+def test_pad_to_square_centers(tmp_path):
+    # tall black image on white canvas: left/right bands must be white
+    arr = np.zeros((64, 16, 3), dtype=np.uint8)
+    p = save(tmp_path, "tall.png", arr)
+    native = native_ingest.decode_resize(p, 64, pad_to_square=True, bilinear=True)
+    assert np.all(native[:, :20] > 250)    # left white band
+    assert np.all(native[:, -20:] > 250)   # right white band
+    assert np.all(native[:, 28:36] < 5)    # black center
+
+
+def test_bad_file_returns_none(tmp_path):
+    p = str(tmp_path / "junk.png")
+    with open(p, "wb") as f:
+        f.write(b"this is not an image")
+    assert native_ingest.decode_resize(p, 32) is None
+
+
+def test_batch_decoder(tmp_path, rng):
+    paths = []
+    for i in range(5):
+        arr = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+        paths.append(save(tmp_path, f"b{i}.png", arr))
+    paths.append(str(tmp_path / "missing.png"))
+    dec = native_ingest.NativeBatchDecoder(workers=4)
+    try:
+        imgs, ok = dec.decode_batch(paths, 32)
+        assert imgs.shape == (6, 32, 32, 3)
+        assert ok.tolist() == [True] * 5 + [False]
+        # each decoded image matches the single-shot API
+        single = native_ingest.decode_resize(paths[0], 32)
+        np.testing.assert_array_equal(imgs[0], single)
+    finally:
+        dec.close()
+
+
+def test_matches_pil_bilinear_no_pad(tmp_path, rng):
+    arr = rng.randint(0, 255, (50, 50, 3), dtype=np.uint8)
+    p = save(tmp_path, "c.png", arr)
+    native = native_ingest.decode_resize(p, 32, pad_to_square=False, bilinear=True)
+    pil = np.asarray(
+        Image.fromarray(arr).resize((32, 32), resample=Image.BILINEAR), np.uint8
+    )
+    diff = np.abs(native.astype(int) - pil.astype(int))
+    assert diff.max() <= 2, diff.max()
