@@ -54,6 +54,10 @@ class SimilarityIndex:
         self.num_features = num_features
         self._n = 0
         self._matrix = np.zeros((0, num_features), dtype=np.float32)
+        # Pre-normalization L2 norms of stored vectors. Lets callers reconstruct the
+        # raw vector (row * norm) without re-running inference — the PRF reranker's
+        # latency path (search/engine.py).
+        self._norms = np.zeros((0,), dtype=np.float32)
         self._device_matrix = None  # lazily transferred jax array
         if vectors:
             self.add_documents(vectors)
@@ -61,14 +65,20 @@ class SimilarityIndex:
     # ---- construction -------------------------------------------------------
 
     def add_documents(self, vectors: Sequence[Vector]) -> None:
-        dense = np.stack([unitvec(_to_dense(v, self.num_features)) for v in vectors])
+        raw = [_to_dense(v, self.num_features) for v in vectors]
+        norms = np.asarray([float(np.linalg.norm(v)) for v in raw], dtype=np.float32)
+        dense = np.stack([unitvec(v) for v in raw])
         needed = self._n + len(dense)
         if needed > self._matrix.shape[0]:
             new_cap = max(needed, max(16, self._matrix.shape[0] * 2))
             grown = np.zeros((new_cap, self.num_features), dtype=np.float32)
             grown[: self._n] = self._matrix[: self._n]
             self._matrix = grown
+            grown_n = np.zeros((new_cap,), dtype=np.float32)
+            grown_n[: self._n] = self._norms[: self._n]
+            self._norms = grown_n
         self._matrix[self._n : needed] = dense
+        self._norms[self._n : needed] = norms
         self._n = needed
         self._device_matrix = None  # invalidate device cache
 
@@ -77,6 +87,7 @@ class SimilarityIndex:
     def save(self, path: Optional[str] = None) -> None:
         path = path or self.path
         np.save(path + ".npy", self._matrix[: self._n])
+        np.save(path + ".norms.npy", self._norms[: self._n])
         with open(path + ".meta.json", "w", encoding="utf-8") as f:
             json.dump({"num_features": self.num_features, "num_docs": self._n,
                        "format": "aiis-tpu-simindex-v1"}, f)
@@ -93,7 +104,17 @@ class SimilarityIndex:
         matrix = np.load(path + ".npy", mmap_mode=mmap)
         idx._matrix = matrix
         idx._n = meta["num_docs"]
+        norms_path = path + ".norms.npy"
+        if os.path.exists(norms_path):
+            idx._norms = np.load(norms_path, mmap_mode=mmap)
+        else:
+            idx._norms = np.zeros((idx._n,), dtype=np.float32)  # unknown (old index)
         return idx
+
+    @property
+    def norms(self) -> np.ndarray:
+        """Pre-normalization norms; zeros mean 'unknown' (index built before v1.1)."""
+        return self._norms[: self._n]
 
     @staticmethod
     def exists(path: str) -> bool:

@@ -310,7 +310,29 @@ class Doc2VecModel:
 
     # Fixed batch buckets so each (bucket, epochs) pair compiles exactly once —
     # arbitrary query-tag counts reuse a warm program (first-query latency).
-    _INFER_BUCKETS = (8, 64, 512)
+    _INFER_BUCKETS = (8, 16, 64, 512)
+
+    def tag_vectors(self) -> np.ndarray:
+        """(V+1, dim) matrix of infer_vector([token]) for every vocab token, plus the
+        shared OOV/empty-doc vector in the last row.
+
+        Inference is deterministically seeded from token ids, so these rows are
+        *exactly* what a runtime ``infer_vector([tag])`` returns — the whole per-query
+        Doc2Vec inference collapses to row lookups (serving-latency path). Cached in
+        the pickled model after first computation.
+        """
+        cached = self._infer_cache.get("tag_vectors")
+        if cached is not None and cached.shape[0] == len(self.vocab) + 1:
+            return cached
+        docs = [[t] for t in self.vocab.tokens] + [[]]  # [] -> OOV/empty vector
+        vectors = self.infer_vectors(docs)
+        self._infer_cache["tag_vectors"] = vectors
+        return vectors
+
+    def tag_vector(self, token: str) -> np.ndarray:
+        vecs = self.tag_vectors()
+        idx = self.vocab.token2id.get(token, len(self.vocab))
+        return vecs[idx]
 
     def infer_vectors(
         self, docs: Sequence[Sequence[str]], epochs: Optional[int] = None
@@ -365,7 +387,7 @@ class Doc2VecModel:
 
     # ---- persistence ---------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, include_tag_vectors: bool = True) -> None:
         state = {
             "cfg": self.cfg,
             "tokens": self.vocab.tokens,
@@ -375,6 +397,10 @@ class Doc2VecModel:
             "corpus_count": self.corpus_count,
             "format": "aiis-tpu-doc2vec-v1",
         }
+        if include_tag_vectors:
+            # Precompute the per-tag query vectors at build time so query serving
+            # starts at full speed (they're bit-identical to runtime inference).
+            state["tag_vectors"] = self.tag_vectors()
         with open(path, "wb") as f:
             pickle.dump(state, f)
 
@@ -401,10 +427,13 @@ class Doc2VecModel:
         noise = counts.astype(np.float64) ** cfg.ns_exponent
         cum = np.cumsum(noise)
         vocab.cum_table = (cum / cum[-1]).astype(np.float32) if len(cum) else np.zeros(0, np.float32)
-        return Doc2VecModel(
+        model = Doc2VecModel(
             cfg, vocab, np.asarray(state["syn1neg"]), np.asarray(state["docvecs"]),
             corpus_count=state.get("corpus_count", len(state["docvecs"])),
         )
+        if "tag_vectors" in state:
+            model._infer_cache["tag_vectors"] = np.asarray(state["tag_vectors"])
+        return model
 
     @property
     def vector_size(self) -> int:

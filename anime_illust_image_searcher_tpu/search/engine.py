@@ -81,18 +81,30 @@ class SearchEngine:
         self.bm25 = BM25DeviceIndex.from_stats(stats, vocab_size=len(self.dictionary),
                                                cfg=config.bm25)
         self._bm25_dev = self.bm25.to_device()
-        # Pre-transfer the similarity matrix to device.
+        # Pre-transfer the similarity matrix (and raw-vector norms) to device.
         self.index._device()
+        import jax.numpy as jnp
+
+        norms = self.index.norms
+        # Indexes built before norms were stored have all-zero norms with nonzero
+        # rows; the fused single-call query path needs them, so fall back to the
+        # re-inference rerank in that case.
+        self._norms_known = (
+            len(self.index) == 0 or float(np.max(norms)) > 0
+            or not np.any(self.index.matrix)
+        )
+        self._norms_dev = jnp.asarray(np.asarray(norms, dtype=np.float32))
 
     # ------------------------------------------------------------------ queries
 
     def doc2vec_query_vector(self, new_doc: str) -> np.ndarray:
         """Weighted, normalized Doc2Vec query vector (webui.py:82-117).
 
-        All per-tag inferences run as ONE batched device call (the reference loops
-        tag-by-tag through gensim's Python SGD)."""
+        Per-tag vectors come from the model's precomputed tag-vector table — inference
+        is deterministically seeded, so the rows are bit-identical to what the
+        reference computes with per-query gensim SGD, at lookup cost."""
         tag_and_weight_list, all_weight = parse_doc2vec_query(new_doc)
-        tag_vecs = self.model.infer_vectors([[t] for t, _ in tag_and_weight_list])
+        tag_vecs = np.stack([self.model.tag_vector(t) for t, _ in tag_and_weight_list])
         got_vector = np.zeros(self.model.vector_size, dtype=np.float64)
         for (_, weight), vec in zip(tag_and_weight_list, tag_vecs):
             norm = np.linalg.norm(vec)
@@ -123,6 +135,14 @@ class SearchEngine:
         self, new_doc: str, topn: int = 50, search_mode: str = "normal"
     ) -> List[Result]:
         """Fused BM25 + Doc2Vec ranking with rerank dispatch (webui.py:345-390)."""
+        k = self.cfg.search.rerank_top_k
+        if (
+            search_mode != "character oriented"
+            and self._norms_known
+            and len(self.index) > k
+        ):
+            return self._find_similar_fused(new_doc, topn)
+
         vec = self.doc2vec_query_vector(new_doc)
         sims_doc2vec = self.index[vec]
 
@@ -150,6 +170,40 @@ class SearchEngine:
             )
         return self.doc2vec_rerank(final_scores, topn)
 
+    def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
+        """Single-device-call query path (ops/fused_query.py): identical semantics to
+        the multi-call path; only round trips differ."""
+        import jax.numpy as jnp
+
+        from ..ops.bm25 import build_query_vectors
+        from ..ops.fused_query import fused_normal_query
+
+        s = self.cfg.search
+        vec = self.doc2vec_query_vector(new_doc)
+        query = parse_bm25_query(new_doc, self.dictionary)
+        eff, excl, req, n_req = build_query_vectors(
+            query.term_weights, self.bm25.vocab_size, magic=s.require_tag_magic_number
+        )
+        doc_ids, term_ids, contrib = self._bm25_dev
+        top_vals, top_idx, r_vals, r_idx = fused_normal_query(
+            self.index._device(), self._norms_dev,
+            doc_ids, term_ids, contrib,
+            jnp.asarray(vec), jnp.asarray(eff), jnp.asarray(excl), jnp.asarray(req),
+            jnp.asarray(n_req),
+            s.bm25_weight, s.doc2vec_weight,
+            s.original_score_weight, s.reranked_score_weight,
+            num_docs=len(self.index), topn=topn, k=s.rerank_top_k,
+        )
+        top_idx = np.asarray(top_idx)
+        r_vals, r_idx = np.asarray(r_vals), np.asarray(r_idx)
+        top10_set = set(int(i) for i in top_idx)
+        final_sims: List[Result] = [(int(d), 1.0) for d in top_idx]
+        for d, v in zip(r_idx, r_vals):
+            if int(d) not in top10_set:
+                final_sims.append((int(d), float(v)))
+        final_sims = filter_searched_result(final_sims)
+        return final_sims[: min(topn, len(final_sims))]
+
     # ------------------------------------------------------------------ rerank
 
     def get_embedded_vectors_by_doc_ids(self, doc_ids: Sequence[int]) -> np.ndarray:
@@ -168,17 +222,26 @@ class SearchEngine:
         re-inferred vectors, L2-normalized, rescored against the whole index (one
         matvec), fused 0.7/0.3 with the original scores. The reference's tuple-array
         normalization bug made this a near-no-op; see QUIRKS.md #5.
+
+        Latency path: top-k runs on device (lax.top_k breaks ties by lowest index,
+        matching Python's stable sort over enumerate()), so the host never sorts the
+        full corpus — only the ≤ topn+10 candidate rows.
         """
+        from ..ops.cosine import top_k_scores
+
         k = self.cfg.search.rerank_top_k
-        sims: List[Result] = sorted(
-            enumerate(final_scores), key=lambda item: -item[1]
-        )
-        if len(sims) > k:
-            top10_sims = sims[:k]
-            top10_doc_ids = [doc_id for doc_id, _ in top10_sims]
+        n_docs = len(final_scores)
+        if n_docs > k:
+            import jax.numpy as jnp
+
+            scores_dev = jnp.asarray(final_scores.astype(np.float32))
+            top_vals, top_idx = top_k_scores(scores_dev, k)
+            top10_doc_ids = [int(i) for i in np.asarray(top_idx)]
+            top10_scores = np.asarray(top_vals, dtype=np.float64)
             top10_doc_ids_set = set(top10_doc_ids)
+
             top10_vecs = self.get_embedded_vectors_by_doc_ids(top10_doc_ids)
-            weights = np.asarray([score for _, score in top10_sims], dtype=np.float64)
+            weights = top10_scores
             wsum = weights.sum()
             if wsum == 0:
                 weights = np.ones_like(weights)
@@ -193,26 +256,25 @@ class SearchEngine:
                 self.cfg.search.original_score_weight * final_scores
                 + self.cfg.search.reranked_score_weight * reranked_scores
             )
-            if reranked_final.max() > 0:
-                reranked_final = reranked_final / reranked_final.max()
+            global_max = float(reranked_final.max())
+            if global_max > 0:
+                reranked_final = reranked_final / global_max
 
-            rest = [
-                item for item in enumerate(reranked_final)
-                if item[0] not in top10_doc_ids_set
-            ]
-            final_sims: List[Result] = [(doc_id, 1.0) for doc_id, _ in top10_sims]
-            final_sims.extend(rest)
+            # device top-(topn + k): enough to fill topn after excluding the pinned
+            # top-10 (normalize-by-max and ordering are unaffected by truncation)
+            kk = min(topn + k, n_docs)
+            r_vals, r_idx = top_k_scores(jnp.asarray(reranked_final.astype(np.float32)), kk)
+            r_vals, r_idx = np.asarray(r_vals), np.asarray(r_idx)
 
-            def sorting_key(item: Result):
-                doc_id, score = item
-                if doc_id in top10_doc_ids_set:
-                    return (-2, top10_doc_ids.index(doc_id))
-                return (-1, -score)
+            final_sims: List[Result] = [(doc_id, 1.0) for doc_id in top10_doc_ids]
+            for doc_id, score in zip(r_idx, r_vals):
+                if int(doc_id) not in top10_doc_ids_set:
+                    final_sims.append((int(doc_id), float(score)))
 
-            final_sims = sorted(final_sims, key=sorting_key)
             final_sims = filter_searched_result(final_sims)
             return final_sims[: min(topn, len(final_sims))]
 
+        sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
         sims = filter_searched_result(sims)
         return sims[: min(topn, len(sims))]
 

@@ -1,0 +1,142 @@
+"""Secondary benchmark: end-to-end query latency on a 100k-image index.
+
+Builds a synthetic-but-real artifact chain (100k docs, 10k-tag vocabulary, ~30 tags
+per doc — Doc2Vec model with random weights since latency is weight-independent),
+loads it through SearchEngine exactly like the web UI does, and reports warm p50/p95
+for the full 'normal'-mode query path: tag-vector lookup + index matvec + BM25
+gather/segment-sum + PRF rerank (10-doc re-inference + second matvec + device top-k)
++ elbow filter.
+
+    python bench_query.py [--docs 100000] [--vocab 10000] [--queries 50]
+
+Prints one JSON line: {"metric": "query_latency_p50", "value": ms, ...} with the
+reference having no published number (BASELINE.md: "not published"); the north-star
+target is <= 10 ms p50 (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+
+def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int = 30,
+                    dim: int = 300) -> list:
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.config import Doc2VecConfig
+    from anime_illust_image_searcher_tpu.index import artifacts
+    from anime_illust_image_searcher_tpu.index.bm25_index import (
+        build_bm25_stats, save_bm25_artifacts,
+    )
+    from anime_illust_image_searcher_tpu.index.dictionary import TagDictionary
+    from anime_illust_image_searcher_tpu.index.similarity import SimilarityIndex
+    from anime_illust_image_searcher_tpu.models.doc2vec import Doc2VecModel, Vocab
+
+    rng = np.random.RandomState(0)
+    tag_names = [f"tag_{i:05d}" for i in range(vocab)]
+    # zipf-ish tag popularity like real tag corpora
+    probs = 1.0 / (np.arange(vocab) + 10.0)
+    probs /= probs.sum()
+
+    print(f"synthesizing {n_docs} docs ...")
+    docs = []
+    lines = []
+    for i in range(n_docs):
+        k = rng.randint(10, tags_per_doc)
+        ids = np.unique(rng.choice(vocab, size=k, p=probs))
+        tags = [tag_names[t] for t in ids]
+        docs.append(tags)
+        lines.append(f"/img/{i:06d}.png,{','.join(tags)}")
+
+    with open(os.path.join(directory, artifacts.DOC2VEC_IDX_CSV), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+    dictionary = TagDictionary(docs)
+    dictionary.save(os.path.join(directory, artifacts.DOC2VEC_DICTIONARY))
+
+    cfg = Doc2VecConfig(vector_size=dim)
+    vocab_obj = Vocab.build(docs, cfg)
+    syn1 = rng.randn(len(vocab_obj), dim).astype(np.float32) * 0.1
+    docvecs = rng.randn(n_docs, dim).astype(np.float32)
+    model = Doc2VecModel(cfg, vocab_obj, syn1, docvecs, corpus_count=n_docs)
+    print("precomputing tag vectors ...")
+    model.save(os.path.join(directory, artifacts.DOC2VEC_MODEL))
+
+    print("building similarity index ...")
+    index = SimilarityIndex(os.path.join(directory, artifacts.DOC2VEC_INDEX),
+                            num_features=dim)
+    mat = rng.randn(n_docs, dim).astype(np.float32)
+    index.add_documents(list(mat))
+    index.save()
+
+    print("building bm25 ...")
+    stats = build_bm25_stats(docs, dictionary)
+    save_bm25_artifacts(stats, directory)
+    return tag_names
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", type=int, default=100_000)
+    parser.add_argument("--vocab", type=int, default=10_000)
+    parser.add_argument("--queries", type=int, default=50)
+    parser.add_argument("--dir", default=None, help="reuse an artifact dir")
+    args = parser.parse_args()
+
+    from anime_illust_image_searcher_tpu.utils.jax_setup import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.search.engine import SearchEngine
+
+    directory = args.dir or tempfile.mkdtemp(prefix="aiis_bench_")
+    from anime_illust_image_searcher_tpu.index import artifacts as art
+
+    if not os.path.exists(os.path.join(directory, art.DOC2VEC_MODEL)):
+        tag_names = build_artifacts(directory, args.docs, args.vocab)
+    else:
+        tag_names = [f"tag_{i:05d}" for i in range(args.vocab)]
+    print(f"artifacts in {directory}")
+
+    t0 = time.perf_counter()
+    engine = SearchEngine(directory)
+    print(f"engine load: {time.perf_counter() - t0:.1f}s")
+
+    rng = np.random.RandomState(1)
+    queries = []
+    for _ in range(args.queries):
+        base = [tag_names[rng.randint(200)] for _ in range(rng.randint(1, 4))]
+        q = " ".join(base)
+        if rng.rand() < 0.3:
+            q += f" {tag_names[rng.randint(200)]}:2"
+        queries.append(q)
+
+    # warmup (compiles all per-query programs)
+    for q in queries[:3]:
+        engine.find_similar_documents(q, topn=800)
+
+    lat = []
+    for q in queries:
+        t0 = time.perf_counter()
+        engine.find_similar_documents(q, topn=800)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat = np.asarray(lat)
+    print(json.dumps({
+        "metric": "query_latency_p50",
+        "value": round(float(np.percentile(lat, 50)), 2),
+        "unit": "ms @ %dk docs" % (args.docs // 1000),
+        "p95_ms": round(float(np.percentile(lat, 95)), 2),
+        "mean_ms": round(float(lat.mean()), 2),
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

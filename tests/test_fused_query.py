@@ -1,0 +1,61 @@
+"""The single-call fused query program must match the multi-call path exactly."""
+
+import os
+
+import numpy as np
+import pytest
+
+from anime_illust_image_searcher_tpu.cli import genmodel
+from anime_illust_image_searcher_tpu.index import artifacts
+from anime_illust_image_searcher_tpu.search.engine import SearchEngine
+
+POOLS = [
+    ["1girl", "solo", "smile", "black_hair", "dress"],
+    ["1boy", "male_focus", "sword", "armor", "standing"],
+    ["no_humans", "white_background", "still_life", "bottle", "flower"],
+]
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fusedq")
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        rng = np.random.RandomState(7)
+        lines = []
+        for i in range(60):
+            pool = POOLS[i % 3]
+            tags = list(rng.choice(pool, size=rng.randint(3, 5), replace=False))
+            lines.append(f"/img/{i:03d}.png,{','.join(tags)}")
+        with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        genmodel.main(["--epochs", "10"])
+        return SearchEngine(str(tmp))
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.parametrize("query", [
+    "1girl", "1girl smile:2", "sword black_hair", "1girl solo:-1",
+    "no_humans bottle:+1",
+])
+def test_fused_matches_fallback(engine, query):
+    assert engine._norms_known
+    fused = engine._find_similar_fused(query, topn=800)
+    # force the multi-call fallback path
+    engine._norms_known = False
+    try:
+        fallback = engine.find_similar_documents(query, topn=800)
+    finally:
+        engine._norms_known = True
+    assert [d for d, _ in fused] == [d for d, _ in fallback]
+    np.testing.assert_allclose(
+        [s for _, s in fused], [s for _, s in fallback], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_is_default_path(engine):
+    r1 = engine.find_similar_documents("1girl smile", topn=800)
+    r2 = engine._find_similar_fused("1girl smile", topn=800)
+    assert r1 == r2
