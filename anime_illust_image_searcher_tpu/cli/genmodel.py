@@ -89,7 +89,10 @@ def main(arg_str: List[str]) -> None:
     else:
         dictionary = TagDictionary(processed_docs)
         dictionary.save(artifacts.DOC2VEC_DICTIONARY)
-        model = Doc2VecModel.train(processed_docs, cfg, log_every=10)
+        model = Doc2VecModel.train(
+            processed_docs, cfg, log_every=10,
+            checkpoint_path=artifacts.DOC2VEC_MODEL, checkpoint_every=10,
+        )
         model.save(artifacts.DOC2VEC_MODEL)
         index = None
         new_docs = processed_docs

@@ -106,6 +106,8 @@ def main(arg_str: list) -> None:
              "(converted from SmilingWolf/wd-eva02-large-tagger-v3)",
     )
     parser.add_argument("--batch-size", type=int, default=None, help="device batch size")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.tagger
@@ -115,6 +117,7 @@ def main(arg_str: list) -> None:
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
 
     predictor = Predictor(config=cfg, model_dir=args.model_dir)
+    after_date = None
     if args.after is not None:
         try:
             after_date = datetime.datetime.strptime(args.after[0], "%Y-%m-%d").date()
@@ -122,9 +125,11 @@ def main(arg_str: list) -> None:
             print("%s: %s" % (type(e), str(e)))
             print("Invalid date format. format is YYYY-MM-DD")
             sys.exit(1)
+
+    from ..utils.profiling import trace
+
+    with trace(args.profile):
         predictor.process_directory(args.dir[0], after_date)
-    else:
-        predictor.process_directory(args.dir[0])
 
 
 def _console() -> None:

@@ -28,9 +28,14 @@ class CCIPPredictor:
         self,
         config: CCIPConfig = CCIPConfig(),
         model_cfg: Optional[CAFormerConfig] = None,
-        use_pallas: bool = True,
+        use_pallas: Optional[bool] = None,
         seed: int = 0,
     ) -> None:
+        if use_pallas is None:
+            # Same default rationale as TaggerPredictor: measured XLA > Pallas here.
+            import os
+
+            use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
         self.config = config
         self.model_cfg = model_cfg or CAFormerConfig(
             img_size=config.image_size, feature_dim=config.feature_dim,

@@ -29,6 +29,7 @@ TPU-first deviations (documented in QUIRKS.md):
 from __future__ import annotations
 
 import hashlib
+import os
 import pickle
 from dataclasses import dataclass, field
 from functools import partial
@@ -251,7 +252,13 @@ class Doc2VecModel:
         cfg: Doc2VecConfig = Doc2VecConfig(),
         batch_size: int = 512,
         log_every: int = 0,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
     ) -> "Doc2VecModel":
+        """Train PV-DBOW. With ``checkpoint_path`` + ``checkpoint_every``, training
+        state (docvecs, syn1neg, epoch) is snapshotted every N epochs and a crashed
+        run resumes from the latest snapshot — the reference has no mid-run
+        checkpointing at all (SURVEY.md §5.4); its only recovery is .bak copies."""
         vocab = Vocab.build(corpus, cfg)
         corpus_ids = [
             [vocab.token2id[t] for t in doc if t in vocab.token2id] for doc in corpus
@@ -283,7 +290,17 @@ class Doc2VecModel:
         n_batches = len(doc_index) // batch_size
 
         base_key = jax.random.PRNGKey(cfg.seed)
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        ckpt_file = (checkpoint_path + ".ckpt.npz") if checkpoint_path else None
+        if ckpt_file and os.path.exists(ckpt_file):
+            snap = np.load(ckpt_file)
+            if snap["docvecs"].shape == docvecs.shape and snap["syn1"].shape == syn1.shape:
+                docvecs = jnp.asarray(snap["docvecs"])
+                syn1 = jnp.asarray(snap["syn1"])
+                start_epoch = int(snap["epoch"])
+                print(f"doc2vec: resumed from {ckpt_file} at epoch {start_epoch}")
+
+        for epoch in range(start_epoch, cfg.epochs):
             lr = jnp.float32(
                 cfg.alpha - (cfg.alpha - cfg.min_alpha) * epoch / max(cfg.epochs, 1)
             )
@@ -299,6 +316,11 @@ class Doc2VecModel:
                 )
             if log_every and (epoch + 1) % log_every == 0:
                 print(f"doc2vec epoch {epoch + 1}/{cfg.epochs}")
+            if ckpt_file and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                np.savez(ckpt_file, docvecs=np.asarray(docvecs),
+                         syn1=np.asarray(syn1), epoch=epoch + 1)
+        if ckpt_file and os.path.exists(ckpt_file):
+            os.remove(ckpt_file)  # training completed; snapshot no longer needed
 
         docvecs_np = np.asarray(docvecs[:n_docs])
         return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np, corpus_count=n_docs)

@@ -64,9 +64,16 @@ class TaggerPredictor:
         self,
         config: TaggerConfig = TaggerConfig(),
         model_dir: Optional[str] = None,
-        use_pallas: bool = True,
+        use_pallas: Optional[bool] = None,
         model_cfg: Optional[Eva02Config] = None,
     ) -> None:
+        if use_pallas is None:
+            # Measured on v5e (B=128, EVA02-L): XLA's fused attention 114 img/s vs the
+            # Pallas kernel's 87 — XLA is the production default until the kernel
+            # closes the gap. Opt in with AIIS_USE_PALLAS=1.
+            import os
+
+            use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
         self.config = config
         self.model_dir = model_dir
         self.use_pallas = use_pallas

@@ -1,10 +1,11 @@
 """The fused 'normal'-mode query program: ONE device call per query.
 
 Serving breakdown showed each device round trip costs ~35 ms through the axon relay
-(and sub-ms but nonzero on local hardware), and the reference-shaped query path makes
-six of them (index matvec, BM25, top-10, 10-doc re-inference, rerank matvec, top-k).
-This program fuses the whole pipeline (webui.py:345-253 semantics with the intended
-PRF math, QUIRKS.md #5):
+(and is nonzero even on local hardware), and the reference-shaped query path makes six
+device calls plus one host transfer per input/output array. This program fuses the
+whole pipeline (webui.py:345-253 semantics with the intended PRF math, QUIRKS.md #5)
+AND packs all per-query inputs/outputs into single f32 buffers, so a warm query is
+exactly one H2D transfer, one execution, one D2H transfer:
 
   sims    = index @ q                      (cosine matvec)
   bm25    = Σ_t w_t·contrib[t, d] with -inf require/exclude masks
@@ -17,49 +18,100 @@ PRF math, QUIRKS.md #5):
 
 The 10 stored raw vectors are row·norm reconstructions — bit-identical to re-running
 infer_vector (inference is deterministically seeded), so no SGD happens at query time.
+Document indices ride in the f32 output buffer, exact below 2^24 (16M docs).
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-@partial(jax.jit, static_argnames=("num_docs", "topn", "k"))
+MAX_QUERY_TERMS = 64
+
+
+def pack_query(
+    query_vec: np.ndarray,          # (F,)
+    term_weights: Dict[int, float],
+    vocab_size: int,
+    magic: int,
+    max_terms: int = MAX_QUERY_TERMS,
+) -> np.ndarray:
+    """One f32 buffer: [qids(Q) | qw(Q) | qexcl(Q) | qreq(Q) | qvec(F) | n_req].
+
+    Term ids ride as f32 (exact below 2^24). Unused slots get id -1, which never
+    matches a corpus slot. Queries are human-typed tag lists; more than
+    ``max_terms`` raises rather than silently truncating.
+    """
+    if len(term_weights) > max_terms:
+        raise ValueError(f"query has {len(term_weights)} terms; max {max_terms}")
+    q = max_terms
+    packed = np.zeros(4 * q + len(query_vec) + 1, dtype=np.float32)
+    qids = packed[:q]
+    qw = packed[q : 2 * q]
+    qexcl = packed[2 * q : 3 * q]
+    qreq = packed[3 * q : 4 * q]
+    qids[:] = -1.0
+    n_req = 0
+    for j, (term_id, weight) in enumerate(term_weights.items()):
+        if term_id < 0 or term_id >= vocab_size:
+            continue
+        qids[j] = float(term_id)
+        if weight < 0:
+            qexcl[j] = 1.0
+        elif weight > magic:
+            qreq[j] = 1.0
+            qw[j] = weight - magic
+            n_req += 1
+        else:
+            qw[j] = weight
+    packed[4 * q : 4 * q + len(query_vec)] = query_vec
+    packed[-1] = n_req
+    return packed
+
+
+@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k"))
 def fused_normal_query(
     matrix: jax.Array,        # (D, F) unit rows
     norms: jax.Array,         # (D,) pre-normalization norms
-    doc_ids: jax.Array,       # (nnz,) sorted
-    term_ids: jax.Array,      # (nnz,)
-    contrib: jax.Array,       # (nnz,)
-    query_vec: jax.Array,     # (F,) unit query vector
-    eff_weight: jax.Array,    # (vocab,)
-    is_exclude: jax.Array,    # (vocab,) bool
-    is_require: jax.Array,    # (vocab,) bool
-    num_required: jax.Array,  # ()
+    term_mat: jax.Array,      # (D, W) int32, padded with vocab_size sentinel
+    contrib_mat: jax.Array,   # (D, W) f32, padded with 0
+    packed: jax.Array,        # pack_query() buffer
     bm25_weight: float,
     doc2vec_weight: float,
     orig_weight: float,
     rerank_weight: float,
+    vocab_size: int,
     num_docs: int,
     topn: int,
     k: int,
-):
-    """Returns (top10_scores, top10_ids, rerank_scores, rerank_ids)."""
+) -> jax.Array:
+    """Returns one f32 buffer: [top10_scores(k) | top10_ids(k) | r_scores(kk) | r_ids(kk)]."""
+    q = MAX_QUERY_TERMS
+    f = matrix.shape[1]
+    qids = packed[:q]
+    qw = packed[q : 2 * q]
+    qexcl = packed[2 * q : 3 * q]
+    qreq = packed[3 * q : 4 * q]
+    query_vec = packed[4 * q : 4 * q + f]
+    num_required = packed[-1]
+
     sims = jnp.dot(matrix, query_vec, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
 
-    w = eff_weight[term_ids]
-    bm25 = jax.ops.segment_sum(w * contrib, doc_ids, num_segments=num_docs,
-                               indices_are_sorted=True)
-    excl_hits = jax.ops.segment_sum(
-        is_exclude[term_ids].astype(jnp.int32), doc_ids,
-        num_segments=num_docs, indices_are_sorted=True)
-    req_hits = jax.ops.segment_sum(
-        is_require[term_ids].astype(jnp.int32), doc_ids,
-        num_segments=num_docs, indices_are_sorted=True)
+    # BM25 as a query-term comparison sweep: match[d, w, q] = (term == qid) stays a
+    # fused register-level intermediate; no corpus-sized gathers or scatters (each
+    # segment-sum scatter measured ~25 ms, each big-table gather ~23 ms at 100k docs).
+    tm = term_mat.astype(jnp.float32)[:, :, None]          # (D, W, 1)
+    match = (tm == qids[None, None, :]).astype(jnp.float32)  # (D, W, Q)
+    slot_w = jnp.einsum("dwq,q->dw", match, qw)
+    bm25 = jnp.sum(slot_w * contrib_mat, axis=1)
+    excl_hits = jnp.einsum("dwq,q->d", match, qexcl)
+    req_hits = jnp.einsum("dwq,q->d", match, qreq)
     neg_inf = jnp.float32(-jnp.inf)
     bm25 = jnp.where(excl_hits > 0, neg_inf, bm25)
     bm25 = jnp.where(req_hits < num_required, neg_inf, bm25)
@@ -90,4 +142,15 @@ def fused_normal_query(
 
     kk = min(topn + k, num_docs)
     r_vals, r_idx = jax.lax.top_k(rf, kk)
-    return top_vals, top_idx, r_vals, r_idx
+    return jnp.concatenate([
+        top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32)
+    ])
+
+
+def unpack_result(out: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Split the packed output buffer back into (top_vals, top_idx, r_vals, r_idx)."""
+    top_vals = out[:k]
+    top_idx = out[k : 2 * k].astype(np.int64)
+    rest = out[2 * k :]
+    kk = len(rest) // 2
+    return top_vals, top_idx, rest[:kk], rest[kk : 2 * kk].astype(np.int64)

@@ -81,6 +81,7 @@ class SearchEngine:
         self.bm25 = BM25DeviceIndex.from_stats(stats, vocab_size=len(self.dictionary),
                                                cfg=config.bm25)
         self._bm25_dev = self.bm25.to_device()
+        self._bm25_dense = self.bm25.to_device_dense()
         # Pre-transfer the similarity matrix (and raw-vector norms) to device.
         self.index._device()
         import jax.numpy as jnp
@@ -172,30 +173,27 @@ class SearchEngine:
 
     def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
         """Single-device-call query path (ops/fused_query.py): identical semantics to
-        the multi-call path; only round trips differ."""
+        the multi-call path; one H2D transfer, one execution, one D2H transfer."""
         import jax.numpy as jnp
 
-        from ..ops.bm25 import build_query_vectors
-        from ..ops.fused_query import fused_normal_query
+        from ..ops.fused_query import fused_normal_query, pack_query, unpack_result
 
         s = self.cfg.search
         vec = self.doc2vec_query_vector(new_doc)
         query = parse_bm25_query(new_doc, self.dictionary)
-        eff, excl, req, n_req = build_query_vectors(
-            query.term_weights, self.bm25.vocab_size, magic=s.require_tag_magic_number
-        )
-        doc_ids, term_ids, contrib = self._bm25_dev
-        top_vals, top_idx, r_vals, r_idx = fused_normal_query(
+        packed = pack_query(vec, query.term_weights, self.bm25.vocab_size,
+                            magic=s.require_tag_magic_number)
+        term_mat, contrib_mat = self._bm25_dense
+        out = fused_normal_query(
             self.index._device(), self._norms_dev,
-            doc_ids, term_ids, contrib,
-            jnp.asarray(vec), jnp.asarray(eff), jnp.asarray(excl), jnp.asarray(req),
-            jnp.asarray(n_req),
+            term_mat, contrib_mat,
+            jnp.asarray(packed),
             s.bm25_weight, s.doc2vec_weight,
             s.original_score_weight, s.reranked_score_weight,
+            vocab_size=self.bm25.vocab_size,
             num_docs=len(self.index), topn=topn, k=s.rerank_top_k,
         )
-        top_idx = np.asarray(top_idx)
-        r_vals, r_idx = np.asarray(r_vals), np.asarray(r_idx)
+        _, top_idx, r_vals, r_idx = unpack_result(np.asarray(out), s.rerank_top_k)
         top10_set = set(int(i) for i in top_idx)
         final_sims: List[Result] = [(int(d), 1.0) for d in top_idx]
         for d, v in zip(r_idx, r_vals):

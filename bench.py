@@ -53,8 +53,12 @@ def main() -> None:
         rng.randint(0, 255, size=(BATCH, cfg.img_size, cfg.img_size, 3), dtype=np.uint8)
     )
 
+    import os
+
+    use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
+
     def step(images):
-        probs = _predict_probs(params, images, mean, std, cfg, True)
+        probs = _predict_probs(params, images, mean, std, cfg, use_pallas)
         g, c = _category_thresholds(probs, general, character, 0.15)
         return probs, g, c
 

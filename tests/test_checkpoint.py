@@ -1,0 +1,59 @@
+"""Doc2Vec training checkpoint/resume (SURVEY.md §5.4 — new capability, the reference
+only has .bak-file recovery)."""
+
+import os
+
+import numpy as np
+
+from anime_illust_image_searcher_tpu.config import Doc2VecConfig
+from anime_illust_image_searcher_tpu.models.doc2vec import Doc2VecModel
+
+CORPUS = [["a", "b", "c"], ["b", "c", "d"], ["a", "d", "e"]] * 4
+CFG = Doc2VecConfig(vector_size=16, epochs=8, infer_epochs=8, max_doc_len=8, sample=0)
+
+
+def test_checkpoint_written_and_cleaned(tmp_cwd):
+    Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                       checkpoint_path="doc2vec_model", checkpoint_every=4)
+    # completed training removes the snapshot
+    assert not os.path.exists("doc2vec_model.ckpt.npz")
+
+
+def test_resume_matches_uninterrupted(tmp_cwd, monkeypatch):
+    from anime_illust_image_searcher_tpu.models import doc2vec as d2v
+
+    full = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+
+    # crash mid-run: let 4 full epochs (snapshot written), die during epoch 5
+    real_step = d2v._train_step
+    calls = {"n": 0}
+    n_batches = 2  # 12 docs padded to 16 at batch_size 8
+
+    def crashing_step(*a, **kw):
+        if calls["n"] >= 4 * n_batches + 1:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return real_step(*a, **kw)
+
+    monkeypatch.setattr(d2v, "_train_step", crashing_step)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                           checkpoint_path="m", checkpoint_every=4)
+    monkeypatch.setattr(d2v, "_train_step", real_step)
+    assert os.path.exists("m.ckpt.npz")  # crash artifact survives
+
+    resumed = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                                 checkpoint_path="m", checkpoint_every=100)
+    np.testing.assert_allclose(resumed.syn1neg, full.syn1neg, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(resumed.docvecs, full.docvecs, rtol=1e-6, atol=1e-7)
+    assert not os.path.exists("m.ckpt.npz")  # cleaned after completion
+
+
+def test_stale_checkpoint_shape_mismatch_ignored(tmp_cwd):
+    np.savez("m.ckpt.npz", docvecs=np.zeros((99, 3)), syn1=np.zeros((2, 3)), epoch=2)
+    model = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                               checkpoint_path="m", checkpoint_every=0)
+    fresh = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+    np.testing.assert_array_equal(model.syn1neg, fresh.syn1neg)
