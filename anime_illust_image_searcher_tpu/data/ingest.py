@@ -136,7 +136,8 @@ class PrefetchLoader:
         self.file_list = list(file_list)
         self.size = size
         self.batch_size = batch_size
-        self.workers = workers
+        # More threads than cores just adds contention; decode is CPU-bound.
+        self.workers = max(1, min(workers, os.cpu_count() or workers))
         self.pad_to_square = pad_to_square
         self.resample = resample
         self.decode_fn = decode_fn or (

@@ -136,11 +136,16 @@ class SearchEngine:
         self, new_doc: str, topn: int = 50, search_mode: str = "normal"
     ) -> List[Result]:
         """Fused BM25 + Doc2Vec ranking with rerank dispatch (webui.py:345-390)."""
+        from ..ops.fused_query import MAX_QUERY_TERMS
+
         k = self.cfg.search.rerank_top_k
         if (
             search_mode != "character oriented"
             and self._norms_known
             and len(self.index) > k
+            # enormous queries (> MAX_QUERY_TERMS distinct tags) take the multi-call
+            # path rather than failing; they're outside any interactive use
+            and len(new_doc.split(" ")) <= MAX_QUERY_TERMS
         ):
             return self._find_similar_fused(new_doc, topn)
 
