@@ -24,7 +24,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..config import DEFAULT_CONFIG, TaggerConfig
-from ..data.ingest import Batch, PrefetchLoader
+from ..data.ingest import PrefetchLoader
 from ..models.tagger import TaggerPredictor
 from ..utils.progress import ProgressMeter
 
