@@ -51,6 +51,11 @@ class Eva02Config:
     # the weight converter flips this if the checkpoint carries attn.norm weights.
     scale_attn_inner: bool = False
     use_layer_scale: bool = False
+    # Head style. timm's Eva classification models default to global_pool='avg':
+    # mean over patch tokens -> fc_norm -> head (the final pre-pool norm is Identity).
+    # 'token' is the cls-token -> norm -> head variant. The weight converter detects
+    # which one a checkpoint uses by its fc_norm/norm keys.
+    global_pool: str = "avg"
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16  # compute dtype; params stay f32
 
@@ -248,11 +253,17 @@ class Eva02(nn.Module):
         for i in range(cfg.depth):
             x = EvaBlock(cfg, self.use_pallas, name=f"blocks_{i}")(x, rope)
 
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm", dtype=jnp.float32)(x)
-        cls = x[:, 0]
-        logits = nn.Dense(cfg.num_classes, name="head", dtype=jnp.float32)(
-            cls.astype(jnp.float32)
-        )
+        if cfg.global_pool == "avg":
+            # timm Eva 'avg': pre-pool norm is Identity; mean over PATCH tokens
+            # (cls excluded), then fc_norm, then head.
+            pooled = jnp.mean(x[:, 1:].astype(jnp.float32), axis=1)
+            pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="fc_norm",
+                                  dtype=jnp.float32)(pooled)
+        else:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm",
+                             dtype=jnp.float32)(x)
+            pooled = x[:, 0].astype(jnp.float32)
+        logits = nn.Dense(cfg.num_classes, name="head", dtype=jnp.float32)(pooled)
         return logits
 
 

@@ -116,6 +116,8 @@ def detect_config_from_state_dict(sd: Dict[str, np.ndarray],
         num_classes=num_classes,
         scale_attn_inner="blocks.0.attn.norm.weight" in sd,
         use_layer_scale="blocks.0.gamma_1" in sd,
+        # timm Eva: 'avg' pooling ships fc_norm weights; 'token' ships a final norm
+        global_pool="avg" if "fc_norm.weight" in sd else "token",
     )
 
 
@@ -171,7 +173,10 @@ def convert_timm_eva02(sd: Dict[str, np.ndarray], cfg: Eva02Config) -> dict:
             blk["gamma_2"] = sd[f"blocks.{i}.gamma_2"]
         p[f"blocks_{i}"] = blk
 
-    p["norm"] = ln("norm")
+    if cfg.global_pool == "avg":
+        p["fc_norm"] = ln("fc_norm")
+    else:
+        p["norm"] = ln("norm")
     p["head"] = dense("head")
 
     _validate_shapes(p, cfg)

@@ -124,6 +124,61 @@ def test_weight_converter_roundtrip(tiny):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_converter_detects_avg_pool_variant():
+    """A checkpoint with fc_norm keys maps to the avg-pool head (timm Eva default)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.models.weights import (
+        convert_timm_eva02, detect_config_from_state_dict,
+    )
+
+    cfg = tiny_test_config()
+    rng = np.random.RandomState(1)
+    d, hid, ncls, p = cfg.embed_dim, cfg.mlp_hidden_dim, cfg.num_classes, cfg.patch_size
+    sd = {
+        "patch_embed.proj.weight": rng.randn(d, 3, p, p).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(d, np.float32),
+        "cls_token": rng.randn(1, 1, d).astype(np.float32),
+        "pos_embed": rng.randn(1, cfg.num_patches + 1, d).astype(np.float32),
+        "fc_norm.weight": np.ones(d, np.float32),
+        "fc_norm.bias": np.zeros(d, np.float32),
+        "head.weight": rng.randn(ncls, d).astype(np.float32),
+        "head.bias": np.zeros(ncls, np.float32),
+    }
+    for i in range(cfg.depth):
+        sd.update({
+            f"blocks.{i}.norm1.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm1.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.norm2.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm2.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.q_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.q_proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.k_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.v_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.v_proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.mlp.w1.weight": rng.randn(hid, d).astype(np.float32),
+            f"blocks.{i}.mlp.w1.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.w2.weight": rng.randn(hid, d).astype(np.float32),
+            f"blocks.{i}.mlp.w2.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.norm.weight": np.ones(hid, np.float32),
+            f"blocks.{i}.mlp.norm.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.w3.weight": rng.randn(d, hid).astype(np.float32),
+            f"blocks.{i}.mlp.w3.bias": np.zeros(d, np.float32),
+        })
+    detected = detect_config_from_state_dict(sd, base=cfg)
+    assert detected.global_pool == "avg"
+    params = convert_timm_eva02(sd, detected)
+    assert "fc_norm" in params["params"]
+    run_cfg = dataclasses.replace(detected, dtype=jnp.float32)
+    x = np.zeros((1, cfg.img_size, cfg.img_size, 3), np.float32)
+    logits = forward_logits(params, x, run_cfg, use_pallas=False)
+    assert logits.shape == (1, ncls)
+
+
 def test_head_weight_transposed_correctly(tiny):
     """Converter must transpose torch (out,in) Linear weights."""
     from anime_illust_image_searcher_tpu.models.weights import _t
