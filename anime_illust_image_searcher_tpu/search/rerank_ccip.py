@@ -90,13 +90,27 @@ class CCIPReranker:
             for doc_id in top10_doc_ids
         ]
 
-        top10_feats: List[np.ndarray] = []
+        # decode the hit files (skip failures like webui.py:296-301), then extract all
+        # surviving features in ONE batched forward (reference runs one ONNX call per
+        # file)
+        decoded: List[np.ndarray] = []
         for file in top10_files:
             try:
-                top10_feats.append(self.predictor.get_image_feature(file))
-            except Exception as e:  # noqa: BLE001 — skip like webui.py:296-301
+                img = self.predictor.gen_image_ndarray(file)
+                if img is None:
+                    raise ValueError(f"failed to load {file}")
+                decoded.append(img)
+            except Exception as e:  # noqa: BLE001
                 print(f"Error: {e}")
                 continue
+        top10_feats: List[np.ndarray] = []
+        if decoded:
+            # pad to the fixed top-k batch so one compiled program serves every query
+            pad = len(top10_files) - len(decoded)
+            batch = np.stack(decoded + [np.zeros_like(decoded[0])] * pad)
+            top10_feats = list(
+                self.predictor.ccip_batch_extract_features(batch)[: len(decoded)]
+            )
         if not top10_feats:
             sims = filter_searched_result(sims)
             return sims[: min(topn, len(sims))]
