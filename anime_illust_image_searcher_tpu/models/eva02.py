@@ -56,6 +56,10 @@ class Eva02Config:
     # 'token' is the cls-token -> norm -> head variant. The weight converter detects
     # which one a checkpoint uses by its fc_norm/norm keys.
     global_pool: str = "avg"
+    # f32 LayerNorms are the parity default; bf16 halves their HBM traffic (~18% of
+    # forward time at B=64) at ~1e-2 normalization precision cost. Flip only with the
+    # parity harness in hand.
+    norm_in_f32: bool = True
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16  # compute dtype; params stay f32
 
@@ -164,7 +168,7 @@ class EvaAttention(nn.Module):
 
         if cfg.scale_attn_inner:
             out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm",
-                               dtype=jnp.float32)(out)
+                               dtype=jnp.float32 if cfg.norm_in_f32 else cfg.dtype)(out)
         out = nn.Dense(c, use_bias=True, name="proj", dtype=cfg.dtype)(out)
         return out
 
@@ -181,7 +185,7 @@ class SwiGLU(nn.Module):
         u = nn.Dense(cfg.mlp_hidden_dim, name="w2", dtype=cfg.dtype)(x)
         hidden = nn.silu(g) * u
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm",
-                              dtype=jnp.float32)(hidden)
+                              dtype=jnp.float32 if cfg.norm_in_f32 else cfg.dtype)(hidden)
         return nn.Dense(cfg.embed_dim, name="w3", dtype=cfg.dtype)(hidden)
 
 
@@ -193,7 +197,7 @@ class EvaBlock(nn.Module):
     def __call__(self, x, rope):
         cfg = self.cfg
         attn_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1",
-                               dtype=jnp.float32)(x)
+                               dtype=jnp.float32 if cfg.norm_in_f32 else cfg.dtype)(x)
         attn_out = EvaAttention(cfg, self.use_pallas, name="attn")(attn_in, rope)
         if cfg.use_layer_scale:
             gamma_1 = self.param("gamma_1", nn.initializers.ones, (cfg.embed_dim,))
@@ -201,7 +205,7 @@ class EvaBlock(nn.Module):
         x = x + attn_out
 
         mlp_in = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2",
-                              dtype=jnp.float32)(x)
+                              dtype=jnp.float32 if cfg.norm_in_f32 else cfg.dtype)(x)
         mlp_out = SwiGLU(cfg, name="mlp")(mlp_in)
         if cfg.use_layer_scale:
             gamma_2 = self.param("gamma_2", nn.initializers.ones, (cfg.embed_dim,))
