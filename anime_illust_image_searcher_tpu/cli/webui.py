@@ -55,9 +55,21 @@ class WebUIServer:
                     engine.filepath_docid_dict,
                     directory=self.directory,
                 )
+            # /api/image may only serve files the index knows about (after --rep
+            # rewriting) — a browser-supplied path must not read arbitrary files.
+            allowed = set()
+            for fpath in engine.filepath_docid_dict:
+                if self.rep:
+                    fpath = fpath.replace(self.rep[0], self.rep[1])
+                allowed.add(fpath)
+            self._allowed_images = allowed
             self._warmup(engine)
             self.engine = engine
         return self.engine
+
+    def image_allowed(self, fpath: str) -> bool:
+        self.load()
+        return fpath in self._allowed_images
 
     @staticmethod
     def _warmup(engine: SearchEngine) -> None:
@@ -142,7 +154,7 @@ def make_handler(server: WebUIServer):
             elif parsed.path == "/api/image":
                 q = urllib.parse.parse_qs(parsed.query)
                 fpath = q.get("path", [""])[0]
-                if not os.path.isfile(fpath):
+                if not server.image_allowed(fpath) or not os.path.isfile(fpath):
                     self._send_json({"error": "not found"}, 404)
                     return
                 ctype = mimetypes.guess_type(fpath)[0] or "application/octet-stream"

@@ -112,6 +112,16 @@ def test_image_endpoint_missing(server_url):
     assert ei.value.code == 404
 
 
+def test_image_endpoint_rejects_unindexed_paths(server_url):
+    """A real file that is NOT in the index must not be served (no arbitrary reads)."""
+    url, _ = server_url
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        get(url, "/api/image?path=" + urllib.request.quote("/etc/hostname"))
+    assert ei.value.code == 404
+
+
 def test_export_endpoint(server_url):
     url, tmp = server_url
     data = post(url, "/api/export",
