@@ -70,7 +70,16 @@ def main(arg_str: List[str]) -> None:
             print(f"{artifacts.DOC2VEC_IDX_CSV} not found")
             sys.exit(1)
 
+    import os
+
+    if not os.path.exists(artifacts.TAGS_FILE):
+        print(f"{artifacts.TAGS_FILE} not found — run tagging first")
+        sys.exit(1)
+
     processed_docs, _ = read_documents_and_gen_idx_text(artifacts.TAGS_FILE)
+    if not processed_docs:
+        print(f"no documents with >= 3 tags in {artifacts.TAGS_FILE}; nothing to index")
+        sys.exit(1)
     all_docs = processed_docs
 
     cfg: Doc2VecConfig = DEFAULT_CONFIG.doc2vec

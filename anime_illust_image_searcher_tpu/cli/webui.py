@@ -201,7 +201,12 @@ def main(arg_str: Optional[List[str]] = None) -> None:
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(ui))
     print(f"webui listening on http://{args.host}:{args.port}")
     print("loading search artifacts...")
-    ui.load()
+    try:
+        ui.load()
+    except FileNotFoundError as e:
+        print(f"missing artifact: {e}")
+        print("run the pipeline first: tagging --dir D, then genmodel")
+        sys.exit(1)
     print("ready")
     httpd.serve_forever()
 
