@@ -67,7 +67,6 @@ class Predictor(CCIPPredictor):
             if len(old_index):
                 self.cindex.add_documents([old_index.vector_by_id(i) for i in range(len(old_index))])
             print("copying index files to new index files done")
-            self.threshold = self.ccip_default_threshold() / 1.5
         elif SimilarityIndex.exists(index_name):
             # append mode on rev 0, like gensim Similarity reopened by name
             self.cindex = SimilarityIndex.load(index_name, mmap=None)

@@ -89,6 +89,12 @@ def main(arg_str: List[str]) -> None:
         cfg = dataclasses.replace(cfg, epochs=args.epochs, infer_epochs=args.epochs)
 
     if args.update:
+        if args.epochs is not None:
+            # Appended vectors must be inferred with the stored model's epochs or the
+            # index rows become inconsistent with query-time re-inference.
+            print("WARNING: --epochs is ignored with --update (the loaded model's "
+                  "training/inference settings apply); rebuild without --update to "
+                  "change epochs")
         dictionary = TagDictionary.load(artifacts.DOC2VEC_DICTIONARY)
         model = Doc2VecModel.load(artifacts.DOC2VEC_MODEL)
         index = SimilarityIndex.load(artifacts.DOC2VEC_INDEX, mmap=None)

@@ -97,8 +97,9 @@ class WebUIServer:
         except KeyError as e:
             # unknown tag — user-facing reference behavior (QUIRKS.md #7)
             return {"error": f"unknown tag: {e}", "results": []}
-        except RuntimeError as e:
-            return {"error": str(e), "results": []}
+        except Exception as e:  # noqa: BLE001 — a query must never kill the handler
+            print(f"search error: {type(e).__name__}: {e}")
+            return {"error": f"{type(e).__name__}: {e}", "results": []}
         latency_ms = (time.perf_counter() - t0) * 1000.0
         return {
             "results": [

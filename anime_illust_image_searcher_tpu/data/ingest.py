@@ -89,10 +89,15 @@ def load_rgb_square(file_path: str, size: int, resample: int = Image.BICUBIC,
         img.load()
         if pad_to_square:
             prepared = prepare_image(img)
+        elif img.mode in ("RGBA", "LA"):
+            # CCIP path: flatten alpha onto white WITHOUT padding (the reference's
+            # imgutils loader composites on white and resizes directly,
+            # gen_cfeatures.py:285-295)
+            background = Image.new("RGB", img.size, (255, 255, 255))
+            background.paste(img, mask=img.split()[-1])
+            prepared = background
         else:
             prepared = img.copy().convert("RGB") if img.mode != "RGB" else img
-            if img.mode in ("RGBA", "LA"):
-                prepared = prepare_image(img)  # alpha must still be flattened
         resized = prepared.resize((size, size), resample=resample)
         return np.asarray(resized, dtype=np.uint8)
     except Exception as e:  # noqa: BLE001 — skip-and-continue is the contract

@@ -64,7 +64,9 @@ def get_current_cfeature_number(directory: str = ".") -> int:
         m = _CFEATURES_REV_PATTERN.match(name)
         if m:
             numbers.append(int(m.group(1)) if m.group(1) else 0)
-    return max(numbers)
+    # default 0 so a CSV-without-index state (interrupted gen_cfeatures run) surfaces
+    # as a clean missing-index error downstream instead of ValueError here
+    return max(numbers, default=0)
 
 
 def backup_cfeature_indexes(backup_dir: str, directory: str = ".") -> List[str]:

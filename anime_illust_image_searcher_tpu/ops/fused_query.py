@@ -32,6 +32,21 @@ import numpy as np
 
 
 MAX_QUERY_TERMS = 64
+DIFF_FILTER_THRESH = 1e-6  # webui.py:58
+
+
+def elbow_cut_index(sorted_scores: jax.Array) -> jax.Array:
+    """Device form of the reference elbow cut (webui.py:63-80) on a descending score
+    vector: mask zero diffs to inf, cut at the second sub-threshold diff (first if
+    only one exists, full length if none)."""
+    n = sorted_scores.shape[0]
+    diffs = sorted_scores[:-1] - sorted_scores[1:]
+    diffs = jnp.where(diffs == 0, jnp.inf, diffs)
+    flags = diffs < DIFF_FILTER_THRESH
+    count = jnp.sum(flags)
+    first_two = jnp.nonzero(flags, size=2, fill_value=n)[0]
+    return jnp.where(count >= 2, first_two[1],
+                     jnp.where(count == 1, first_two[0], n))
 
 
 def pack_query(
@@ -142,15 +157,29 @@ def fused_normal_query(
 
     kk = min(topn + k, num_docs)
     r_vals, r_idx = jax.lax.top_k(rf, kk)
+
+    # Elbow cut over the FULL result list, like the reference (webui.py:63-80 applied
+    # to the corpus-length list): list = [k pinned 1.0 scores] ++ (rf of non-top10
+    # docs, sorted desc). The first/second sub-threshold-diff position depends on the
+    # whole list, so it must be computed before any topn truncation.
+    rf_excl = rf.at[top_idx].set(-jnp.inf)
+    sorted_ex = -jnp.sort(-rf_excl)[: num_docs - k]   # drops k (-inf) placeholders
+    full = jnp.concatenate([jnp.ones((k,), jnp.float32), sorted_ex])
+    cut = elbow_cut_index(full).astype(jnp.float32)
+
     return jnp.concatenate([
-        top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32)
+        top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32),
+        cut[None],
     ])
 
 
-def unpack_result(out: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Split the packed output buffer back into (top_vals, top_idx, r_vals, r_idx)."""
+def unpack_result(
+    out: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Split the packed output buffer into (top_vals, top_idx, r_vals, r_idx, cut)."""
     top_vals = out[:k]
     top_idx = out[k : 2 * k].astype(np.int64)
-    rest = out[2 * k :]
+    rest = out[2 * k : -1]
     kk = len(rest) // 2
-    return top_vals, top_idx, rest[:kk], rest[kk : 2 * kk].astype(np.int64)
+    cut = int(out[-1])
+    return top_vals, top_idx, rest[:kk], rest[kk : 2 * kk].astype(np.int64), cut

@@ -51,7 +51,10 @@ class ShardedSimilarityIndex:
 
     def top_k(self, query: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Global (scores, indices) of the k best documents."""
-        k_eff = min(k, self.matrix.shape[0])
+        # Padding rows score 0.0 and can outrank real negative-scoring docs, so
+        # over-fetch by the pad count to guarantee k real results after filtering.
+        pad = self.matrix.shape[0] - self.num_docs
+        k_eff = min(k + pad, self.matrix.shape[0])
         q = jax.device_put(query.astype(np.float32), self.query_sharding)
         _, vals, idx = _scores_and_topk(self.matrix, q, k_eff)
         vals, idx = np.asarray(vals), np.asarray(idx)

@@ -363,22 +363,29 @@ void aiis_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 void aiis_pool_decode_batch(void* pool_ptr, const char** paths, int n, int size,
                             int pad_to_square, int bilinear, uint8_t* out,
                             int* ok_flags) {
+  if (n <= 0) return;
   Pool* pool = static_cast<Pool*>(pool_ptr);
-  std::atomic<int> remaining(n);
+  // done/mu/cv protocol: `done` is only set and notified while holding `mu`, so the
+  // waiter cannot observe done==true (and destroy these stack locals) until the last
+  // worker has finished touching them — a bare counter + notify would race with a
+  // spurious wakeup destroying the condvar under the worker.
   std::mutex mu;
   std::condition_variable cv;
+  bool done = false;
+  std::atomic<int> remaining(n);
   size_t stride = size_t(size) * size * 3;
   for (int i = 0; i < n; ++i) {
     pool->submit([&, i] {
       ok_flags[i] = decode_one(paths[i], size, pad_to_square, bilinear, out + stride * i);
       if (remaining.fetch_sub(1) == 1) {
-        std::unique_lock<std::mutex> lk(mu);
+        std::lock_guard<std::mutex> lk(mu);
+        done = true;
         cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return remaining.load() == 0; });
+  cv.wait(lk, [&] { return done; });
 }
 
 }  // extern "C"

@@ -29,6 +29,22 @@ from .parser import BM25Query, parse_bm25_query, parse_doc2vec_query
 Result = Tuple[int, float]
 
 
+def assemble_prf_results(
+    top10_doc_ids: List[int], reranked_final: np.ndarray, topn: int
+) -> List[Result]:
+    """Pin the top-10 at 1.0, order the rest by reranked score, elbow-filter over the
+    FULL list, truncate to topn (webui.py:214-246 semantics; the elbow's cut position
+    depends on the complete list, so no pre-truncation)."""
+    top10_set = set(top10_doc_ids)
+    order = np.argsort(-reranked_final, kind="stable")
+    final_sims: List[Result] = [(doc_id, 1.0) for doc_id in top10_doc_ids]
+    for doc_id in order:
+        if int(doc_id) not in top10_set:
+            final_sims.append((int(doc_id), float(reranked_final[doc_id])))
+    final_sims = filter_searched_result(final_sims)
+    return final_sims[: min(topn, len(final_sims))]
+
+
 @dataclass
 class ResultInfo:
     file_path: str
@@ -152,7 +168,8 @@ class SearchEngine:
         vec = self.doc2vec_query_vector(new_doc)
         sims_doc2vec = self.index[vec]
 
-        query = parse_bm25_query(new_doc, self.dictionary)
+        query = parse_bm25_query(new_doc, self.dictionary,
+                                 magic=self.cfg.search.require_tag_magic_number)
         bm25_scores = self.compute_bm25_scores(query)
 
         if sims_doc2vec.max() > 0:
@@ -185,7 +202,8 @@ class SearchEngine:
 
         s = self.cfg.search
         vec = self.doc2vec_query_vector(new_doc)
-        query = parse_bm25_query(new_doc, self.dictionary)
+        query = parse_bm25_query(new_doc, self.dictionary,
+                                 magic=self.cfg.search.require_tag_magic_number)
         packed = pack_query(vec, query.term_weights, self.bm25.vocab_size,
                             magic=s.require_tag_magic_number)
         term_mat, contrib_mat = self._bm25_dense
@@ -198,13 +216,16 @@ class SearchEngine:
             vocab_size=self.bm25.vocab_size,
             num_docs=len(self.index), topn=topn, k=s.rerank_top_k,
         )
-        _, top_idx, r_vals, r_idx = unpack_result(np.asarray(out), s.rerank_top_k)
+        _, top_idx, r_vals, r_idx, cut = unpack_result(np.asarray(out), s.rerank_top_k)
         top10_set = set(int(i) for i in top_idx)
         final_sims: List[Result] = [(int(d), 1.0) for d in top_idx]
         for d, v in zip(r_idx, r_vals):
             if int(d) not in top10_set:
                 final_sims.append((int(d), float(v)))
-        final_sims = filter_searched_result(final_sims)
+        # Reference elbow semantics (webui.py:63-80): cut computed device-side over
+        # the FULL corpus-length list, normalize by the list max (the pinned 1.0),
+        # drop <= 0 scores, then truncate to topn.
+        final_sims = [(d, v) for d, v in final_sims[:cut] if v > 0]
         return final_sims[: min(topn, len(final_sims))]
 
     # ------------------------------------------------------------------ rerank
@@ -263,19 +284,7 @@ class SearchEngine:
             if global_max > 0:
                 reranked_final = reranked_final / global_max
 
-            # device top-(topn + k): enough to fill topn after excluding the pinned
-            # top-10 (normalize-by-max and ordering are unaffected by truncation)
-            kk = min(topn + k, n_docs)
-            r_vals, r_idx = top_k_scores(jnp.asarray(reranked_final.astype(np.float32)), kk)
-            r_vals, r_idx = np.asarray(r_vals), np.asarray(r_idx)
-
-            final_sims: List[Result] = [(doc_id, 1.0) for doc_id in top10_doc_ids]
-            for doc_id, score in zip(r_idx, r_vals):
-                if int(doc_id) not in top10_doc_ids_set:
-                    final_sims.append((int(doc_id), float(score)))
-
-            final_sims = filter_searched_result(final_sims)
-            return final_sims[: min(topn, len(final_sims))]
+            return assemble_prf_results(top10_doc_ids, reranked_final, topn)
 
         sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
         sims = filter_searched_result(sims)

@@ -56,9 +56,14 @@ class BM25Query:
     exclude_tags: List[str] = field(default_factory=list)
 
 
-def parse_bm25_query(new_doc: str, dictionary: TagDictionary) -> BM25Query:
+def parse_bm25_query(
+    new_doc: str, dictionary: TagDictionary, magic: int = REQUIRE_TAG_MAGIC_NUMBER
+) -> BM25Query:
     """webui.py:354-371 semantics, including the KeyError on unknown tags and the
-    plain-numeric-weight → exclude_tags quirk (QUIRKS.md #7, #11)."""
+    plain-numeric-weight → exclude_tags quirk (QUIRKS.md #7, #11).
+
+    ``magic`` must be the same sentinel the scorer decodes with
+    (SearchConfig.require_tag_magic_number) — the engine passes its config value."""
     q = BM25Query()
     for term in new_doc.split(" "):
         parts = term.split(":")
@@ -66,7 +71,7 @@ def parse_bm25_query(new_doc: str, dictionary: TagDictionary) -> BM25Query:
             if parts[-1].startswith("+"):
                 tag = ":".join(parts[:-1])
                 q.term_weights[dictionary.token2id[tag]] = (
-                    REQUIRE_TAG_MAGIC_NUMBER + int(parts[-1])
+                    magic + int(parts[-1])
                 )
                 q.required_tags.append(tag)
             else:
