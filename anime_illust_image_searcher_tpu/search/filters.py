@@ -34,6 +34,10 @@ def filter_searched_result(
     elif len(found_points) >= 2:
         t = found_points[1]
     max_val = scores_ndarr.max()
+    if not np.isfinite(max_val) or max_val == 0:
+        # degenerate lists (NaN from the reference's -inf-weighted PRF mean, or empty
+        # positives) would otherwise poison every score — QUIRKS.md #15
+        max_val = 1.0
     return [
         (sorted_scores[idx][0], float(sorted_scores[idx][1] / max_val))
         for idx in range(int(t))

@@ -55,6 +55,25 @@ def test_fused_matches_fallback(engine, query):
     )
 
 
+def test_require_with_few_matches_stays_finite(engine):
+    """<10 docs matching a +required tag used to propagate NaN through the PRF mean
+    (QUIRKS.md #15); both paths must return finite pinned scores and agree on ids."""
+    # 'holding_hands'-style rare tag: use a tag present in few docs if available;
+    # otherwise require two tags jointly rare
+    rare = min(engine.dictionary.token2id,
+               key=lambda t: engine.dictionary.dfs[engine.dictionary.token2id[t]])
+    query = f"{rare}:+1"
+    fused = engine.find_similar_documents(query, topn=800)
+    engine._norms_known = False
+    try:
+        fallback = engine.find_similar_documents(query, topn=800)
+    finally:
+        engine._norms_known = True
+    assert all(np.isfinite(s) for _, s in fused)
+    assert all(np.isfinite(s) for _, s in fallback)
+    assert [d for d, _ in fused][:10] == [d for d, _ in fallback][:10]
+
+
 def test_fused_is_default_path(engine):
     r1 = engine.find_similar_documents("1girl smile", topn=800)
     r2 = engine._find_similar_fused("1girl smile", topn=800)
