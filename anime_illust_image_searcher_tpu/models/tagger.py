@@ -65,7 +65,11 @@ class TaggerPredictor:
         model_dir: Optional[str] = None,
         use_pallas: Optional[bool] = None,
         model_cfg: Optional[Eva02Config] = None,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — batches shard
+        across chips and params replicate (pjit data parallelism, SURVEY.md §2.3).
+        batch_size must divide by the data-axis size."""
         if use_pallas is None:
             # Measured on v5e (B=128, EVA02-L): XLA's fused attention 114 img/s vs the
             # Pallas kernel's 87 — XLA is the production default until the kernel
@@ -77,6 +81,7 @@ class TaggerPredictor:
         self.model_dir = model_dir
         self.use_pallas = use_pallas
         self._model_cfg = model_cfg
+        self.mesh = mesh
         self.params = None
         self.labels: Optional[LabelSet] = None
 
@@ -96,6 +101,18 @@ class TaggerPredictor:
             )
             self.params = init_params(self.model_cfg, seed=0, use_pallas=self.use_pallas)
             self.labels = LabelSet.synthetic(self.model_cfg.num_classes)
+        if self.mesh is not None:
+            # dp layout: params replicated across the mesh, batches row-sharded
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            replicated = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+            self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        else:
+            self._batch_sharding = None
         self._general_gather = jnp.asarray(np.asarray(self.labels.general_index, np.int32))
         self._character_gather = jnp.asarray(np.asarray(self.labels.character_index, np.int32))
         # mean/std 0.5 is the WD-v3 timm data config; overridable per checkpoint later.
@@ -120,8 +137,14 @@ class TaggerPredictor:
         CLI overlap host-side CSV assembly of batch N-1 with TPU compute of batch N
         (replaces the reference's decode/inference future overlap, tagging.py:304-330)."""
         self.load_model()
+        if self._batch_sharding is not None:
+            import jax
+
+            images_dev = jax.device_put(np.asarray(images_u8), self._batch_sharding)
+        else:
+            images_dev = jnp.asarray(images_u8)
         probs_dev = _predict_probs(
-            self.params, jnp.asarray(images_u8), self._mean, self._std,
+            self.params, images_dev, self._mean, self._std,
             self.model_cfg, self.use_pallas,
         )
         g_thresh_dev, c_thresh_dev = _category_thresholds(

@@ -89,9 +89,9 @@ def pack_query(
     return packed
 
 
-@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k"))
+@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k", "num_real"))
 def fused_normal_query(
-    matrix: jax.Array,        # (D, F) unit rows
+    matrix: jax.Array,        # (D, F) unit rows (D may include padding rows)
     norms: jax.Array,         # (D,) pre-normalization norms
     term_mat: jax.Array,      # (D, W) int32, padded with vocab_size sentinel
     contrib_mat: jax.Array,   # (D, W) f32, padded with 0
@@ -104,8 +104,15 @@ def fused_normal_query(
     num_docs: int,
     topn: int,
     k: int,
+    num_real: int = 0,        # 0 -> num_docs; < num_docs when rows are padding
+                              # (multi-chip sharding pads D to the mesh size)
 ) -> jax.Array:
-    """Returns one f32 buffer: [top10_scores(k) | top10_ids(k) | r_scores(kk) | r_ids(kk)]."""
+    """Returns one f32 buffer: [top10_scores(k) | top10_ids(k) | r_scores(kk) | r_ids(kk)].
+
+    When the inputs carry NamedShardings (rows over the ``data`` mesh axis), GSPMD
+    partitions the matvecs/reductions per shard and inserts the top-k all-gather —
+    the single-chip and sharded paths run the same program.
+    """
     q = MAX_QUERY_TERMS
     f = matrix.shape[1]
     qids = packed[:q]
@@ -138,6 +145,11 @@ def fused_normal_query(
     bm25 = jnp.where(bm25_max > 0, bm25 / bm25_max, bm25)
 
     final = bm25_weight * bm25 + doc2vec_weight * sims
+
+    if num_real and num_real < num_docs:
+        # padding rows behave like excluded docs
+        row_ids = jnp.arange(num_docs)
+        final = jnp.where(row_ids < num_real, final, neg_inf)
 
     top_vals, top_idx = jax.lax.top_k(final, k)
 

@@ -69,11 +69,16 @@ class SearchEngine:
         cfeature_reranker: Optional[
             Callable[[np.ndarray, int, List[str], List[str]], List[Result]]
         ] = None,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — index rows and
+        BM25 matrices shard across it and the fused query runs SPMD over all chips
+        (the 100k+ corpus serving layout, SURVEY.md §2.3)."""
         self.cfg = config
         self.directory = directory
         self.rep = list(rep) if rep else None
         self.cfeature_reranker = cfeature_reranker
+        self.mesh = mesh
 
         def p(name: str) -> str:
             return os.path.join(directory, name)
@@ -97,9 +102,6 @@ class SearchEngine:
         self.bm25 = BM25DeviceIndex.from_stats(stats, vocab_size=len(self.dictionary),
                                                cfg=config.bm25)
         self._bm25_dev = self.bm25.to_device()
-        self._bm25_dense = self.bm25.to_device_dense()
-        # Pre-transfer the similarity matrix (and raw-vector norms) to device.
-        self.index._device()
         import jax.numpy as jnp
 
         norms = self.index.norms
@@ -110,7 +112,40 @@ class SearchEngine:
             len(self.index) == 0 or float(np.max(norms)) > 0
             or not np.any(self.index.matrix)
         )
-        self._norms_dev = jnp.asarray(np.asarray(norms, dtype=np.float32))
+        self._num_real = len(self.index)
+
+        if mesh is None:
+            self._bm25_dense = self.bm25.to_device_dense()
+            self._matrix_dev = self.index._device()
+            self._norms_dev = jnp.asarray(np.asarray(norms, dtype=np.float32))
+            self._num_padded = self._num_real
+        else:
+            # Row-shard every per-document array over the data axis; GSPMD runs the
+            # fused program per shard and all-gathers the top-k.
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS, pad_to_multiple
+
+            n_data = mesh.shape[DATA_AXIS]
+            row_sharding = NamedSharding(mesh, P(DATA_AXIS))
+            mat_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+
+            matrix, _ = pad_to_multiple(self.index.matrix, n_data)
+            norms_p, _ = pad_to_multiple(np.asarray(norms, np.float32), n_data)
+            term_mat, _ = pad_to_multiple(self.bm25.term_mat, n_data)
+            # term padding rows must carry the sentinel id, not zeros
+            term_mat = term_mat.copy()
+            term_mat[self._num_real:] = self.bm25.vocab_size
+            contrib_mat, _ = pad_to_multiple(self.bm25.contrib_mat, n_data)
+
+            self._matrix_dev = jax.device_put(matrix.astype(np.float32), mat_sharding)
+            self._norms_dev = jax.device_put(norms_p, row_sharding)
+            self._bm25_dense = (
+                jax.device_put(term_mat, mat_sharding),
+                jax.device_put(contrib_mat.astype(np.float32), mat_sharding),
+            )
+            self._num_padded = matrix.shape[0]
 
     # ------------------------------------------------------------------ queries
 
@@ -208,13 +243,14 @@ class SearchEngine:
                             magic=s.require_tag_magic_number)
         term_mat, contrib_mat = self._bm25_dense
         out = fused_normal_query(
-            self.index._device(), self._norms_dev,
+            self._matrix_dev, self._norms_dev,
             term_mat, contrib_mat,
             jnp.asarray(packed),
             s.bm25_weight, s.doc2vec_weight,
             s.original_score_weight, s.reranked_score_weight,
             vocab_size=self.bm25.vocab_size,
-            num_docs=len(self.index), topn=topn, k=s.rerank_top_k,
+            num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
+            num_real=self._num_real,
         )
         _, top_idx, r_vals, r_idx, cut = unpack_result(np.asarray(out), s.rerank_top_k)
         top10_set = set(int(i) for i in top_idx)

@@ -54,6 +54,76 @@ def test_dryrun_multichip_2():
     assert "sharded index top-k OK" in out
 
 
+def test_sharded_engine_matches_single_device(tmp_path):
+    """The fused query over a row-sharded 8-device mesh must return exactly what the
+    single-device engine returns (GSPMD partitioning is semantics-preserving)."""
+    code = f"""
+import os
+os.chdir({str(tmp_path)!r})
+import numpy as np
+from anime_illust_image_searcher_tpu.cli import genmodel
+from anime_illust_image_searcher_tpu.index import artifacts
+from anime_illust_image_searcher_tpu.search.engine import SearchEngine
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+rng = np.random.RandomState(0)
+pools = [
+    ["1girl", "solo", "smile", "black_hair", "dress"],
+    ["1boy", "male_focus", "sword", "armor", "standing"],
+    ["no_humans", "white_background", "still_life", "bottle", "flower"],
+]
+lines = []
+for i in range(45):   # deliberately not divisible by 8
+    tags = list(rng.choice(pools[i % 3], size=rng.randint(3, 5), replace=False))
+    lines.append(f"/img/{{i:03d}}.png,{{','.join(tags)}}")
+with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
+    f.write("\\n".join(lines) + "\\n")
+genmodel.main(["--epochs", "10"])
+
+single = SearchEngine(".")
+mesh = make_mesh(n_data=8)
+sharded = SearchEngine(".", mesh=mesh)
+for q in ["1girl", "sword black_hair", "1girl smile:2", "no_humans bottle:+1"]:
+    a = single.find_similar_documents(q, topn=800)
+    b = sharded.find_similar_documents(q, topn=800)
+    assert [d for d, _ in a] == [d for d, _ in b], (q, a[:5], b[:5])
+    np.testing.assert_allclose([s for _, s in a], [s for _, s in b], rtol=1e-4, atol=1e-5)
+print("SHARDED_ENGINE_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "SHARDED_ENGINE_OK" in out
+
+
+def test_dp_tagger_matches_single_device(tmp_path):
+    """Batch-sharded tagging over the mesh must produce the same tag lines."""
+    code = f"""
+import os
+os.chdir({str(tmp_path)!r})
+import numpy as np
+from PIL import Image
+from anime_illust_image_searcher_tpu.config import TaggerConfig
+from anime_illust_image_searcher_tpu.models.eva02 import tiny_test_config
+from anime_illust_image_searcher_tpu.models.tagger import TaggerPredictor
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+TINY = tiny_test_config()
+cfg = TaggerConfig(batch_size=8, image_size=TINY.img_size)
+rng = np.random.RandomState(0)
+batch = rng.randint(0, 255, (8, TINY.img_size, TINY.img_size, 3), dtype=np.uint8)
+
+single = TaggerPredictor(config=cfg, model_cfg=TINY, use_pallas=False)
+lines_a = single.predict(batch, 0.3, True, 0.3, True)
+
+mesh = make_mesh(n_data=8)
+dp = TaggerPredictor(config=cfg, model_cfg=TINY, use_pallas=False, mesh=mesh)
+lines_b = dp.predict(batch, 0.3, True, 0.3, True)
+assert lines_a == lines_b, (lines_a[:2], lines_b[:2])
+print("DP_TAGGER_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "DP_TAGGER_OK" in out
+
+
 def test_sharded_index_matches_unsharded():
     code = """
 import numpy as np, jax
