@@ -108,6 +108,8 @@ def main(arg_str: list) -> None:
     parser.add_argument("--batch-size", type=int, default=None, help="device batch size")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the run to DIR")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard batches across all visible chips (multi-chip dp)")
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.tagger
@@ -116,7 +118,25 @@ def main(arg_str: list) -> None:
 
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
 
-    predictor = Predictor(config=cfg, model_dir=args.model_dir)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from ..parallel.distributed import initialize
+        from ..parallel.mesh import make_mesh
+
+        initialize()
+        n = len(jax.devices())
+        if cfg.batch_size % n:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, batch_size=(cfg.batch_size + n - 1) // n * n
+            )
+        mesh = make_mesh()
+        print(f"data-parallel over {n} devices, batch {cfg.batch_size}")
+
+    predictor = Predictor(config=cfg, model_dir=args.model_dir, mesh=mesh)
     after_date = None
     if args.after is not None:
         try:

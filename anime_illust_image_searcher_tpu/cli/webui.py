@@ -40,14 +40,16 @@ _HTML_PATH = os.path.join(os.path.dirname(__file__), "webui_static", "index.html
 
 
 class WebUIServer:
-    def __init__(self, directory: str = ".", rep: Optional[List[str]] = None) -> None:
+    def __init__(self, directory: str = ".", rep: Optional[List[str]] = None,
+                 mesh=None) -> None:
         self.directory = directory
         self.rep = rep
+        self.mesh = mesh
         self.engine: Optional[SearchEngine] = None
 
     def load(self) -> SearchEngine:
         if self.engine is None:
-            engine = SearchEngine(self.directory, rep=self.rep)
+            engine = SearchEngine(self.directory, rep=self.rep, mesh=self.mesh)
             if os.path.exists(os.path.join(self.directory, artifacts.CFEATURES_CSV)):
                 engine.cfeature_reranker = CCIPReranker(
                     engine.image_files_name_tags_arr,
@@ -196,9 +198,22 @@ def main(arg_str: Optional[List[str]] = None) -> None:
                         help="replace the string in file path to one you want")
     parser.add_argument("--port", type=int, default=8501)
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the index across all visible chips")
     args = parser.parse_args(arg_str if arg_str is not None else sys.argv[1:])
 
-    ui = WebUIServer(rep=args.rep)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from ..parallel.distributed import initialize
+        from ..parallel.mesh import make_mesh
+
+        initialize()
+        mesh = make_mesh()
+        print(f"index sharded over {len(jax.devices())} devices")
+
+    ui = WebUIServer(rep=args.rep, mesh=mesh)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(ui))
     print(f"webui listening on http://{args.host}:{args.port}")
     print("loading search artifacts...")
