@@ -191,6 +191,45 @@ def _train_step(
     return docvecs, syn1
 
 
+@partial(jax.jit, static_argnames=("negative",), donate_argnums=(0, 1))
+def _train_epoch(
+    docvecs: jax.Array,       # (N, dim)
+    syn1: jax.Array,          # (V, dim)
+    doc_idx_b: jax.Array,     # (n_batches, B) int32
+    words_b: jax.Array,       # (n_batches, B, L)
+    mask_b: jax.Array,        # (n_batches, B, L)
+    keep_prob: jax.Array,
+    cum_table: jax.Array,
+    epoch_key: jax.Array,
+    lr: jax.Array,
+    negative: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One epoch as a single device program: lax.scan over batches. Matches the
+    per-batch _train_step sequence exactly (same keys fold_in(epoch_key, bi)); one
+    dispatch per epoch instead of one per batch (dispatch/relay overhead dominated
+    training wall time)."""
+
+    def body(carry, inputs):
+        docvecs, syn1 = carry
+        bi, doc_idx, words, mask = inputs
+        key = jax.random.fold_in(epoch_key, bi)
+        k_keep, k_neg = jax.random.split(key)
+        live = _downsample_mask(k_keep, keep_prob, words, mask)
+        negs = _sample_negatives(k_neg, cum_table, (*words.shape, negative))
+        dvec = docvecs[doc_idx]
+        d_doc, flat_ids, flat_deltas, _ = _sgns_grads(dvec, syn1, words, live, negs, lr)
+        docvecs = docvecs.at[doc_idx].add(d_doc)
+        syn1 = syn1.at[flat_ids].add(flat_deltas)
+        return (docvecs, syn1), None
+
+    n_batches = words_b.shape[0]
+    bis = jnp.arange(n_batches, dtype=jnp.uint32)
+    (docvecs, syn1), _ = jax.lax.scan(
+        body, (docvecs, syn1), (bis, doc_idx_b, words_b, mask_b)
+    )
+    return docvecs, syn1
+
+
 @partial(jax.jit, static_argnames=("epochs", "negative"))
 def _infer_vectors(
     syn1: jax.Array,        # (V, dim) frozen
@@ -300,20 +339,20 @@ class Doc2VecModel:
                 start_epoch = int(snap["epoch"])
                 print(f"doc2vec: resumed from {ckpt_file} at epoch {start_epoch}")
 
+        doc_idx_b = jnp.asarray(doc_index.reshape(n_batches, batch_size))
+        words_b = words_all.reshape(n_batches, batch_size, cfg.max_doc_len)
+        mask_b = mask_all.reshape(n_batches, batch_size, cfg.max_doc_len)
+
         for epoch in range(start_epoch, cfg.epochs):
             lr = jnp.float32(
                 cfg.alpha - (cfg.alpha - cfg.min_alpha) * epoch / max(cfg.epochs, 1)
             )
-            for bi in range(n_batches):
-                sl = slice(bi * batch_size, (bi + 1) * batch_size)
-                key = jax.random.fold_in(jax.random.fold_in(base_key, epoch), bi)
-                docvecs, syn1 = _train_step(
-                    docvecs, syn1,
-                    jnp.asarray(doc_index[sl]),
-                    words_all[sl], mask_all[sl],
-                    keep_prob, cum_table, key, lr,
-                    negative=cfg.negative,
-                )
+            epoch_key = jax.random.fold_in(base_key, epoch)
+            docvecs, syn1 = _train_epoch(
+                docvecs, syn1, doc_idx_b, words_b, mask_b,
+                keep_prob, cum_table, epoch_key, lr,
+                negative=cfg.negative,
+            )
             if log_every and (epoch + 1) % log_every == 0:
                 print(f"doc2vec epoch {epoch + 1}/{cfg.epochs}")
             if ckpt_file and checkpoint_every and (epoch + 1) % checkpoint_every == 0:

@@ -25,23 +25,22 @@ def test_resume_matches_uninterrupted(tmp_cwd, monkeypatch):
     full = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
 
     # crash mid-run: let 4 full epochs (snapshot written), die during epoch 5
-    real_step = d2v._train_step
+    real_epoch = d2v._train_epoch
     calls = {"n": 0}
-    n_batches = 2  # 12 docs padded to 16 at batch_size 8
 
-    def crashing_step(*a, **kw):
-        if calls["n"] >= 4 * n_batches + 1:
+    def crashing_epoch(*a, **kw):
+        if calls["n"] >= 5:
             raise RuntimeError("simulated crash")
         calls["n"] += 1
-        return real_step(*a, **kw)
+        return real_epoch(*a, **kw)
 
-    monkeypatch.setattr(d2v, "_train_step", crashing_step)
+    monkeypatch.setattr(d2v, "_train_epoch", crashing_epoch)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="simulated crash"):
         Doc2VecModel.train(CORPUS, CFG, batch_size=8,
                            checkpoint_path="m", checkpoint_every=4)
-    monkeypatch.setattr(d2v, "_train_step", real_step)
+    monkeypatch.setattr(d2v, "_train_epoch", real_epoch)
     assert os.path.exists("m.ckpt.npz")  # crash artifact survives
 
     resumed = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
