@@ -128,13 +128,24 @@ def _sgns_grads(
     live: jax.Array,       # (B, L) f32 — mask * downsample-keep
     negs: jax.Array,       # (B, L, K) int32
     lr: jax.Array,         # () f32
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Return (doc-vector delta, flat word ids, flat syn1 deltas, positive logits).
+    need_syn1_grad: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array], jax.Array]:
+    """Return (doc-vector delta, per-(doc, word) gradient accumulator A, pos logits).
 
     Standard negative-sampling gradients with label 1 for the document's own words and
     label 0 for noise words; negatives that collide with their positive word are
     dropped (gensim skips them too).
+
+    Every syn1 row delta is g_i · dvec_b, so the full update factorizes:
+        Δsyn1 = Aᵀ @ dvec,   A[b, w] = Σ g over batch item b's occurrences of w.
+    Building A scatters SCALARS (dim× less payload than scattering row deltas — a
+    (B·L·(K+1), dim) scatter measured ~280 ms/step on v5e; this form is one scalar
+    scatter plus a (V, B) @ (B, dim) MXU matmul).
     """
+    b, l = words.shape
+    k = negs.shape[-1]
+    v = syn1.shape[0]
+
     wpos = syn1[words]                                  # (B, L, dim)
     logit_pos = jnp.einsum("bd,bld->bl", dvec, wpos)
     g_pos = (1.0 - jax.nn.sigmoid(logit_pos)) * lr * live          # (B, L)
@@ -148,14 +159,21 @@ def _sgns_grads(
         "blk,blkd->bd", g_neg, wneg
     )
 
-    # syn1 deltas: outer products g * dvec, scattered at word/neg indices.
-    d_pos = g_pos[..., None] * dvec[:, None, :]          # (B, L, dim)
-    d_neg = g_neg[..., None] * dvec[:, None, None, :]    # (B, L, K, dim)
-    flat_ids = jnp.concatenate([words.reshape(-1), negs.reshape(-1)])
-    flat_deltas = jnp.concatenate(
-        [d_pos.reshape(-1, d_pos.shape[-1]), d_neg.reshape(-1, d_neg.shape[-1])]
-    )
-    return d_doc, flat_ids, flat_deltas, logit_pos
+    if not need_syn1_grad:  # inference only moves the doc vector
+        return d_doc, None, logit_pos
+
+    ids = jnp.concatenate([words.reshape(b, l), negs.reshape(b, l * k)], axis=1)
+    gs = jnp.concatenate([g_pos.reshape(b, l), g_neg.reshape(b, l * k)], axis=1)
+    acc = jnp.zeros((b, v), dtype=jnp.float32)
+    b_idx = jnp.broadcast_to(jnp.arange(b)[:, None], ids.shape)
+    acc = acc.at[b_idx.reshape(-1), ids.reshape(-1)].add(gs.reshape(-1))
+    return d_doc, acc, logit_pos
+
+
+def _apply_syn1_update(syn1: jax.Array, acc: jax.Array, dvec: jax.Array) -> jax.Array:
+    """syn1 += Aᵀ @ dvec (full-f32 MXU passes: these are optimizer-state updates)."""
+    return syn1 + jnp.dot(acc.T, dvec, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 def _sample_negatives(key: jax.Array, cum_table: jax.Array, shape) -> jax.Array:
@@ -185,9 +203,9 @@ def _train_step(
     live = _downsample_mask(k_keep, keep_prob, words, mask)
     negs = _sample_negatives(k_neg, cum_table, (*words.shape, negative))
     dvec = docvecs[doc_idx]
-    d_doc, flat_ids, flat_deltas, _ = _sgns_grads(dvec, syn1, words, live, negs, lr)
+    d_doc, acc, _ = _sgns_grads(dvec, syn1, words, live, negs, lr)
     docvecs = docvecs.at[doc_idx].add(d_doc)
-    syn1 = syn1.at[flat_ids].add(flat_deltas)
+    syn1 = _apply_syn1_update(syn1, acc, dvec)
     return docvecs, syn1
 
 
@@ -217,9 +235,9 @@ def _train_epoch(
         live = _downsample_mask(k_keep, keep_prob, words, mask)
         negs = _sample_negatives(k_neg, cum_table, (*words.shape, negative))
         dvec = docvecs[doc_idx]
-        d_doc, flat_ids, flat_deltas, _ = _sgns_grads(dvec, syn1, words, live, negs, lr)
+        d_doc, acc, _ = _sgns_grads(dvec, syn1, words, live, negs, lr)
         docvecs = docvecs.at[doc_idx].add(d_doc)
-        syn1 = syn1.at[flat_ids].add(flat_deltas)
+        syn1 = _apply_syn1_update(syn1, acc, dvec)
         return (docvecs, syn1), None
 
     n_batches = words_b.shape[0]
@@ -256,8 +274,9 @@ def _infer_vectors(
             k1, k2 = jax.random.split(k)
             live = _downsample_mask(k1, keep_prob, w[None], m[None])[0]
             negs = _sample_negatives(k2, cum_table, (*w.shape, negative))
-            d_doc, _, _, _ = _sgns_grads(
-                dvec[None], syn1, w[None], live[None], negs[None], lr
+            d_doc, _, _ = _sgns_grads(
+                dvec[None], syn1, w[None], live[None], negs[None], lr,
+                need_syn1_grad=False,
             )
             return dvec + d_doc[0]
 
