@@ -414,6 +414,18 @@ class Doc2VecModel:
         idx = self.vocab.token2id.get(token, len(self.vocab))
         return vecs[idx]
 
+    # Per-doc pad-length buckets: the doc's OWN length picks its bucket, so a given
+    # doc always sees the same random-draw shapes → identical vectors regardless of
+    # which batch it rides in. Inference is gather-bandwidth-bound; short docs in the
+    # 8/32 buckets skip ~4-16x of padding gathers.
+    _LEN_BUCKETS = (8, 32)
+
+    def _len_bucket(self, n_ids: int) -> int:
+        for lb in self._LEN_BUCKETS:
+            if n_ids <= lb:
+                return lb
+        return self.cfg.max_doc_len
+
     def infer_vectors(
         self, docs: Sequence[Sequence[str]], epochs: Optional[int] = None
     ) -> np.ndarray:
@@ -427,26 +439,33 @@ class Doc2VecModel:
         ]
         n = len(ids)
         out = np.empty((n, dim), dtype=np.float32)
+        # group doc positions by their length bucket, then chunk each group
+        groups: Dict[int, List[int]] = {}
+        for pos, d in enumerate(ids):
+            groups.setdefault(self._len_bucket(len(d)), []).append(pos)
         chunk = self._INFER_BUCKETS[-1]
-        start = 0
-        while start < n:
-            remaining = n - start
-            bucket = next(
-                (b for b in self._INFER_BUCKETS if remaining <= b), chunk
-            )
-            take = min(remaining, bucket)
-            out[start : start + take] = self._infer_bucket(
-                ids[start : start + take], bucket, epochs
-            )
-            start += take
+        for len_bucket, positions in groups.items():
+            start = 0
+            while start < len(positions):
+                remaining = len(positions) - start
+                bucket = next(
+                    (b for b in self._INFER_BUCKETS if remaining <= b), chunk
+                )
+                take = min(remaining, bucket)
+                sel = positions[start : start + take]
+                out[sel] = self._infer_bucket(
+                    [ids[p] for p in sel], bucket, epochs, len_bucket
+                )
+                start += take
         return out
 
-    def _infer_bucket(self, ids: List[List[int]], bucket: int, epochs: int) -> np.ndarray:
+    def _infer_bucket(self, ids: List[List[int]], bucket: int, epochs: int,
+                      len_bucket: int) -> np.ndarray:
         cfg = self.cfg
         dim = cfg.vector_size
         n = len(ids)
         padded_ids = ids + [[] for _ in range(bucket - n)]
-        words_np, mask_np = pad_corpus(padded_ids, cfg.max_doc_len)
+        words_np, mask_np = pad_corpus(padded_ids, len_bucket)
         seeds = np.array(
             [_stable_doc_seed(d, cfg.seed) & 0xFFFFFFFF for d in padded_ids],
             dtype=np.uint32,
