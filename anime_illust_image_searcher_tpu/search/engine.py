@@ -9,6 +9,7 @@ per-query retracing, which is what the ≤10 ms serving target requires.
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 from dataclasses import dataclass
@@ -27,6 +28,8 @@ from .filters import filter_searched_result, is_include_ng_word
 from .parser import BM25Query, parse_bm25_query, parse_doc2vec_query
 
 Result = Tuple[int, float]
+
+logger = logging.getLogger(__name__)
 
 
 def assemble_prf_results(
@@ -199,6 +202,21 @@ class SearchEngine:
             and len(new_doc.split(" ")) <= MAX_QUERY_TERMS
         ):
             return self._find_similar_fused(new_doc, topn)
+
+        if search_mode != "character oriented" and not getattr(
+            self, "_warned_slow_path", False
+        ):
+            # The multi-call path is ~18x slower at 100k docs (ARCHITECTURE.md §3);
+            # say so once instead of silently degrading.
+            self._warned_slow_path = True
+            reason = (
+                "index stores no doc-vector norms (rebuild with genmodel to fix)"
+                if not self._norms_known
+                else f"query has more than {MAX_QUERY_TERMS} terms"
+                if len(new_doc.split(" ")) > MAX_QUERY_TERMS
+                else "index too small for the fused PRF program"
+            )
+            logger.warning("query using non-fused fallback path: %s", reason)
 
         vec = self.doc2vec_query_vector(new_doc)
         sims_doc2vec = self.index[vec]
