@@ -26,6 +26,7 @@ import argparse
 import json
 import mimetypes
 import os
+import re
 import sys
 import time
 import urllib.parse
@@ -37,6 +38,12 @@ from ..search.engine import SearchEngine
 from ..search.rerank_ccip import CCIPReranker
 
 _HTML_PATH = os.path.join(os.path.dirname(__file__), "webui_static", "index.html")
+
+# Everything except word chars, dot, dash, and the (escaped-)paren forms Danbooru
+# tags use becomes '_' — in particular '/' and '\\' so the name stays a basename.
+_EXPORT_NAME_UNSAFE = re.compile(r"[^A-Za-z0-9._()\-]")
+
+MAX_POST_BODY_BYTES = 2 * 1024 * 1024  # queries and 800-path exports are << 2 MB
 
 
 class WebUIServer:
@@ -118,16 +125,28 @@ class WebUIServer:
         }
 
     def api_export(self, query: str, paths: List[str]) -> dict:
+        """Write hit paths to ``query_timestamp.txt`` (reference webui.py:497-513).
+
+        Unlike the reference (local Streamlit session), this is an HTTP endpoint, so
+        the filename is sanitized to a basename confined to CWD and only paths the
+        index actually knows about are written — browser input controls neither the
+        write location nor arbitrary content.
+        """
         encoding = "shift_jis" if sys.platform == "win32" else "utf-8"
-        out_name = f"{query.replace(' ', '_').replace(':', '_')}_{int(time.time())}.txt"
+        name = query.replace(" ", "_").replace(":", "_")
+        name = _EXPORT_NAME_UNSAFE.sub("_", name).lstrip(".") or "query"
+        out_name = f"{name[:128]}_{int(time.time())}.txt"
+        assert os.path.basename(out_name) == out_name
+        self.load()
+        exported = [p for p in paths if isinstance(p, str) and p in self._allowed_images]
         with open(out_name, "w", encoding=encoding) as f:
-            for p in paths:
+            for p in exported:
                 try:
                     f.write(f"{p}\n")
                 except Exception as e:  # noqa: BLE001
                     print(f"Error: {e}")
                     continue
-        return {"file": out_name, "count": len(paths)}
+        return {"file": out_name, "count": len(exported)}
 
 
 def make_handler(server: WebUIServer):
@@ -167,10 +186,20 @@ def make_handler(server: WebUIServer):
                 self._send_json({"error": "not found"}, 404)
 
         def do_POST(self) -> None:
-            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self._send_json({"error": "bad content-length"}, 400)
+                return
+            if length < 0 or length > MAX_POST_BODY_BYTES:
+                self._send_json({"error": "body too large"}, 413)
+                return
             try:
                 body = json.loads(self.rfile.read(length) or b"{}")
             except json.JSONDecodeError:
+                self._send_json({"error": "bad json"}, 400)
+                return
+            if not isinstance(body, dict):
                 self._send_json({"error": "bad json"}, 400)
                 return
             if self.path == "/api/search":

@@ -79,12 +79,31 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / MEASURE_STEPS
     images_per_sec = BATCH / dt
 
-    print(json.dumps({
+    # Secondary metric: end-to-end query latency on the 100k-doc index
+    # (VERDICT r1 #4: the driver artifact must carry both numbers). Printed
+    # BEFORE the headline line; failures here never hide the headline metric.
+    query_line = None
+    try:
+        from bench_query import run_query_bench
+
+        query = run_query_bench(directory="/tmp/aiis_bench_100k")
+        query_line = json.dumps(query)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"query bench failed: {exc!r}")
+        query = None
+    if query_line:
+        print(query_line)
+
+    headline = {
         "metric": "wd_vit_tagging_throughput",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
-    }))
+    }
+    if query is not None:
+        headline["query_latency_p50_ms_100k"] = query["value"]
+        headline["query_device_ms_estimate_100k"] = query["device_ms_estimate"]
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -79,14 +79,14 @@ def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int =
     return tag_names
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--docs", type=int, default=100_000)
-    parser.add_argument("--vocab", type=int, default=10_000)
-    parser.add_argument("--queries", type=int, default=50)
-    parser.add_argument("--dir", default=None, help="reuse an artifact dir")
-    args = parser.parse_args()
+def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
+                    n_queries: int = 50, directory: str | None = None) -> dict:
+    """Build (or reuse) the 100k-doc artifact chain and measure warm query latency.
 
+    Returns the metric dict; callers (``main`` here, and ``bench.py``) print it as
+    one JSON line. Reports both wall latency and a relay-floor-corrected device
+    estimate separately.
+    """
     from anime_illust_image_searcher_tpu.utils.jax_setup import (
         enable_persistent_compile_cache,
     )
@@ -94,15 +94,15 @@ def main() -> None:
     enable_persistent_compile_cache()
     import numpy as np
 
+    from anime_illust_image_searcher_tpu.index import artifacts as art
     from anime_illust_image_searcher_tpu.search.engine import SearchEngine
 
-    directory = args.dir or tempfile.mkdtemp(prefix="aiis_bench_")
-    from anime_illust_image_searcher_tpu.index import artifacts as art
-
+    directory = directory or tempfile.mkdtemp(prefix="aiis_bench_")
+    os.makedirs(directory, exist_ok=True)
     if not os.path.exists(os.path.join(directory, art.DOC2VEC_MODEL)):
-        tag_names = build_artifacts(directory, args.docs, args.vocab)
+        tag_names = build_artifacts(directory, n_docs, vocab)
     else:
-        tag_names = [f"tag_{i:05d}" for i in range(args.vocab)]
+        tag_names = [f"tag_{i:05d}" for i in range(vocab)]
     print(f"artifacts in {directory}")
 
     t0 = time.perf_counter()
@@ -111,7 +111,7 @@ def main() -> None:
 
     rng = np.random.RandomState(1)
     queries = []
-    for _ in range(args.queries):
+    for _ in range(n_queries):
         base = [tag_names[rng.randint(200)] for _ in range(rng.randint(1, 4))]
         q = " ".join(base)
         if rng.rand() < 0.3:
@@ -146,16 +146,27 @@ def main() -> None:
     floor = float(np.median(floors))
 
     p50 = float(np.percentile(lat, 50))
-    print(json.dumps({
+    return {
         "metric": "query_latency_p50",
         "value": round(p50, 2),
-        "unit": "ms @ %dk docs" % (args.docs // 1000),
+        "unit": "ms @ %dk docs" % (n_docs // 1000),
         "p95_ms": round(float(np.percentile(lat, 95)), 2),
         "mean_ms": round(float(lat.mean()), 2),
         "transport_floor_ms": round(floor, 2),
         "device_ms_estimate": round(max(0.0, p50 - floor), 2),
         "vs_baseline": None,
-    }))
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", type=int, default=100_000)
+    parser.add_argument("--vocab", type=int, default=10_000)
+    parser.add_argument("--queries", type=int, default=50)
+    parser.add_argument("--dir", default=None, help="reuse an artifact dir")
+    args = parser.parse_args()
+    result = run_query_bench(args.docs, args.vocab, args.queries, args.dir)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
