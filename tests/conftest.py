@@ -10,6 +10,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize imports jax at interpreter startup (before this file),
+# so the env var alone is too late — jax already read JAX_PLATFORMS=axon. The
+# config update below is what actually forces CPU; without it the whole suite
+# silently runs on the relay'd TPU chip.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 # Persistent compile cache: repeated pytest runs skip recompiling identical programs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
