@@ -115,6 +115,9 @@ def main(arg_str: list) -> None:
         help="tagging new images after this date (mtime attribute). Format: YYYY-MM-DD",
     )
     parser.add_argument("--batch-size", type=int, default=None, help="device batch size")
+    parser.add_argument("--model-dir", default=None,
+                        help="converted CCIP checkpoint (tools/convert_ccip.py); "
+                             "defaults to $AIIS_CCIP_MODEL_DIR, else random weights")
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.ccip
@@ -123,7 +126,7 @@ def main(arg_str: list) -> None:
 
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
 
-    predictor = Predictor(config=cfg)
+    predictor = Predictor(config=cfg, model_dir=args.model_dir)
     if args.after is not None:
         try:
             after_date = datetime.datetime.strptime(args.after[0], "%Y-%m-%d").date()

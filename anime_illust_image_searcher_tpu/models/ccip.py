@@ -30,15 +30,21 @@ class CCIPPredictor:
         model_cfg: Optional[CAFormerConfig] = None,
         use_pallas: Optional[bool] = None,
         seed: int = 0,
+        model_dir: Optional[str] = None,
     ) -> None:
+        import os
+
         if use_pallas is None:
             # Same default rationale as TaggerPredictor: measured XLA > Pallas here.
-            import os
-
             use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
+        # converted real weights (tools/convert_ccip.py); env var reaches call
+        # sites that don't take CLI flags (the webui character reranker)
+        self.model_dir = model_dir or os.environ.get("AIIS_CCIP_MODEL_DIR") or None
         self.config = config
-        self.model_cfg = model_cfg or CAFormerConfig(
-            img_size=config.image_size, feature_dim=config.feature_dim,
+        self.model_cfg = model_cfg or (
+            None if self.model_dir else CAFormerConfig(
+                img_size=config.image_size, feature_dim=config.feature_dim,
+            )
         )
         self.use_pallas = use_pallas
         self.seed = seed
@@ -48,14 +54,28 @@ class CCIPPredictor:
         self._std = jnp.asarray(config.std, jnp.float32)
 
     def load_model(self) -> None:
-        if self.params is None:
+        if self.params is not None:
+            return
+        if self.model_dir:
+            from .ccip_weights import load_ccip_checkpoint
+
+            self.model_cfg, self.params, thr = load_ccip_checkpoint(self.model_dir)
+            if thr is not None:
+                self.threshold = thr
+        else:
+            print(
+                "WARNING: no CCIP model dir (set AIIS_CCIP_MODEL_DIR or pass "
+                "--model-dir); using seeded RANDOM weights. Feature format is "
+                "real, character semantics are not."
+            )
             self.params = init_params(self.model_cfg, seed=self.seed,
                                       use_pallas=self.use_pallas)
 
     def ccip_default_threshold(self) -> float:
         """Published metrics.json threshold of ccip-caformer-24-randaug-pruned
-        (gen_cfeatures.py:183-202)."""
-        return self.config.default_threshold
+        (gen_cfeatures.py:183-202); a converted checkpoint carries its own."""
+        self.load_model()
+        return self.threshold if self.threshold > 0 else self.config.default_threshold
 
     # ---- features ------------------------------------------------------------
 

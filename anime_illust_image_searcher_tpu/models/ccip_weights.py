@@ -463,6 +463,57 @@ def convert_feat_file(path: str) -> Tuple[CAFormerConfig, dict, ConversionReport
     return convert_feat_graph(load_model(path).graph)
 
 
+# ------------------------------------------------------------- checkpoint IO
+# ``--model-dir`` format consumed by CCIPPredictor (mirrors the tagger's
+# model-dir contract): params.npz ('/'-joined paths) + config.json.
+
+
+def save_ccip_checkpoint(dest_dir: str, cfg: CAFormerConfig, params: dict,
+                         threshold: Optional[float] = None) -> None:
+    import json
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                flat[p] = np.asarray(v)
+
+    walk(params["params"], "")
+    np.savez(os.path.join(dest_dir, "params.npz"), **flat)
+    cfg_dict = dataclasses.asdict(cfg)
+    cfg_dict.pop("dtype", None)
+    cfg_dict["threshold"] = threshold
+    with open(os.path.join(dest_dir, "config.json"), "w", encoding="utf-8") as f:
+        json.dump(cfg_dict, f, indent=1)
+
+
+def load_ccip_checkpoint(model_dir: str) -> Tuple[CAFormerConfig, dict, Optional[float]]:
+    import json
+    import os
+
+    with open(os.path.join(model_dir, "config.json"), encoding="utf-8") as f:
+        cfg_dict = json.load(f)
+    threshold = cfg_dict.pop("threshold", None)
+
+    def tt(v):  # json lists -> tuples (nested one level)
+        if isinstance(v, list):
+            return tuple(tt(x) for x in v)
+        return v
+
+    cfg = CAFormerConfig(**{k: tt(v) for k, v in cfg_dict.items()})
+    tree: dict = {}
+    with np.load(os.path.join(model_dir, "params.npz")) as z:
+        for key in z.files:
+            _set(tree, key.replace("/", "."), z[key])
+    return cfg, {"params": _to_jax(tree)}, threshold
+
+
 # ---------------------------------------------------------------------------
 # Pure-numpy ONNX executor — verification harness for converted models and the
 # instrument that *determines* what model_metrics.onnx computes (VERDICT r1 #2:

@@ -384,3 +384,81 @@ def test_analyze_metric_names_unsupported_op():
     g.outputs[0] = ("z", (None, None))
     with pytest.raises(NotImplementedError, match="EyeLike"):
         analyze_metric_graph(g)
+
+
+# ------------------------------------------------------------- checkpoint IO
+
+
+def test_checkpoint_roundtrip_through_predictor(tmp_path, torch_model, oracle):
+    """save_ccip_checkpoint -> CCIPPredictor(model_dir=...) reproduces the
+    torch oracle end-to-end (the gen_cfeatures --model-dir path)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.config import CCIPConfig
+    from anime_illust_image_searcher_tpu.models.ccip import CCIPPredictor
+    from anime_illust_image_searcher_tpu.models.ccip_weights import (
+        load_ccip_checkpoint, save_ccip_checkpoint,
+    )
+
+    x, y_ref = oracle
+    cfg, params, _ = convert_feat_graph(_state_dict_graph(torch_model))
+    cfg = dataclasses.replace(cfg, num_heads=HEADS)
+    save_ccip_checkpoint(str(tmp_path / "ckpt"), cfg, params, threshold=0.119)
+
+    cfg2, params2, thr = load_ccip_checkpoint(str(tmp_path / "ckpt"))
+    assert thr == 0.119
+    assert cfg2.depths == cfg.depths and cfg2.mlp_hidden == cfg.mlp_hidden
+    y = _flax_forward(cfg2, params2, x)
+    np.testing.assert_allclose(y, y_ref, atol=2e-4, rtol=1e-3)
+
+    pred = CCIPPredictor(config=CCIPConfig(image_size=IMG),
+                         model_dir=str(tmp_path / "ckpt"), use_pallas=False)
+    assert pred.ccip_default_threshold() == 0.119
+    # predictor takes uint8 and CLIP-normalizes on device; rescale the oracle
+    # input into uint8 space and compare against torch on the same pixels
+    u8 = (x * 255.0).astype(np.uint8)
+    mean = np.asarray(pred.config.mean, np.float32)
+    std = np.asarray(pred.config.std, np.float32)
+    xn = ((u8.astype(np.float32) / 255.0).transpose(0, 2, 3, 1) - mean) / std
+    with torch.no_grad():
+        y_t = torch_model(torch.from_numpy(xn.transpose(0, 3, 1, 2))).numpy()
+    # predictor's model_cfg came from config.json: num_heads derived as dim//32
+    # differs from the tiny replica's heads — rebuild with the replica's heads
+    pred.load_model()
+    pred.model_cfg = dataclasses.replace(pred.model_cfg, num_heads=HEADS)
+    feats = pred.ccip_batch_extract_features(u8.transpose(0, 2, 3, 1))
+    np.testing.assert_allclose(feats, y_t, atol=2e-3, rtol=1e-2)
+
+
+def test_convert_ccip_tool_end_to_end(tmp_path, torch_model):
+    """tools/convert_ccip.py over serialized synthetic feat+metric models."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import convert_ccip
+    finally:
+        sys.path.pop(0)
+
+    feat_path = str(tmp_path / "model_feat.onnx")
+    opb.save_model(opb.ModelP(graph=_export_style_graph(torch_model)), feat_path)
+    metric_path = str(tmp_path / "model_metrics.onnx")
+    opb.save_model(opb.ModelP(graph=_metric_graph()), metric_path)
+    mj = tmp_path / "metrics.json"
+    mj.write_text('{"threshold": 0.1944}')
+
+    rc = convert_ccip.main([
+        "--feat", feat_path, "--metrics", metric_path,
+        "--metrics-json", str(mj), "--dest", str(tmp_path / "out"),
+        "--skip-forward-check",  # tiny replica heads != dim//32 derivation
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "params.npz").exists()
+    assert (tmp_path / "out" / "config.json").exists()
+
+    import json
+    cfg = json.loads((tmp_path / "out" / "config.json").read_text())
+    assert cfg["threshold"] == 0.1944
+    assert tuple(cfg["dims"]) == DIMS
