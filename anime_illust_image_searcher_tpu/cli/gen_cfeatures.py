@@ -118,6 +118,9 @@ def main(arg_str: list) -> None:
     parser.add_argument("--model-dir", default=None,
                         help="converted CCIP checkpoint (tools/convert_ccip.py); "
                              "defaults to $AIIS_CCIP_MODEL_DIR, else random weights")
+    parser.add_argument("--model-repo", default=None, metavar="REPO_ID",
+                        help="HF Hub repo to download + convert at runtime "
+                             "(e.g. deepghs/ccip_onnx); networked deployments only")
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.ccip
@@ -126,7 +129,14 @@ def main(arg_str: list) -> None:
 
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
 
-    predictor = Predictor(config=cfg, model_dir=args.model_dir)
+    model_dir = args.model_dir
+    if model_dir is None and args.model_repo:
+        from ..models.hub import fetch_ccip_repo
+
+        model_dir = fetch_ccip_repo(args.model_repo)
+        print(f"ccip model converted to {model_dir}")
+
+    predictor = Predictor(config=cfg, model_dir=model_dir)
     if args.after is not None:
         try:
             after_date = datetime.datetime.strptime(args.after[0], "%Y-%m-%d").date()

@@ -105,6 +105,11 @@ def main(arg_str: list) -> None:
         help="local checkpoint dir with model.safetensors + selected_tags.csv "
              "(converted from SmilingWolf/wd-eva02-large-tagger-v3)",
     )
+    parser.add_argument(
+        "--model-repo", default=None, metavar="REPO_ID",
+        help="HF Hub repo to download at runtime (e.g. "
+             "SmilingWolf/wd-eva02-large-tagger-v3); networked deployments only",
+    )
     parser.add_argument("--batch-size", type=int, default=None, help="device batch size")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the run to DIR")
@@ -136,7 +141,14 @@ def main(arg_str: list) -> None:
         mesh = make_mesh()
         print(f"data-parallel over {n} devices, batch {cfg.batch_size}")
 
-    predictor = Predictor(config=cfg, model_dir=args.model_dir, mesh=mesh)
+    model_dir = args.model_dir
+    if model_dir is None and args.model_repo:
+        from ..models.hub import fetch_tagger_repo
+
+        model_dir = fetch_tagger_repo(args.model_repo)
+        print(f"model fetched to {model_dir}")
+
+    predictor = Predictor(config=cfg, model_dir=model_dir, mesh=mesh)
     after_date = None
     if args.after is not None:
         try:
