@@ -37,6 +37,10 @@ class TaggerConfig:
     output_file: str = "tags-wd-tagger.txt"
     # bf16 compute on the MXU; logits/probabilities come back in f32.
     compute_dtype: str = "bfloat16"
+    # "none" or "int8": v5e double-rate MXU path (ops/quant.py). Also settable
+    # via AIIS_INT8=1. Validate tag-set deltas with tools/quant_report.py on
+    # real weights before enabling in production.
+    quant: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +63,10 @@ class Doc2VecConfig:
     # Device batching: documents are padded to this many tags per doc (tag docs are
     # dozens of tokens; 128 is one VPU lane-width and fits every real corpus we saw).
     max_doc_len: int = 128
+    # Training-only: gather syn1 rows as bf16 (halves the step's dominant HBM
+    # traffic; f32 master weights take the update). Inference always gathers
+    # f32 — the deterministic tag-vector table depends on it.
+    train_gather_bf16: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,7 +123,7 @@ def pad_corpus(
 
 def _sgns_grads(
     dvec: jax.Array,       # (B, dim)
-    syn1: jax.Array,       # (V, dim)
+    syn1: jax.Array,       # (V, dim) — may be a bf16 gather copy (training)
     words: jax.Array,      # (B, L) int32
     live: jax.Array,       # (B, L) f32 — mask * downsample-keep
     negs: jax.Array,       # (B, L, K) int32
@@ -141,22 +141,30 @@ def _sgns_grads(
     Building A scatters SCALARS (dim× less payload than scattering row deltas — a
     (B·L·(K+1), dim) scatter measured ~280 ms/step on v5e; this form is one scalar
     scatter plus a (V, B) @ (B, dim) MXU matmul).
+
+    The gathers (wpos/wneg) dominate HBM traffic; callers on the training path
+    pass ``syn1`` pre-cast to bf16 (halving gather bytes) while the f32 master
+    copy takes the update — logits/deltas still accumulate in f32.
     """
     b, l = words.shape
     k = negs.shape[-1]
     v = syn1.shape[0]
 
     wpos = syn1[words]                                  # (B, L, dim)
-    logit_pos = jnp.einsum("bd,bld->bl", dvec, wpos)
+    logit_pos = jnp.einsum("bd,bld->bl", dvec.astype(syn1.dtype), wpos,
+                           preferred_element_type=jnp.float32)
     g_pos = (1.0 - jax.nn.sigmoid(logit_pos)) * lr * live          # (B, L)
 
     wneg = syn1[negs]                                   # (B, L, K, dim)
-    logit_neg = jnp.einsum("bd,blkd->blk", dvec, wneg)
+    logit_neg = jnp.einsum("bd,blkd->blk", dvec.astype(syn1.dtype), wneg,
+                           preferred_element_type=jnp.float32)
     neg_live = live[..., None] * (negs != words[..., None])
     g_neg = (0.0 - jax.nn.sigmoid(logit_neg)) * lr * neg_live      # (B, L, K)
 
-    d_doc = jnp.einsum("bl,bld->bd", g_pos, wpos) + jnp.einsum(
-        "blk,blkd->bd", g_neg, wneg
+    d_doc = jnp.einsum("bl,bld->bd", g_pos.astype(syn1.dtype), wpos,
+                       preferred_element_type=jnp.float32) + jnp.einsum(
+        "blk,blkd->bd", g_neg.astype(syn1.dtype), wneg,
+        preferred_element_type=jnp.float32
     )
 
     if not need_syn1_grad:  # inference only moves the doc vector
@@ -209,7 +217,8 @@ def _train_step(
     return docvecs, syn1
 
 
-@partial(jax.jit, static_argnames=("negative",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("negative", "gather_bf16"),
+         donate_argnums=(0, 1))
 def _train_epoch(
     docvecs: jax.Array,       # (N, dim)
     syn1: jax.Array,          # (V, dim)
@@ -221,11 +230,14 @@ def _train_epoch(
     epoch_key: jax.Array,
     lr: jax.Array,
     negative: int,
+    gather_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One epoch as a single device program: lax.scan over batches. Matches the
     per-batch _train_step sequence exactly (same keys fold_in(epoch_key, bi)); one
     dispatch per epoch instead of one per batch (dispatch/relay overhead dominated
-    training wall time)."""
+    training wall time). ``gather_bf16`` halves the syn1 gather traffic (the
+    step's HBM bottleneck) by gathering from a bf16 copy; the f32 master still
+    takes the update."""
 
     def body(carry, inputs):
         docvecs, syn1 = carry
@@ -235,7 +247,8 @@ def _train_epoch(
         live = _downsample_mask(k_keep, keep_prob, words, mask)
         negs = _sample_negatives(k_neg, cum_table, (*words.shape, negative))
         dvec = docvecs[doc_idx]
-        d_doc, acc, _ = _sgns_grads(dvec, syn1, words, live, negs, lr)
+        syn1_g = syn1.astype(jnp.bfloat16) if gather_bf16 else syn1
+        d_doc, acc, _ = _sgns_grads(dvec, syn1_g, words, live, negs, lr)
         docvecs = docvecs.at[doc_idx].add(d_doc)
         syn1 = _apply_syn1_update(syn1, acc, dvec)
         return (docvecs, syn1), None
@@ -370,7 +383,7 @@ class Doc2VecModel:
             docvecs, syn1 = _train_epoch(
                 docvecs, syn1, doc_idx_b, words_b, mask_b,
                 keep_prob, cum_table, epoch_key, lr,
-                negative=cfg.negative,
+                negative=cfg.negative, gather_bf16=cfg.train_gather_bf16,
             )
             if log_every and (epoch + 1) % log_every == 0:
                 print(f"doc2vec epoch {epoch + 1}/{cfg.epochs}")

@@ -31,6 +31,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.flash_attention import attention_reference, mha_attention
+from ..ops.quant import Int8Dense
+
+
+def _dense(cfg: "Eva02Config"):
+    """The block-level Dense factory: bf16 MXU or the int8 double-rate path."""
+    if cfg.quant == "int8":
+        return partial(Int8Dense, dtype=cfg.dtype)
+    return partial(nn.Dense, dtype=cfg.dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +70,9 @@ class Eva02Config:
     norm_in_f32: bool = True
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16  # compute dtype; params stay f32
+    # "none" (bf16 MXU) or "int8" (v5e double-rate MXU via ops/quant.Int8Dense;
+    # identical param tree, so any checkpoint serves both paths)
+    quant: str = "none"
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -143,9 +154,10 @@ class EvaAttention(nn.Module):
         b, n, c = x.shape
         h, dh = cfg.num_heads, cfg.head_dim
 
-        q = nn.Dense(c, use_bias=True, name="q_proj", dtype=cfg.dtype)(x)
-        k = nn.Dense(c, use_bias=False, name="k_proj", dtype=cfg.dtype)(x)
-        v = nn.Dense(c, use_bias=True, name="v_proj", dtype=cfg.dtype)(x)
+        dense = _dense(cfg)
+        q = dense(c, use_bias=True, name="q_proj")(x)
+        k = dense(c, use_bias=False, name="k_proj")(x)
+        v = dense(c, use_bias=True, name="v_proj")(x)
 
         def split_heads(t):
             return t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)  # (B, H, N, Dh)
@@ -169,7 +181,7 @@ class EvaAttention(nn.Module):
         if cfg.scale_attn_inner:
             out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm",
                                dtype=jnp.float32 if cfg.norm_in_f32 else cfg.dtype)(out)
-        out = nn.Dense(c, use_bias=True, name="proj", dtype=cfg.dtype)(out)
+        out = dense(c, use_bias=True, name="proj")(out)
         return out
 
 
@@ -181,12 +193,13 @@ class SwiGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         cfg = self.cfg
-        g = nn.Dense(cfg.mlp_hidden_dim, name="w1", dtype=cfg.dtype)(x)
-        u = nn.Dense(cfg.mlp_hidden_dim, name="w2", dtype=cfg.dtype)(x)
+        dense = _dense(cfg)
+        g = dense(cfg.mlp_hidden_dim, name="w1")(x)
+        u = dense(cfg.mlp_hidden_dim, name="w2")(x)
         hidden = nn.silu(g) * u
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm",
                               dtype=jnp.float32 if cfg.norm_in_f32 else cfg.dtype)(hidden)
-        return nn.Dense(cfg.embed_dim, name="w3", dtype=cfg.dtype)(hidden)
+        return dense(cfg.embed_dim, name="w3")(hidden)
 
 
 class EvaBlock(nn.Module):

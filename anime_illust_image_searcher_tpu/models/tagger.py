@@ -70,13 +70,17 @@ class TaggerPredictor:
         """``mesh``: optional jax.sharding.Mesh with a 'data' axis — batches shard
         across chips and params replicate (pjit data parallelism, SURVEY.md §2.3).
         batch_size must divide by the data-axis size."""
+        import os
+
         if use_pallas is None:
             # Measured on v5e (B=128, EVA02-L): XLA's fused attention 114 img/s vs the
             # Pallas kernel's 87 — XLA is the production default until the kernel
             # closes the gap. Opt in with AIIS_USE_PALLAS=1.
-            import os
-
             use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
+        if os.environ.get("AIIS_INT8", "0") == "1" and config.quant == "none":
+            import dataclasses
+
+            config = dataclasses.replace(config, quant="int8")
         self.config = config
         self.model_dir = model_dir
         self.use_pallas = use_pallas
@@ -90,10 +94,17 @@ class TaggerPredictor:
             return
         if self.model_dir:
             self.params, self.model_cfg, self.labels = load_tagger_checkpoint(self.model_dir)
+            if self.config.quant != "none":
+                import dataclasses
+
+                # same param tree serves both paths (ops/quant.Int8Dense)
+                self.model_cfg = dataclasses.replace(self.model_cfg,
+                                                     quant=self.config.quant)
         else:
             self.model_cfg = self._model_cfg or Eva02Config(
                 img_size=self.config.image_size,
                 dtype=jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32,
+                quant=self.config.quant,
             )
             print(
                 "WARNING: no --model-dir given; using seeded RANDOM weights and "
