@@ -46,12 +46,74 @@ _EXPORT_NAME_UNSAFE = re.compile(r"[^A-Za-z0-9._()\-]")
 MAX_POST_BODY_BYTES = 2 * 1024 * 1024  # queries and 800-path exports are << 2 MB
 
 
+class QueryBatcher:
+    """Coalesce concurrent searches into one batched device call (ROADMAP #7).
+
+    Leader-follower micro-batching: the first thread to arrive becomes the
+    leader, waits ``window_s`` for followers, then runs every pending query
+    through ``SearchEngine.find_similar_documents_batch`` — B concurrent
+    queries cost ~one device round trip instead of B serialized ones (the
+    relay round trip alone is ~33 ms; see ARCHITECTURE.md §3)."""
+
+    def __init__(self, engine, window_s: float = 0.004, max_batch: int = 8) -> None:
+        import threading
+
+        self.engine = engine
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._pending: list = []          # [(query, topn, event, box)]
+        self._leader_active = False
+
+    def search(self, query: str, topn: int, search_mode: str):
+        import threading
+
+        if search_mode == "character oriented":
+            # CCIP rerank isn't batched; run it directly
+            return self.engine.find_similar_documents(query, topn, search_mode)
+        event = threading.Event()
+        box: dict = {}
+        with self._lock:
+            self._pending.append((query, topn, event, box))
+            leader = not self._leader_active
+            if leader:
+                self._leader_active = True
+        if not leader:
+            event.wait()
+            if "error" in box:
+                raise box["error"]
+            return box["result"]
+
+        time.sleep(self.window_s)
+        with self._lock:
+            # take everything (the engine chunks batches larger than its largest
+            # bucket); the next arrival after release becomes the next leader
+            batch = self._pending
+            self._pending = []
+            self._leader_active = False
+        try:
+            topn_max = max(t for _, t, _, _ in batch)
+            outs = self.engine.find_similar_documents_batch(
+                [q for q, _, _, _ in batch], topn=topn_max)
+            for (q, t, ev, bx), out in zip(batch, outs):
+                bx["result"] = out[: min(t, len(out))]
+                ev.set()
+            return batch[0][3]["result"]
+        except Exception as e:
+            for _, _, ev, bx in batch:
+                bx["error"] = e
+                ev.set()
+            raise
+
+
 class WebUIServer:
     def __init__(self, directory: str = ".", rep: Optional[List[str]] = None,
-                 mesh=None) -> None:
+                 mesh=None, batch_queries: bool = True) -> None:
         self.directory = directory
         self.rep = rep
         self.mesh = mesh
+        self.batch_queries = batch_queries
+        self.batcher: Optional[QueryBatcher] = None
         self.engine: Optional[SearchEngine] = None
 
     def load(self) -> SearchEngine:
@@ -73,6 +135,8 @@ class WebUIServer:
                 allowed.add(fpath)
             self._allowed_images = allowed
             self._warmup(engine)
+            if self.batch_queries:
+                self.batcher = QueryBatcher(engine)
             self.engine = engine
         return self.engine
 
@@ -102,7 +166,13 @@ class WebUIServer:
         engine = self.load()
         t0 = time.perf_counter()
         try:
-            infos = engine.search(query, search_mode=search_mode)
+            if self.batcher is not None:
+                topn = engine.cfg.search.topn
+                sims = self.batcher.search(query, topn, search_mode)
+                infos = engine.search(query, search_mode=search_mode,
+                                      similar_docs=sims)
+            else:
+                infos = engine.search(query, search_mode=search_mode)
         except KeyError as e:
             # unknown tag — user-facing reference behavior (QUIRKS.md #7)
             return {"error": f"unknown tag: {e}", "results": []}
@@ -229,6 +299,8 @@ def main(arg_str: Optional[List[str]] = None) -> None:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard the index across all visible chips")
+    parser.add_argument("--no-batch-queries", action="store_true",
+                        help="disable micro-batching of concurrent searches")
     args = parser.parse_args(arg_str if arg_str is not None else sys.argv[1:])
 
     mesh = None
@@ -242,7 +314,8 @@ def main(arg_str: Optional[List[str]] = None) -> None:
         mesh = make_mesh()
         print(f"index sharded over {len(jax.devices())} devices")
 
-    ui = WebUIServer(rep=args.rep, mesh=mesh)
+    ui = WebUIServer(rep=args.rep, mesh=mesh,
+                     batch_queries=not args.no_batch_queries)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(ui))
     print(f"webui listening on http://{args.host}:{args.port}")
     print("loading search artifacts...")

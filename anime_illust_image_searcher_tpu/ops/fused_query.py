@@ -89,8 +89,7 @@ def pack_query(
     return packed
 
 
-@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k", "num_real"))
-def fused_normal_query(
+def _fused_query_impl(
     matrix: jax.Array,        # (D, F) unit rows (D may include padding rows)
     norms: jax.Array,         # (D,) pre-normalization norms
     term_mat: jax.Array,      # (D, W) int32, padded with vocab_size sentinel
@@ -183,6 +182,43 @@ def fused_normal_query(
         top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32),
         cut[None],
     ])
+
+
+fused_normal_query = partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "topn", "k", "num_real"))(_fused_query_impl)
+
+
+@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k", "num_real"))
+def fused_normal_query_batch(
+    matrix: jax.Array,
+    norms: jax.Array,
+    term_mat: jax.Array,
+    contrib_mat: jax.Array,
+    packed_batch: jax.Array,  # (B, buflen) — B stacked pack_query() buffers
+    bm25_weight: float,
+    doc2vec_weight: float,
+    orig_weight: float,
+    rerank_weight: float,
+    vocab_size: int,
+    num_docs: int,
+    topn: int,
+    k: int,
+    num_real: int = 0,
+) -> jax.Array:
+    """Batched fused query: B concurrent queries in ONE device program (vmapped
+    over the packed buffers; the index arrays broadcast). The webui micro-batcher
+    (cli/webui.py) coalesces concurrent /api/search requests onto this — B queries
+    cost ~one query's round trip instead of B serialized ones."""
+
+    def one(p):
+        return _fused_query_impl(
+            matrix, norms, term_mat, contrib_mat, p,
+            bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
+            vocab_size=vocab_size, num_docs=num_docs, topn=topn, k=k,
+            num_real=num_real,
+        )
+
+    return jax.vmap(one)(packed_batch)
 
 
 def unpack_result(

@@ -246,19 +246,40 @@ class SearchEngine:
             )
         return self.doc2vec_rerank(final_scores, topn)
 
+    def _pack_fused(self, new_doc: str) -> np.ndarray:
+        from ..ops.fused_query import pack_query
+
+        s = self.cfg.search
+        vec = self.doc2vec_query_vector(new_doc)
+        query = parse_bm25_query(new_doc, self.dictionary,
+                                 magic=s.require_tag_magic_number)
+        return pack_query(vec, query.term_weights, self.bm25.vocab_size,
+                          magic=s.require_tag_magic_number)
+
+    def _assemble_fused(self, out: np.ndarray, topn: int) -> List[Result]:
+        from ..ops.fused_query import unpack_result
+
+        _, top_idx, r_vals, r_idx, cut = unpack_result(out, self.cfg.search.rerank_top_k)
+        top10_set = set(int(i) for i in top_idx)
+        final_sims: List[Result] = [(int(d), 1.0) for d in top_idx]
+        for d, v in zip(r_idx, r_vals):
+            if int(d) not in top10_set:
+                final_sims.append((int(d), float(v)))
+        # Reference elbow semantics (webui.py:63-80): cut computed device-side over
+        # the FULL corpus-length list, normalize by the list max (the pinned 1.0),
+        # drop <= 0 scores, then truncate to topn.
+        final_sims = [(d, v) for d, v in final_sims[:cut] if v > 0]
+        return final_sims[: min(topn, len(final_sims))]
+
     def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
         """Single-device-call query path (ops/fused_query.py): identical semantics to
         the multi-call path; one H2D transfer, one execution, one D2H transfer."""
         import jax.numpy as jnp
 
-        from ..ops.fused_query import fused_normal_query, pack_query, unpack_result
+        from ..ops.fused_query import fused_normal_query
 
         s = self.cfg.search
-        vec = self.doc2vec_query_vector(new_doc)
-        query = parse_bm25_query(new_doc, self.dictionary,
-                                 magic=self.cfg.search.require_tag_magic_number)
-        packed = pack_query(vec, query.term_weights, self.bm25.vocab_size,
-                            magic=s.require_tag_magic_number)
+        packed = self._pack_fused(new_doc)
         term_mat, contrib_mat = self._bm25_dense
         out = fused_normal_query(
             self._matrix_dev, self._norms_dev,
@@ -270,17 +291,70 @@ class SearchEngine:
             num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
             num_real=self._num_real,
         )
-        _, top_idx, r_vals, r_idx, cut = unpack_result(np.asarray(out), s.rerank_top_k)
-        top10_set = set(int(i) for i in top_idx)
-        final_sims: List[Result] = [(int(d), 1.0) for d in top_idx]
-        for d, v in zip(r_idx, r_vals):
-            if int(d) not in top10_set:
-                final_sims.append((int(d), float(v)))
-        # Reference elbow semantics (webui.py:63-80): cut computed device-side over
-        # the FULL corpus-length list, normalize by the list max (the pinned 1.0),
-        # drop <= 0 scores, then truncate to topn.
-        final_sims = [(d, v) for d, v in final_sims[:cut] if v > 0]
-        return final_sims[: min(topn, len(final_sims))]
+        return self._assemble_fused(np.asarray(out), topn)
+
+    # Micro-batch size buckets: each compiles once; a batch pads up to its bucket.
+    QUERY_BATCH_BUCKETS = (2, 4, 8)
+
+    def fused_path_available(self, new_doc: str, search_mode: str = "normal") -> bool:
+        from ..ops.fused_query import MAX_QUERY_TERMS
+
+        return (
+            search_mode != "character oriented"
+            and self._norms_known
+            and len(self.index) > self.cfg.search.rerank_top_k
+            and len(new_doc.split(" ")) <= MAX_QUERY_TERMS
+        )
+
+    def find_similar_documents_batch(
+        self, new_docs: Sequence[str], topn: int = 50, search_mode: str = "normal"
+    ) -> List[List[Result]]:
+        """Serve B concurrent queries in ONE device call (the webui micro-batcher's
+        backend). Queries that can't ride the fused path fall back individually."""
+        import jax.numpy as jnp
+
+        from ..ops.fused_query import fused_normal_query_batch
+
+        results: List[Optional[List[Result]]] = [None] * len(new_docs)
+        fused_pos = [i for i, d in enumerate(new_docs)
+                     if self.fused_path_available(d, search_mode)]
+        for i, doc in enumerate(new_docs):
+            if i not in fused_pos:
+                results[i] = self.find_similar_documents(doc, topn, search_mode)
+        if not fused_pos:
+            return results  # type: ignore[return-value]
+        if len(fused_pos) == 1:
+            i = fused_pos[0]
+            results[i] = self._find_similar_fused(new_docs[i], topn)
+            return results  # type: ignore[return-value]
+
+        packed = [self._pack_fused(new_docs[i]) for i in fused_pos]
+        bucket = next((b for b in self.QUERY_BATCH_BUCKETS if len(packed) <= b),
+                      self.QUERY_BATCH_BUCKETS[-1])
+        while len(packed) > bucket:  # more than the largest bucket: chunk
+            chunk = [new_docs[i] for i in fused_pos[:bucket]]
+            for i, r in zip(fused_pos, self.find_similar_documents_batch(
+                    chunk, topn, search_mode)):
+                results[i] = r
+            fused_pos = fused_pos[bucket:]
+            packed = packed[bucket:]
+        pad = bucket - len(packed)
+        batch = np.stack(packed + [packed[0]] * pad)
+
+        s = self.cfg.search
+        term_mat, contrib_mat = self._bm25_dense
+        out = np.asarray(fused_normal_query_batch(
+            self._matrix_dev, self._norms_dev, term_mat, contrib_mat,
+            jnp.asarray(batch),
+            s.bm25_weight, s.doc2vec_weight,
+            s.original_score_weight, s.reranked_score_weight,
+            vocab_size=self.bm25.vocab_size,
+            num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
+            num_real=self._num_real,
+        ))
+        for j, i in enumerate(fused_pos):
+            results[i] = self._assemble_fused(out[j], topn)
+        return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------ rerank
 
@@ -347,12 +421,15 @@ class SearchEngine:
     # ------------------------------------------------------------------ results
 
     def search(
-        self, new_doc: str, topn: Optional[int] = None, search_mode: str = "normal"
+        self, new_doc: str, topn: Optional[int] = None, search_mode: str = "normal",
+        similar_docs: Optional[List[Result]] = None,
     ) -> List[ResultInfo]:
         """Full result assembly with NG-word filtering and --rep path rewriting
-        (webui.py:580-609)."""
+        (webui.py:580-609). ``similar_docs`` short-circuits the ranking stage —
+        the webui micro-batcher computes it via find_similar_documents_batch."""
         topn = topn if topn is not None else self.cfg.search.topn
-        similar_docs = self.find_similar_documents(new_doc, topn=topn, search_mode=search_mode)
+        if similar_docs is None:
+            similar_docs = self.find_similar_documents(new_doc, topn=topn, search_mode=search_mode)
         found: List[ResultInfo] = []
         for doc_id, similarity in similar_docs:
             try:
