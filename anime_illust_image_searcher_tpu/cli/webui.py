@@ -137,8 +137,32 @@ class WebUIServer:
             self._warmup(engine)
             if self.batch_queries:
                 self.batcher = QueryBatcher(engine)
+                self._warmup_batch_buckets(engine)
             self.engine = engine
         return self.engine
+
+    @staticmethod
+    def _warmup_batch_buckets(engine: SearchEngine) -> None:
+        """Compile the batched query programs in the background so the first
+        concurrent burst doesn't pay a cold compile (minutes on a remote-compile
+        relay). The server stays responsive on the warm single-query program."""
+        import threading
+
+        try:
+            some_tag = next(iter(engine.dictionary.token2id))
+        except StopIteration:
+            return
+
+        def work():
+            for b in engine.QUERY_BATCH_BUCKETS:
+                try:
+                    engine.find_similar_documents_batch([some_tag] * b, topn=10)
+                except Exception as e:  # noqa: BLE001 — warmup must never crash
+                    print(f"batch-bucket warmup skipped (b={b}): {e}")
+                    return
+            print("batched query programs warm")
+
+        threading.Thread(target=work, daemon=True).start()
 
     def image_allowed(self, fpath: str) -> bool:
         self.load()

@@ -63,10 +63,13 @@ class Doc2VecConfig:
     # Device batching: documents are padded to this many tags per doc (tag docs are
     # dozens of tokens; 128 is one VPU lane-width and fits every real corpus we saw).
     max_doc_len: int = 128
-    # Training-only: gather syn1 rows as bf16 (halves the step's dominant HBM
-    # traffic; f32 master weights take the update). Inference always gathers
-    # f32 — the deterministic tag-vector table depends on it.
-    train_gather_bf16: bool = True
+    # Training-only option: gather syn1 rows as bf16 (f32 master weights take
+    # the update). MEASURED A/B on v5e (5000 docs x 300 dim, interleaved,
+    # 2026-08-16): 4.97 s vs 4.97 s per 10 epochs — NO gain; the epoch scan is
+    # not gather-bound at these sizes, so the default stays f32 (which also
+    # keeps training numerics bit-stable). Inference always gathers f32 — the
+    # deterministic tag-vector table depends on it.
+    train_gather_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -82,3 +82,35 @@ def test_oov_tokens_ignored(model):
     v = model.infer_vector(["cat", "not_in_vocab_tag"])
     assert v.shape == (CFG.vector_size,)
     assert np.all(np.isfinite(v))
+
+
+def test_train_epoch_bf16_gather_option_close_to_f32():
+    """The opt-in bf16 syn1 gather (Doc2VecConfig.train_gather_bf16) must track
+    the f32 path closely — measured as a perf no-op on v5e, kept as an option."""
+    import jax
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.models.doc2vec import _train_epoch
+
+    rng = np.random.RandomState(0)
+    n, v, dim, L, B = 16, 32, 24, 8, 8
+    docvecs = jnp.asarray(rng.rand(n, dim).astype(np.float32) * 0.1)
+    syn1 = jnp.asarray(rng.rand(v, dim).astype(np.float32) * 0.1)
+    words = jnp.asarray(rng.randint(0, v, (2, B, L)).astype(np.int32))
+    mask = jnp.ones((2, B, L), jnp.float32)
+    doc_idx = jnp.asarray(np.arange(n, dtype=np.int32).reshape(2, B))
+    keep = jnp.ones((v,), jnp.float32)
+    cum = jnp.asarray(np.linspace(1 / v, 1, v, dtype=np.float32))
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(0.025)
+
+    # _train_epoch donates its first two args; make copies up front
+    dv2, s12 = jnp.array(docvecs), jnp.array(syn1)
+    out_f = _train_epoch(docvecs, syn1, doc_idx, words, mask, keep, cum, key, lr,
+                         negative=5, gather_bf16=False)
+    out_b = _train_epoch(dv2, s12, doc_idx, words, mask,
+                         keep, cum, key, lr, negative=5, gather_bf16=True)
+    for a, b in zip(out_f, out_b):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b))
+        np.testing.assert_allclose(a, b, atol=2e-3)
