@@ -59,7 +59,20 @@ def main(arg_str: List[str]) -> None:
     parser.add_argument("--update", action="store_true", help="add new images to index")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override Doc2Vec training epochs (default 100)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard Doc2Vec training batches across all visible chips")
     args = parser.parse_args(arg_str)
+
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from ..parallel.distributed import initialize
+        from ..parallel.mesh import make_mesh
+
+        initialize()
+        mesh = make_mesh()
+        print(f"doc2vec training data-parallel over {len(jax.devices())} devices")
 
     if args.update:
         import os
@@ -107,6 +120,7 @@ def main(arg_str: List[str]) -> None:
         model = Doc2VecModel.train(
             processed_docs, cfg, log_every=10,
             checkpoint_path=artifacts.DOC2VEC_MODEL, checkpoint_every=10,
+            mesh=mesh,
         )
         model.save(artifacts.DOC2VEC_MODEL)
         index = None

@@ -325,11 +325,17 @@ class Doc2VecModel:
         log_every: int = 0,
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 0,
+        mesh=None,
     ) -> "Doc2VecModel":
         """Train PV-DBOW. With ``checkpoint_path`` + ``checkpoint_every``, training
         state (docvecs, syn1neg, epoch) is snapshotted every N epochs and a crashed
         run resumes from the latest snapshot — the reference has no mid-run
-        checkpointing at all (SURVEY.md §5.4); its only recovery is .bak copies."""
+        checkpointing at all (SURVEY.md §5.4); its only recovery is .bak copies.
+
+        ``mesh``: optional jax.sharding.Mesh with a 'data' axis — each step's
+        document batch shards across chips; syn1 replicates and GSPMD psums its
+        update (the (V,B)@(B,dim) matmul contracts over the sharded batch dim).
+        batch_size must divide by the data-axis size."""
         vocab = Vocab.build(corpus, cfg)
         corpus_ids = [
             [vocab.token2id[t] for t in doc if t in vocab.token2id] for doc in corpus
@@ -374,6 +380,25 @@ class Doc2VecModel:
         doc_idx_b = jnp.asarray(doc_index.reshape(n_batches, batch_size))
         words_b = words_all.reshape(n_batches, batch_size, cfg.max_doc_len)
         mask_b = mask_all.reshape(n_batches, batch_size, cfg.max_doc_len)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the data axis {n_data}")
+            batch_dp = NamedSharding(mesh, P(None, DATA_AXIS))  # (n_batches, B, ...)
+            rep = NamedSharding(mesh, P())
+            doc_idx_b = jax.device_put(doc_idx_b, batch_dp)
+            words_b = jax.device_put(words_b, batch_dp)
+            mask_b = jax.device_put(mask_b, batch_dp)
+            docvecs = jax.device_put(docvecs, rep)
+            syn1 = jax.device_put(syn1, rep)
+            keep_prob = jax.device_put(keep_prob, rep)
+            cum_table = jax.device_put(cum_table, rep)
 
         for epoch in range(start_epoch, cfg.epochs):
             lr = jnp.float32(

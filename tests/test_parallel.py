@@ -147,3 +147,29 @@ print("SHARDED_OK")
 """
     out = run_in_clean_env(code)
     assert "SHARDED_OK" in out
+
+
+def test_dp_doc2vec_training_matches_single_device():
+    """genmodel --data-parallel: mesh-sharded PV-DBOW training must reproduce the
+    single-device run (same batches, same keys; GSPMD only re-tiles the math)."""
+    code = """
+import numpy as np
+from anime_illust_image_searcher_tpu.config import Doc2VecConfig
+from anime_illust_image_searcher_tpu.models.doc2vec import Doc2VecModel
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+rng = np.random.RandomState(5)
+pools = [[f"a{i}" for i in range(10)], [f"b{i}" for i in range(10)]]
+corpus = [list(rng.choice(pools[i % 2], size=6, replace=False)) for i in range(40)]
+cfg = Doc2VecConfig(vector_size=24, epochs=8, max_doc_len=16, sample=0.0)
+
+single = Doc2VecModel.train(corpus, cfg, batch_size=16)
+mesh = make_mesh(n_data=8)
+dp = Doc2VecModel.train(corpus, cfg, batch_size=16, mesh=mesh)
+
+np.testing.assert_allclose(dp.docvecs, single.docvecs, rtol=1e-4, atol=1e-5)
+np.testing.assert_allclose(dp.syn1neg, single.syn1neg, rtol=1e-4, atol=1e-5)
+print("DP_D2V_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "DP_D2V_OK" in out
