@@ -121,6 +121,8 @@ def main(arg_str: list) -> None:
     parser.add_argument("--model-repo", default=None, metavar="REPO_ID",
                         help="HF Hub repo to download + convert at runtime "
                              "(e.g. deepghs/ccip_onnx); networked deployments only")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard feature batches across all visible chips")
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.ccip
@@ -136,7 +138,23 @@ def main(arg_str: list) -> None:
         model_dir = fetch_ccip_repo(args.model_repo)
         print(f"ccip model converted to {model_dir}")
 
-    predictor = Predictor(config=cfg, model_dir=model_dir)
+    mesh = None
+    if args.data_parallel:
+        import dataclasses
+
+        import jax
+
+        from ..parallel.distributed import initialize
+        from ..parallel.mesh import make_mesh
+
+        initialize()
+        n = len(jax.devices())
+        if cfg.batch_size % n:
+            cfg = dataclasses.replace(cfg, batch_size=(cfg.batch_size + n - 1) // n * n)
+        mesh = make_mesh()
+        print(f"cfeatures data-parallel over {n} devices, batch {cfg.batch_size}")
+
+    predictor = Predictor(config=cfg, model_dir=model_dir, mesh=mesh)
     if args.after is not None:
         try:
             after_date = datetime.datetime.strptime(args.after[0], "%Y-%m-%d").date()

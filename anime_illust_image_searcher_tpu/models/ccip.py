@@ -31,7 +31,11 @@ class CCIPPredictor:
         use_pallas: Optional[bool] = None,
         seed: int = 0,
         model_dir: Optional[str] = None,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — feature
+        batches shard across chips, params replicate (same dp layout as the
+        tagger; SURVEY.md §2.3)."""
         import os
 
         if use_pallas is None:
@@ -48,6 +52,8 @@ class CCIPPredictor:
         )
         self.use_pallas = use_pallas
         self.seed = seed
+        self.mesh = mesh
+        self._batch_sharding = None
         self.params = None
         self.threshold: float = -1.0
         self._mean = jnp.asarray(config.mean, jnp.float32)
@@ -70,6 +76,14 @@ class CCIPPredictor:
             )
             self.params = init_params(self.model_cfg, seed=self.seed,
                                       use_pallas=self.use_pallas)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            self.params = jax.device_put(self.params, NamedSharding(self.mesh, P()))
+            self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
     def ccip_default_threshold(self) -> float:
         """Published metrics.json threshold of ccip-caformer-24-randaug-pruned
@@ -82,9 +96,15 @@ class CCIPPredictor:
     def ccip_batch_extract_features(self, images_u8: np.ndarray) -> np.ndarray:
         """(B, S, S, 3) uint8 RGB -> (B, feature_dim) f32."""
         self.load_model()
+        if self._batch_sharding is not None:
+            import jax
+
+            images_dev = jax.device_put(np.asarray(images_u8), self._batch_sharding)
+        else:
+            images_dev = jnp.asarray(images_u8)
         return np.asarray(
             extract_features(
-                self.params, jnp.asarray(images_u8), self._mean, self._std,
+                self.params, images_dev, self._mean, self._std,
                 self.model_cfg, self.use_pallas,
             )
         )

@@ -173,3 +173,30 @@ print("DP_D2V_OK")
 """
     out = run_in_clean_env(code)
     assert "DP_D2V_OK" in out
+
+
+def test_dp_ccip_features_match_single_device():
+    """gen_cfeatures --data-parallel: batch-sharded CCIP extraction must equal
+    the single-device features."""
+    code = """
+import numpy as np
+from anime_illust_image_searcher_tpu.config import CCIPConfig
+from anime_illust_image_searcher_tpu.models.caformer import tiny_test_config
+from anime_illust_image_searcher_tpu.models.ccip import CCIPPredictor
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+TINY = tiny_test_config()
+cfg = CCIPConfig(image_size=TINY.img_size, feature_dim=TINY.feature_dim, batch_size=8)
+rng = np.random.RandomState(0)
+imgs = rng.randint(0, 255, (8, TINY.img_size, TINY.img_size, 3), dtype=np.uint8)
+
+single = CCIPPredictor(config=cfg, model_cfg=TINY, use_pallas=False)
+a = single.ccip_batch_extract_features(imgs)
+mesh = make_mesh(n_data=8)
+dp = CCIPPredictor(config=cfg, model_cfg=TINY, use_pallas=False, mesh=mesh)
+b = dp.ccip_batch_extract_features(imgs)
+np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+print("DP_CCIP_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "DP_CCIP_OK" in out
