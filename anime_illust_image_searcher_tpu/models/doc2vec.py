@@ -217,9 +217,7 @@ def _train_step(
     return docvecs, syn1
 
 
-@partial(jax.jit, static_argnames=("negative", "gather_bf16"),
-         donate_argnums=(0, 1))
-def _train_epoch(
+def _train_epoch_impl(
     docvecs: jax.Array,       # (N, dim)
     syn1: jax.Array,          # (V, dim)
     doc_idx_b: jax.Array,     # (n_batches, B) int32
@@ -232,12 +230,11 @@ def _train_epoch(
     negative: int,
     gather_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One epoch as a single device program: lax.scan over batches. Matches the
-    per-batch _train_step sequence exactly (same keys fold_in(epoch_key, bi)); one
-    dispatch per epoch instead of one per batch (dispatch/relay overhead dominated
-    training wall time). ``gather_bf16`` halves the syn1 gather traffic (the
-    step's HBM bottleneck) by gathering from a bf16 copy; the f32 master still
-    takes the update."""
+    """One epoch: lax.scan over batches. Matches the per-batch _train_step sequence
+    exactly (same keys fold_in(epoch_key, bi)); one dispatch per epoch instead of one
+    per batch (dispatch/relay overhead dominated training wall time).
+    ``gather_bf16`` halves the syn1 gather traffic (the step's HBM bottleneck) by
+    gathering from a bf16 copy; the f32 master still takes the update."""
 
     def body(carry, inputs):
         docvecs, syn1 = carry
@@ -261,8 +258,47 @@ def _train_epoch(
     return docvecs, syn1
 
 
-@partial(jax.jit, static_argnames=("epochs", "negative"))
-def _infer_vectors(
+_train_epoch = partial(
+    jax.jit, static_argnames=("negative", "gather_bf16"), donate_argnums=(0, 1)
+)(_train_epoch_impl)
+
+
+@partial(jax.jit, static_argnames=("negative", "gather_bf16"),
+         donate_argnums=(0, 1))
+def _train_epochs(
+    docvecs: jax.Array,
+    syn1: jax.Array,
+    doc_idx_b: jax.Array,
+    words_b: jax.Array,
+    mask_b: jax.Array,
+    keep_prob: jax.Array,
+    cum_table: jax.Array,
+    base_key: jax.Array,
+    epoch_ids: jax.Array,     # (E,) int32 absolute epoch numbers
+    lrs: jax.Array,           # (E,) f32 host-precomputed schedule (bit-stable)
+    negative: int,
+    gather_bf16: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """A run of epochs as ONE device program: outer lax.scan over epochs around the
+    per-epoch batch scan. Keys (fold_in(base_key, epoch)) and the LR schedule are
+    bit-identical to the per-epoch dispatch path, so results match it exactly;
+    dispatch count drops from cfg.epochs to epochs/checkpoint-interval."""
+
+    def body(carry, inp):
+        e, lr = inp
+        dv, s1 = carry
+        dv, s1 = _train_epoch_impl(
+            dv, s1, doc_idx_b, words_b, mask_b, keep_prob, cum_table,
+            jax.random.fold_in(base_key, e), lr,
+            negative=negative, gather_bf16=gather_bf16,
+        )
+        return (dv, s1), None
+
+    (docvecs, syn1), _ = jax.lax.scan(body, (docvecs, syn1), (epoch_ids, lrs))
+    return docvecs, syn1
+
+
+def _infer_vectors_impl(
     syn1: jax.Array,        # (V, dim) frozen
     words: jax.Array,       # (B, L)
     mask: jax.Array,        # (B, L)
@@ -275,7 +311,12 @@ def _infer_vectors(
     epochs: int,
     negative: int,
 ) -> jax.Array:
-    """Gradient-descend fresh doc vectors against frozen word weights."""
+    """Gradient-descend fresh doc vectors against frozen word weights.
+
+    All randomness is a pure function of (per-doc seed, epoch), so a doc's result
+    is bitwise-independent of which batch/chunk it rides in — the bucketed and
+    scan-fused callers below rely on this.
+    """
 
     def epoch_body(e, dvecs):
         lr = alpha - (alpha - min_alpha) * e / jnp.maximum(epochs, 1)
@@ -296,6 +337,44 @@ def _infer_vectors(
         return jax.vmap(per_doc)(dvecs, words, mask, keys)
 
     return jax.lax.fori_loop(0, epochs, epoch_body, init_vecs)
+
+
+_infer_vectors = partial(jax.jit, static_argnames=("epochs", "negative"))(
+    _infer_vectors_impl
+)
+
+
+@partial(jax.jit, static_argnames=("epochs", "negative"))
+def _infer_vectors_chunked(
+    syn1: jax.Array,        # (V, dim) frozen
+    words: jax.Array,       # (C, B, L)
+    mask: jax.Array,        # (C, B, L)
+    keep_prob: jax.Array,
+    cum_table: jax.Array,
+    init_vecs: jax.Array,   # (C, B, dim)
+    seeds: jax.Array,       # (C, B)
+    alpha: float,
+    min_alpha: float,
+    epochs: int,
+    negative: int,
+) -> jax.Array:
+    """Whole-corpus inference as ONE device program: lax.scan over B-doc chunks.
+
+    The per-chunk math is exactly ``_infer_vectors_impl`` (per-doc seeding makes
+    results chunk-invariant), but the index build's big inference pass (genmodel.py
+    analog of the reference's per-doc infer_vector loop, genmodel.py:168-173) pays
+    one dispatch + one syn1 read instead of n_chunks of each."""
+
+    def chunk(_, inp):
+        w, m, iv, s = inp
+        out = _infer_vectors_impl(
+            syn1, w, m, keep_prob, cum_table, iv, s,
+            alpha, min_alpha, epochs, negative,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(chunk, None, (words, mask, init_vecs, seeds))
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -400,21 +479,41 @@ class Doc2VecModel:
             keep_prob = jax.device_put(keep_prob, rep)
             cum_table = jax.device_put(cum_table, rep)
 
-        for epoch in range(start_epoch, cfg.epochs):
-            lr = jnp.float32(
-                cfg.alpha - (cfg.alpha - cfg.min_alpha) * epoch / max(cfg.epochs, 1)
-            )
-            epoch_key = jax.random.fold_in(base_key, epoch)
-            docvecs, syn1 = _train_epoch(
+        # Whole epoch RUNS are single device programs (_train_epochs: scan over
+        # epochs around the per-epoch batch scan) — one dispatch per log/checkpoint
+        # boundary instead of one per epoch. The LR schedule is precomputed on host
+        # (f64 -> f32, exactly like the old per-epoch jnp.float32(...) cast) and the
+        # epoch keys fold the same absolute epoch numbers, so results are
+        # bit-identical to per-epoch dispatching (pinned by tests).
+        lrs_np = np.asarray(
+            [cfg.alpha - (cfg.alpha - cfg.min_alpha) * e / max(cfg.epochs, 1)
+             for e in range(cfg.epochs)], np.float32,
+        )
+
+        def _next_boundary(e: int) -> int:
+            cands = [cfg.epochs]
+            if log_every:
+                cands.append((e // log_every + 1) * log_every)
+            if ckpt_file and checkpoint_every:
+                cands.append((e // checkpoint_every + 1) * checkpoint_every)
+            return min(min(cands), cfg.epochs)
+
+        epoch = start_epoch
+        while epoch < cfg.epochs:
+            upto = _next_boundary(epoch)
+            epoch_ids = jnp.arange(epoch, upto, dtype=jnp.uint32)
+            docvecs, syn1 = _train_epochs(
                 docvecs, syn1, doc_idx_b, words_b, mask_b,
-                keep_prob, cum_table, epoch_key, lr,
+                keep_prob, cum_table, base_key,
+                epoch_ids, jnp.asarray(lrs_np[epoch:upto]),
                 negative=cfg.negative, gather_bf16=cfg.train_gather_bf16,
             )
-            if log_every and (epoch + 1) % log_every == 0:
-                print(f"doc2vec epoch {epoch + 1}/{cfg.epochs}")
-            if ckpt_file and checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+            epoch = upto
+            if log_every and epoch % log_every == 0:
+                print(f"doc2vec epoch {epoch}/{cfg.epochs}")
+            if ckpt_file and checkpoint_every and epoch % checkpoint_every == 0:
                 np.savez(ckpt_file, docvecs=np.asarray(docvecs),
-                         syn1=np.asarray(syn1), epoch=epoch + 1)
+                         syn1=np.asarray(syn1), epoch=epoch)
         if ckpt_file and os.path.exists(ckpt_file):
             os.remove(ckpt_file)  # training completed; snapshot no longer needed
 
@@ -464,6 +563,22 @@ class Doc2VecModel:
                 return lb
         return self.cfg.max_doc_len
 
+    def _device_consts(self):
+        """Device-resident (syn1neg, keep_prob, cum_table) — uploaded once, then
+        shared by every inference dispatch (the per-chunk jnp.asarray re-upload of
+        the (V, dim) syn1 matrix was pure H2D waste). Lives only in the in-memory
+        cache; ``save`` pickles explicit keys, so this never hits disk."""
+        cached = self._infer_cache.get("device_consts")
+        if cached is not None and cached[0] is self.syn1neg:
+            return cached[1]
+        consts = (
+            jnp.asarray(self.syn1neg),
+            jnp.asarray(self.vocab.keep_prob),
+            jnp.asarray(self.vocab.cum_table),
+        )
+        self._infer_cache["device_consts"] = (self.syn1neg, consts)
+        return consts
+
     def infer_vectors(
         self, docs: Sequence[Sequence[str]], epochs: Optional[int] = None
     ) -> np.ndarray:
@@ -483,6 +598,13 @@ class Doc2VecModel:
             groups.setdefault(self._len_bucket(len(d)), []).append(pos)
         chunk = self._INFER_BUCKETS[-1]
         for len_bucket, positions in groups.items():
+            if len(positions) > chunk:
+                # Index-build-sized group: one scan-fused device program for the
+                # whole group instead of one dispatch per 512-doc chunk.
+                out[positions] = self._infer_group_scan(
+                    [ids[p] for p in positions], chunk, epochs, len_bucket
+                )
+                continue
             start = 0
             while start < len(positions):
                 remaining = len(positions) - start
@@ -497,25 +619,53 @@ class Doc2VecModel:
                 start += take
         return out
 
-    def _infer_bucket(self, ids: List[List[int]], bucket: int, epochs: int,
-                      len_bucket: int) -> np.ndarray:
+    def _infer_inputs(self, padded_ids: List[List[int]], len_bucket: int):
+        """(words, mask, seeds, init) host arrays for a padded doc list."""
         cfg = self.cfg
-        dim = cfg.vector_size
-        n = len(ids)
-        padded_ids = ids + [[] for _ in range(bucket - n)]
         words_np, mask_np = pad_corpus(padded_ids, len_bucket)
         seeds = np.array(
             [_stable_doc_seed(d, cfg.seed) & 0xFFFFFFFF for d in padded_ids],
             dtype=np.uint32,
         )
         init = np.stack([
-            (np.random.RandomState(s & 0x7FFFFFFF).rand(dim).astype(np.float32) - 0.5) / dim
+            (np.random.RandomState(s & 0x7FFFFFFF).rand(cfg.vector_size)
+             .astype(np.float32) - 0.5) / cfg.vector_size
             for s in seeds
         ])
+        return words_np, mask_np, seeds, init
+
+    def _infer_group_scan(self, ids: List[List[int]], chunk: int, epochs: int,
+                          len_bucket: int) -> np.ndarray:
+        cfg = self.cfg
+        n = len(ids)
+        n_pad = (-n) % chunk
+        padded_ids = ids + [[] for _ in range(n_pad)]
+        words_np, mask_np, seeds, init = self._infer_inputs(padded_ids, len_bucket)
+        c = len(padded_ids) // chunk
+        syn1, keep_prob, cum_table = self._device_consts()
+        out = _infer_vectors_chunked(
+            syn1,
+            jnp.asarray(words_np.reshape(c, chunk, len_bucket)),
+            jnp.asarray(mask_np.reshape(c, chunk, len_bucket)),
+            keep_prob, cum_table,
+            jnp.asarray(init.reshape(c, chunk, cfg.vector_size)),
+            jnp.asarray(seeds.astype(np.int32).reshape(c, chunk)),
+            alpha=cfg.alpha, min_alpha=cfg.min_alpha,
+            epochs=epochs, negative=cfg.negative,
+        )
+        return np.asarray(out).reshape(-1, cfg.vector_size)[:n]
+
+    def _infer_bucket(self, ids: List[List[int]], bucket: int, epochs: int,
+                      len_bucket: int) -> np.ndarray:
+        cfg = self.cfg
+        n = len(ids)
+        padded_ids = ids + [[] for _ in range(bucket - n)]
+        words_np, mask_np, seeds, init = self._infer_inputs(padded_ids, len_bucket)
+        syn1, keep_prob, cum_table = self._device_consts()
         out = _infer_vectors(
-            jnp.asarray(self.syn1neg),
+            syn1,
             jnp.asarray(words_np), jnp.asarray(mask_np),
-            jnp.asarray(self.vocab.keep_prob), jnp.asarray(self.vocab.cum_table),
+            keep_prob, cum_table,
             jnp.asarray(init), jnp.asarray(seeds.astype(np.int32)),
             alpha=cfg.alpha, min_alpha=cfg.min_alpha,
             epochs=epochs, negative=cfg.negative,

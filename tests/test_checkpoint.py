@@ -24,23 +24,25 @@ def test_resume_matches_uninterrupted(tmp_cwd, monkeypatch):
 
     full = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
 
-    # crash mid-run: let 4 full epochs (snapshot written), die during epoch 5
-    real_epoch = d2v._train_epoch
+    # crash mid-run: let the first 4-epoch run finish (snapshot written), die
+    # during the second run (train dispatches one _train_epochs per
+    # checkpoint_every boundary)
+    real_epochs = d2v._train_epochs
     calls = {"n": 0}
 
-    def crashing_epoch(*a, **kw):
-        if calls["n"] >= 5:
+    def crashing_epochs(*a, **kw):
+        if calls["n"] >= 1:
             raise RuntimeError("simulated crash")
         calls["n"] += 1
-        return real_epoch(*a, **kw)
+        return real_epochs(*a, **kw)
 
-    monkeypatch.setattr(d2v, "_train_epoch", crashing_epoch)
+    monkeypatch.setattr(d2v, "_train_epochs", crashing_epochs)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="simulated crash"):
         Doc2VecModel.train(CORPUS, CFG, batch_size=8,
                            checkpoint_path="m", checkpoint_every=4)
-    monkeypatch.setattr(d2v, "_train_epoch", real_epoch)
+    monkeypatch.setattr(d2v, "_train_epochs", real_epochs)
     assert os.path.exists("m.ckpt.npz")  # crash artifact survives
 
     resumed = Doc2VecModel.train(CORPUS, CFG, batch_size=8,

@@ -68,6 +68,20 @@ def test_batched_infer_matches_single(model):
     np.testing.assert_allclose(batch[1], single_dog, rtol=1e-5, atol=1e-6)
 
 
+def test_scan_fused_infer_matches_bucketed(model):
+    """The index-build path (groups larger than the 512-doc chunk) runs one
+    scan-fused program; per-doc seeding must make its vectors bitwise equal to
+    the per-chunk bucketed path."""
+    docs = [["cat"], ["dog"], ["cat", "meow"], ["dog", "bark"]] * 3
+    bucketed = model.infer_vectors(docs)
+    fused = model._infer_group_scan(
+        [[model.vocab.token2id[t] for t in d] for d in docs],
+        chunk=4, epochs=CFG.infer_epochs,
+        len_bucket=model._len_bucket(2),
+    )
+    np.testing.assert_array_equal(bucketed, fused)
+
+
 def test_save_load_roundtrip(tmp_path, model):
     p = str(tmp_path / "doc2vec_model")
     model.save(p)
@@ -82,6 +96,46 @@ def test_oov_tokens_ignored(model):
     v = model.infer_vector(["cat", "not_in_vocab_tag"])
     assert v.shape == (CFG.vector_size,)
     assert np.all(np.isfinite(v))
+
+
+def test_fused_epoch_runs_match_per_epoch_dispatch():
+    """_train_epochs (scan over epochs, one dispatch per checkpoint interval) must be
+    bit-identical to dispatching _train_epoch per epoch — same fold_in(base_key, e)
+    keys, same host-precomputed f32 LR schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.models.doc2vec import (
+        _train_epoch, _train_epochs,
+    )
+
+    rng = np.random.RandomState(1)
+    n, v, dim, L, B = 16, 32, 24, 8, 8
+    docvecs = jnp.asarray(rng.rand(n, dim).astype(np.float32) * 0.1)
+    syn1 = jnp.asarray(rng.rand(v, dim).astype(np.float32) * 0.1)
+    words = jnp.asarray(rng.randint(0, v, (2, B, L)).astype(np.int32))
+    mask = jnp.ones((2, B, L), jnp.float32)
+    doc_idx = jnp.asarray(np.arange(n, dtype=np.int32).reshape(2, B))
+    keep = jnp.ones((v,), jnp.float32)
+    cum = jnp.asarray(np.linspace(1 / v, 1, v, dtype=np.float32))
+    base_key = jax.random.PRNGKey(7)
+    epochs = 5
+    lrs = np.asarray([0.025 - 0.02 * e / epochs for e in range(epochs)], np.float32)
+
+    dv_a, s1_a = jnp.array(docvecs), jnp.array(syn1)  # donated args: copy first
+    for e in range(epochs):
+        dv_a, s1_a = _train_epoch(
+            dv_a, s1_a, doc_idx, words, mask, keep, cum,
+            jax.random.fold_in(base_key, e), jnp.float32(lrs[e]), negative=5,
+        )
+
+    dv_b, s1_b = _train_epochs(
+        jnp.array(docvecs), jnp.array(syn1), doc_idx, words, mask, keep, cum,
+        base_key, jnp.arange(epochs, dtype=jnp.uint32), jnp.asarray(lrs),
+        negative=5,
+    )
+    np.testing.assert_array_equal(np.asarray(dv_a), np.asarray(dv_b))
+    np.testing.assert_array_equal(np.asarray(s1_a), np.asarray(s1_b))
 
 
 def test_train_epoch_bf16_gather_option_close_to_f32():
