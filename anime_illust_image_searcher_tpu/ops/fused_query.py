@@ -32,7 +32,22 @@ import numpy as np
 
 
 MAX_QUERY_TERMS = 64
+# Packed-buffer term-slot buckets. Queries pick the smallest bucket that fits their
+# distinct-term count; each bucket compiles its own program (the BM25 comparison
+# sweep is (docs × slots × Q), so small queries shouldn't pay a big-Q sweep). The
+# 64-slot program covers interactive use; 256 removes the old multi-call fallback
+# cliff (~18x slower at 100k docs) for enormous queries.
+QUERY_TERM_BUCKETS = (MAX_QUERY_TERMS, 256)
 DIFF_FILTER_THRESH = 1e-6  # webui.py:58
+
+
+def term_bucket(n_terms: int) -> int:
+    """Smallest term bucket holding ``n_terms``; raises above the largest."""
+    for b in QUERY_TERM_BUCKETS:
+        if n_terms <= b:
+            return b
+    raise ValueError(
+        f"query has {n_terms} terms; max {QUERY_TERM_BUCKETS[-1]}")
 
 
 def elbow_cut_index(sorted_scores: jax.Array) -> jax.Array:
@@ -112,8 +127,9 @@ def _fused_query_impl(
     partitions the matvecs/reductions per shard and inserts the top-k all-gather —
     the single-chip and sharded paths run the same program.
     """
-    q = MAX_QUERY_TERMS
     f = matrix.shape[1]
+    # slot count rides in the (static) buffer length: [4 term blocks | qvec | n_req]
+    q = (packed.shape[0] - f - 1) // 4
     qids = packed[:q]
     qw = packed[q : 2 * q]
     qexcl = packed[2 * q : 3 * q]

@@ -190,16 +190,17 @@ class SearchEngine:
         self, new_doc: str, topn: int = 50, search_mode: str = "normal"
     ) -> List[Result]:
         """Fused BM25 + Doc2Vec ranking with rerank dispatch (webui.py:345-390)."""
-        from ..ops.fused_query import MAX_QUERY_TERMS
+        from ..ops.fused_query import QUERY_TERM_BUCKETS
 
+        max_terms = QUERY_TERM_BUCKETS[-1]
         k = self.cfg.search.rerank_top_k
         if (
             search_mode != "character oriented"
             and self._norms_known
             and len(self.index) > k
-            # enormous queries (> MAX_QUERY_TERMS distinct tags) take the multi-call
+            # truly enormous queries (> largest term bucket) take the multi-call
             # path rather than failing; they're outside any interactive use
-            and len(new_doc.split(" ")) <= MAX_QUERY_TERMS
+            and len(new_doc.split(" ")) <= max_terms
         ):
             return self._find_similar_fused(new_doc, topn)
 
@@ -212,8 +213,8 @@ class SearchEngine:
             reason = (
                 "index stores no doc-vector norms (rebuild with genmodel to fix)"
                 if not self._norms_known
-                else f"query has more than {MAX_QUERY_TERMS} terms"
-                if len(new_doc.split(" ")) > MAX_QUERY_TERMS
+                else f"query has more than {max_terms} terms"
+                if len(new_doc.split(" ")) > max_terms
                 else "index too small for the fused PRF program"
             )
             logger.warning("query using non-fused fallback path: %s", reason)
@@ -246,15 +247,21 @@ class SearchEngine:
             )
         return self.doc2vec_rerank(final_scores, topn)
 
-    def _pack_fused(self, new_doc: str) -> np.ndarray:
-        from ..ops.fused_query import pack_query
+    def _pack_fused(self, new_doc: str,
+                    max_terms: Optional[int] = None) -> np.ndarray:
+        from ..ops.fused_query import pack_query, term_bucket
 
         s = self.cfg.search
         vec = self.doc2vec_query_vector(new_doc)
         query = parse_bm25_query(new_doc, self.dictionary,
                                  magic=s.require_tag_magic_number)
+        if max_terms is None:
+            # smallest term bucket that fits: small queries stay on the cheap
+            # 64-slot sweep; >64-term queries ride the 256-slot program instead
+            # of falling off to the ~18x multi-call path
+            max_terms = term_bucket(len(query.term_weights))
         return pack_query(vec, query.term_weights, self.bm25.vocab_size,
-                          magic=s.require_tag_magic_number)
+                          magic=s.require_tag_magic_number, max_terms=max_terms)
 
     def _assemble_fused(self, out: np.ndarray, topn: int) -> List[Result]:
         from ..ops.fused_query import unpack_result
@@ -297,13 +304,13 @@ class SearchEngine:
     QUERY_BATCH_BUCKETS = (2, 4, 8)
 
     def fused_path_available(self, new_doc: str, search_mode: str = "normal") -> bool:
-        from ..ops.fused_query import MAX_QUERY_TERMS
+        from ..ops.fused_query import QUERY_TERM_BUCKETS
 
         return (
             search_mode != "character oriented"
             and self._norms_known
             and len(self.index) > self.cfg.search.rerank_top_k
-            and len(new_doc.split(" ")) <= MAX_QUERY_TERMS
+            and len(new_doc.split(" ")) <= QUERY_TERM_BUCKETS[-1]
         )
 
     def find_similar_documents_batch(
@@ -329,6 +336,12 @@ class SearchEngine:
             return results  # type: ignore[return-value]
 
         packed = [self._pack_fused(new_docs[i]) for i in fused_pos]
+        buflen = max(p.shape[0] for p in packed)
+        if any(p.shape[0] != buflen for p in packed):
+            # mixed term buckets — repack everything at the batch's largest so one
+            # program serves the whole stack
+            mt = (buflen - self.model.vector_size - 1) // 4
+            packed = [self._pack_fused(new_docs[i], max_terms=mt) for i in fused_pos]
         bucket = next((b for b in self.QUERY_BATCH_BUCKETS if len(packed) <= b),
                       self.QUERY_BATCH_BUCKETS[-1])
         while len(packed) > bucket:  # more than the largest bucket: chunk

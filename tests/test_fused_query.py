@@ -14,6 +14,8 @@ POOLS = [
     ["1boy", "male_focus", "sword", "armor", "standing"],
     ["no_humans", "white_background", "still_life", "bottle", "flower"],
 ]
+# enough extra vocabulary that a >64-distinct-term query exists (big-bucket path)
+FILLER = [f"ftag{i:02d}" for i in range(70)]
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +30,9 @@ def engine(tmp_path_factory):
             pool = POOLS[i % 3]
             tags = list(rng.choice(pool, size=rng.randint(3, 5), replace=False))
             lines.append(f"/img/{i:03d}.png,{','.join(tags)}")
+        for i in range(24):  # filler docs: 3 consecutive filler tags each
+            tags = [FILLER[(3 * i + j) % len(FILLER)] for j in range(3)]
+            lines.append(f"/img/f{i:03d}.png,{','.join(tags)}")
         with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
             f.write("\n".join(lines) + "\n")
         genmodel.main(["--epochs", "10"])
@@ -78,3 +83,39 @@ def test_fused_is_default_path(engine):
     r1 = engine.find_similar_documents("1girl smile", topn=800)
     r2 = engine._find_similar_fused("1girl smile", topn=800)
     assert r1 == r2
+
+
+def test_big_query_rides_fused_256_bucket(engine):
+    """>64 distinct terms used to fall off to the ~18x multi-call path; now it picks
+    the 256-slot term bucket and stays on the single-call program."""
+    big = " ".join(FILLER)  # 70 distinct terms
+    assert engine.fused_path_available(big)
+    dim = engine.model.vector_size
+    assert engine._pack_fused(big).shape[0] == 4 * 256 + dim + 1
+    assert engine._pack_fused("1girl").shape[0] == 4 * 64 + dim + 1
+
+    fused = engine.find_similar_documents(big, topn=800)
+    engine._norms_known = False
+    try:
+        fallback = engine.find_similar_documents(big, topn=800)
+    finally:
+        engine._norms_known = True
+    assert [d for d, _ in fused] == [d for d, _ in fallback]
+    np.testing.assert_allclose(
+        [s for _, s in fused], [s for _, s in fallback], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_mixed_bucket_batch(engine):
+    """A batch mixing a 64-slot and a 256-slot query repacks at the larger bucket
+    and still matches per-query results."""
+    big = " ".join(FILLER)
+    small = "1girl smile"
+    batch = engine.find_similar_documents_batch([small, big], topn=800)
+    for got, single in zip(
+        batch,
+        [engine.find_similar_documents(q, topn=800) for q in (small, big)],
+    ):
+        assert [d for d, _ in got] == [d for d, _ in single]
+        np.testing.assert_allclose([v for _, v in got], [v for _, v in single],
+                                   rtol=1e-5, atol=1e-6)
