@@ -72,7 +72,8 @@ def main(arg_str: List[str]) -> None:
 
         initialize()
         mesh = make_mesh()
-        print(f"doc2vec training data-parallel over {len(jax.devices())} devices")
+        print(f"doc2vec training + inference data-parallel over "
+              f"{len(jax.devices())} devices")
 
     if args.update:
         import os
@@ -110,6 +111,7 @@ def main(arg_str: List[str]) -> None:
                   "change epochs")
         dictionary = TagDictionary.load(artifacts.DOC2VEC_DICTIONARY)
         model = Doc2VecModel.load(artifacts.DOC2VEC_MODEL)
+        model.mesh = mesh  # --data-parallel shards the append-inference pass too
         index = SimilarityIndex.load(artifacts.DOC2VEC_INDEX, mmap=None)
         before = artifacts.count_non_empty_lines(artifacts.DOC2VEC_IDX_CSV_BAK)
         print(f"update index: {len(processed_docs) - before} files")

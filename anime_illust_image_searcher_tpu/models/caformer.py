@@ -271,6 +271,32 @@ def extract_features(
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def ccip_rerank_diffs_op(
+    params,
+    images_u8: jax.Array,     # (k, S, S, 3) uint8 RGB, zero-padded to k rows
+    valid: jax.Array,         # (k,) bool — which rows are real decoded images
+    mean: jax.Array,
+    std: jax.Array,
+    index_matrix: jax.Array,  # (D, F) indexed features (device-resident)
+    cfg: CAFormerConfig,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """The whole character-rerank device stage in ONE program: top-k feature
+    extraction + valid-masked mean + all-rows 1−cosine matvec (webui.py:292-309
+    semantics). One dispatch per character query instead of extract + metric."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - mean) / std
+    feats = CAFormer(cfg, use_pallas=use_pallas).apply(params, x)  # (k, F) f32
+    w = valid.astype(jnp.float32)
+    mean_feat = jnp.sum(w[:, None] * feats, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    m = index_matrix.astype(jnp.float32)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    q = mean_feat / jnp.maximum(jnp.linalg.norm(mean_feat), 1e-12)
+    return 1.0 - jnp.dot(m, q, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
 @jax.jit
 def ccip_batch_differences_op(feats: jax.Array) -> jax.Array:
     """(N, F) features -> (N, N) pairwise difference matrix = 1 - cosine.

@@ -17,7 +17,7 @@ from ..config import CCIPConfig
 from ..data.ingest import load_rgb_square
 from .caformer import (
     CAFormerConfig, ccip_batch_differences_op, ccip_differences_vs_index_op,
-    extract_features, init_params,
+    ccip_rerank_diffs_op, extract_features, init_params,
 )
 
 FeatureOrImage = Union[np.ndarray, str]
@@ -152,3 +152,17 @@ class CCIPPredictor:
         return np.asarray(
             ccip_differences_vs_index_op(jnp.asarray(index_matrix), jnp.asarray(query_feat))
         )
+
+    def rerank_diffs(self, images_u8: np.ndarray, n_valid: int,
+                     index) -> np.ndarray:
+        """One-dispatch character rerank stage: (k, S, S, 3) zero-padded top-k
+        images -> diffs of their valid-mean feature vs every indexed row. The
+        index rides its cached device copy (``SimilarityIndex._device``), so a
+        warm character query costs one small H2D + one exec + one D2H."""
+        self.load_model()
+        valid = np.arange(images_u8.shape[0]) < n_valid
+        return np.asarray(ccip_rerank_diffs_op(
+            self.params, jnp.asarray(np.asarray(images_u8)), jnp.asarray(valid),
+            self._mean, self._std, index._device(),
+            self.model_cfg, self.use_pallas,
+        ))

@@ -392,6 +392,9 @@ class Doc2VecModel:
     syn1neg: np.ndarray                 # (V, dim) word output embeddings
     docvecs: np.ndarray                 # (N, dim) trained doc vectors
     corpus_count: int = 0
+    # optional jax.sharding.Mesh: big inference passes shard over its 'data' axis
+    # (runtime-only — never pickled; ``save`` serializes explicit keys)
+    mesh: object = field(default=None, repr=False, compare=False)
     _infer_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     # ---- training ----------------------------------------------------------
@@ -518,7 +521,8 @@ class Doc2VecModel:
             os.remove(ckpt_file)  # training completed; snapshot no longer needed
 
         docvecs_np = np.asarray(docvecs[:n_docs])
-        return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np, corpus_count=n_docs)
+        return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np,
+                            corpus_count=n_docs, mesh=mesh)
 
     # ---- inference ----------------------------------------------------------
 
@@ -576,6 +580,11 @@ class Doc2VecModel:
             jnp.asarray(self.vocab.keep_prob),
             jnp.asarray(self.vocab.cum_table),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            consts = tuple(jax.device_put(c, rep) for c in consts)
         self._infer_cache["device_consts"] = (self.syn1neg, consts)
         return consts
 
@@ -643,13 +652,27 @@ class Doc2VecModel:
         words_np, mask_np, seeds, init = self._infer_inputs(padded_ids, len_bucket)
         c = len(padded_ids) // chunk
         syn1, keep_prob, cum_table = self._device_consts()
+        inputs = [
+            words_np.reshape(c, chunk, len_bucket),
+            mask_np.reshape(c, chunk, len_bucket),
+            init.reshape(c, chunk, cfg.vector_size),
+            seeds.astype(np.int32).reshape(c, chunk),
+        ]
+        if self.mesh is not None:
+            # dp over each chunk's doc axis (genmodel --data-parallel); per-doc
+            # math is independent along that axis (matches single-device to
+            # GSPMD-retiling ulps; pinned by tests/test_parallel.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = self.mesh.shape[DATA_AXIS]
+            if chunk % n_data == 0:
+                dp = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                inputs = [jax.device_put(a, dp) for a in inputs]
+        words_d, mask_d, init_d, seeds_d = [jnp.asarray(a) for a in inputs]
         out = _infer_vectors_chunked(
-            syn1,
-            jnp.asarray(words_np.reshape(c, chunk, len_bucket)),
-            jnp.asarray(mask_np.reshape(c, chunk, len_bucket)),
-            keep_prob, cum_table,
-            jnp.asarray(init.reshape(c, chunk, cfg.vector_size)),
-            jnp.asarray(seeds.astype(np.int32).reshape(c, chunk)),
+            syn1, words_d, mask_d, keep_prob, cum_table, init_d, seeds_d,
             alpha=cfg.alpha, min_alpha=cfg.min_alpha,
             epochs=epochs, negative=cfg.negative,
         )

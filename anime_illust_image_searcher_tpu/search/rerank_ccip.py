@@ -90,9 +90,11 @@ class CCIPReranker:
             for doc_id in top10_doc_ids
         ]
 
-        # decode the hit files (skip failures like webui.py:296-301), then extract all
-        # surviving features in ONE batched forward (reference runs one ONNX call per
-        # file)
+        # decode the hit files (skip failures like webui.py:296-301); the whole
+        # device stage — batched feature extraction (reference: one ONNX call per
+        # file), masked mean, and the all-rows metric (reference: one ONNX call per
+        # INDEXED image, webui.py:306-309) — then runs as ONE dispatch against the
+        # device-resident index
         decoded: List[np.ndarray] = []
         for file in top10_files:
             try:
@@ -103,24 +105,14 @@ class CCIPReranker:
             except Exception as e:  # noqa: BLE001
                 print(f"Error: {e}")
                 continue
-        top10_feats: List[np.ndarray] = []
-        if decoded:
-            # pad to the fixed top-k batch so one compiled program serves every query
-            pad = len(top10_files) - len(decoded)
-            batch = np.stack(decoded + [np.zeros_like(decoded[0])] * pad)
-            top10_feats = list(
-                self.predictor.ccip_batch_extract_features(batch)[: len(decoded)]
-            )
-        if not top10_feats:
+        if not decoded:
             sims = filter_searched_result(sims)
             return sims[: min(topn, len(sims))]
 
-        mean_feat = np.mean(np.stack(top10_feats), axis=0)
-
-        # ONE matvec over the whole index (reference: per-row ONNX calls).
-        diffs = self.predictor.ccip_differences_vs_index(
-            self.cfeatures_idx.matrix, mean_feat
-        )
+        # pad to the fixed top-k batch so one compiled program serves every query
+        pad = len(top10_files) - len(decoded)
+        batch = np.stack(decoded + [np.zeros_like(decoded[0])] * pad)
+        diffs = self.predictor.rerank_diffs(batch, len(decoded), self.cfeatures_idx)
 
         matches: List[Result] = []
         for idx, fpath in enumerate(self.cfeature_filepath_idx):

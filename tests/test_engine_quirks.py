@@ -69,12 +69,13 @@ def test_zero_norm_only_query_is_finite(engine, monkeypatch):
 
 
 def test_slow_path_fallback_warns_once(engine, caplog):
-    """Queries with > MAX_QUERY_TERMS distinct tags fall back to the multi-call
+    """Queries beyond the largest fused term bucket fall back to the multi-call
     path; that 18x latency cliff must be logged (once, not per query)."""
-    from anime_illust_image_searcher_tpu.ops.fused_query import MAX_QUERY_TERMS
+    from anime_illust_image_searcher_tpu.ops.fused_query import QUERY_TERM_BUCKETS
 
     engine._warned_slow_path = False
-    big_query = " ".join(["1girl", "smile", "sword"] * (MAX_QUERY_TERMS // 3 + 1))
+    big_query = " ".join(
+        ["1girl", "smile", "sword"] * (QUERY_TERM_BUCKETS[-1] // 3 + 1))
     with caplog.at_level(logging.WARNING,
                          logger="anime_illust_image_searcher_tpu.search.engine"):
         engine.find_similar_documents(big_query, topn=10)

@@ -175,6 +175,34 @@ print("DP_D2V_OK")
     assert "DP_D2V_OK" in out
 
 
+def test_dp_doc2vec_inference_matches_single_device():
+    """genmodel --data-parallel also shards the index-build inference pass; the
+    per-doc math is independent along the sharded axis, so vectors must match
+    the single-device scan (to GSPMD retiling ulps)."""
+    code = """
+import numpy as np
+from anime_illust_image_searcher_tpu.config import Doc2VecConfig
+from anime_illust_image_searcher_tpu.models.doc2vec import Doc2VecModel
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+rng = np.random.RandomState(5)
+pools = [[f"a{i}" for i in range(10)], [f"b{i}" for i in range(10)]]
+corpus = [list(rng.choice(pools[i % 2], size=6, replace=False)) for i in range(40)]
+cfg = Doc2VecConfig(vector_size=24, epochs=8, infer_epochs=8, max_doc_len=16, sample=0.0)
+
+model = Doc2VecModel.train(corpus, cfg, batch_size=16)
+ids = [[model.vocab.token2id[t] for t in d] for d in corpus[:16]]
+single = model._infer_group_scan(ids, chunk=8, epochs=8, len_bucket=8)
+model.mesh = make_mesh(n_data=8)
+model._infer_cache.pop("device_consts", None)
+dp = model._infer_group_scan(ids, chunk=8, epochs=8, len_bucket=8)
+np.testing.assert_allclose(single, dp, rtol=1e-5, atol=1e-7)
+print("DP_D2V_INFER_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "DP_D2V_INFER_OK" in out
+
+
 def test_dp_ccip_features_match_single_device():
     """gen_cfeatures --data-parallel: batch-sharded CCIP extraction must equal
     the single-device features."""
