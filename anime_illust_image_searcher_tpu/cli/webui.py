@@ -143,9 +143,10 @@ class WebUIServer:
 
     @staticmethod
     def _warmup_batch_buckets(engine: SearchEngine) -> None:
-        """Compile the batched query programs in the background so the first
-        concurrent burst doesn't pay a cold compile (minutes on a remote-compile
-        relay). The server stays responsive on the warm single-query program."""
+        """Compile the batched query programs AND the large-term-bucket program in
+        the background so neither a first concurrent burst nor a first >64-term
+        query pays a cold compile (minutes on a remote-compile relay). The server
+        stays responsive on the warm single-query program meanwhile."""
         import threading
 
         try:
@@ -161,6 +162,21 @@ class WebUIServer:
                     print(f"batch-bucket warmup skipped (b={b}): {e}")
                     return
             print("batched query programs warm")
+            from ..ops.fused_query import QUERY_TERM_BUCKETS
+
+            tags = list(engine.dictionary.token2id)
+            for bucket in QUERY_TERM_BUCKETS[1:]:
+                prev = QUERY_TERM_BUCKETS[QUERY_TERM_BUCKETS.index(bucket) - 1]
+                if len(tags) <= prev:
+                    break  # vocabulary can't produce a query this large
+                try:
+                    big = " ".join(tags[: min(len(tags), prev + 1)])
+                    if engine.fused_path_available(big):
+                        engine.find_similar_documents(big, topn=10)
+                        print(f"{bucket}-term query program warm")
+                except Exception as e:  # noqa: BLE001
+                    print(f"big-bucket warmup skipped ({bucket}): {e}")
+                    return
 
         threading.Thread(target=work, daemon=True).start()
 
