@@ -95,16 +95,22 @@ class CCIPReranker:
         # file), masked mean, and the all-rows metric (reference: one ONNX call per
         # INDEXED image, webui.py:306-309) — then runs as ONE dispatch against the
         # device-resident index
-        decoded: List[np.ndarray] = []
-        for file in top10_files:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _decode(file: str) -> Optional[np.ndarray]:
             try:
                 img = self.predictor.gen_image_ndarray(file)
                 if img is None:
                     raise ValueError(f"failed to load {file}")
-                decoded.append(img)
+                return img
             except Exception as e:  # noqa: BLE001
                 print(f"Error: {e}")
-                continue
+                return None
+
+        # decode the k hit files concurrently (PIL releases the GIL around IO and
+        # most of decode; order preserved, failures skipped)
+        with ThreadPoolExecutor(max_workers=len(top10_files)) as ex:
+            decoded = [img for img in ex.map(_decode, top10_files) if img is not None]
         if not decoded:
             sims = filter_searched_result(sims)
             return sims[: min(topn, len(sims))]
