@@ -47,6 +47,22 @@ def shard_batch(mesh: Mesh, batch: jax.Array) -> jax.Array:
     return jax.device_put(batch, data_sharding(mesh))
 
 
+def put_global(arr, sharding: NamedSharding) -> jax.Array:
+    """Place a host array onto a mesh that may span multiple processes.
+
+    Single-process meshes take the fast ``jax.device_put`` path. Across processes
+    (multi-host pod slices), ``device_put`` can't address remote shards, so the
+    global array is assembled per-process with ``make_array_from_callback`` — every
+    process holds the full host array (artifacts load from shared storage) and
+    contributes only its addressable shards. SPMD callers then run one jit over the
+    global array; XLA routes the collectives over ICI/DCN (SURVEY.md §2.3)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    np_arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        np_arr.shape, sharding, lambda idx: np_arr[idx])
+
+
 def pad_to_multiple(arr, multiple: int, axis: int = 0):
     """Pad the leading axis so it divides the data-axis size (static shapes for XLA)."""
     n = arr.shape[axis]

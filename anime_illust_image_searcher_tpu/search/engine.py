@@ -125,10 +125,9 @@ class SearchEngine:
         else:
             # Row-shard every per-document array over the data axis; GSPMD runs the
             # fused program per shard and all-gathers the top-k.
-            import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS, pad_to_multiple
+            from ..parallel.mesh import DATA_AXIS, pad_to_multiple, put_global
 
             n_data = mesh.shape[DATA_AXIS]
             row_sharding = NamedSharding(mesh, P(DATA_AXIS))
@@ -142,11 +141,14 @@ class SearchEngine:
             term_mat[self._num_real:] = self.bm25.vocab_size
             contrib_mat, _ = pad_to_multiple(self.bm25.contrib_mat, n_data)
 
-            self._matrix_dev = jax.device_put(matrix.astype(np.float32), mat_sharding)
-            self._norms_dev = jax.device_put(norms_p, row_sharding)
+            # put_global handles meshes spanning multiple processes (multi-host
+            # serving: every host loads the artifacts, contributes its shards,
+            # and runs the same SPMD query program)
+            self._matrix_dev = put_global(matrix.astype(np.float32), mat_sharding)
+            self._norms_dev = put_global(norms_p, row_sharding)
             self._bm25_dense = (
-                jax.device_put(term_mat, mat_sharding),
-                jax.device_put(contrib_mat.astype(np.float32), mat_sharding),
+                put_global(term_mat, mat_sharding),
+                put_global(contrib_mat.astype(np.float32), mat_sharding),
             )
             self._num_padded = matrix.shape[0]
 
@@ -281,17 +283,18 @@ class SearchEngine:
     def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
         """Single-device-call query path (ops/fused_query.py): identical semantics to
         the multi-call path; one H2D transfer, one execution, one D2H transfer."""
-        import jax.numpy as jnp
-
         from ..ops.fused_query import fused_normal_query
 
         s = self.cfg.search
         packed = self._pack_fused(new_doc)
         term_mat, contrib_mat = self._bm25_dense
+        # packed rides as a host array: jit replicates it onto the program's
+        # devices, which also works when the mesh spans processes (each process
+        # holds the same query bytes)
         out = fused_normal_query(
             self._matrix_dev, self._norms_dev,
             term_mat, contrib_mat,
-            jnp.asarray(packed),
+            packed,
             s.bm25_weight, s.doc2vec_weight,
             s.original_score_weight, s.reranked_score_weight,
             vocab_size=self.bm25.vocab_size,
@@ -318,8 +321,6 @@ class SearchEngine:
     ) -> List[List[Result]]:
         """Serve B concurrent queries in ONE device call (the webui micro-batcher's
         backend). Queries that can't ride the fused path fall back individually."""
-        import jax.numpy as jnp
-
         from ..ops.fused_query import fused_normal_query_batch
 
         results: List[Optional[List[Result]]] = [None] * len(new_docs)
@@ -358,7 +359,7 @@ class SearchEngine:
         term_mat, contrib_mat = self._bm25_dense
         out = np.asarray(fused_normal_query_batch(
             self._matrix_dev, self._norms_dev, term_mat, contrib_mat,
-            jnp.asarray(batch),
+            batch,
             s.bm25_weight, s.doc2vec_weight,
             s.original_score_weight, s.reranked_score_weight,
             vocab_size=self.bm25.vocab_size,

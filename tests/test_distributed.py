@@ -63,6 +63,85 @@ def test_process_info_keys():
     assert info["process_count"] >= 1
 
 
+_ENGINE_WORKER = """
+import sys
+import numpy as np
+from anime_illust_image_searcher_tpu.parallel import distributed
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+from anime_illust_image_searcher_tpu.search.engine import SearchEngine
+
+art_dir, coord, pid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+assert distributed.initialize(coordinator_address=coord, num_processes=2,
+                              process_id=pid) is True
+import jax
+assert len(jax.devices()) == 4  # 2 local per process
+
+single = SearchEngine(art_dir)
+expected = single.find_similar_documents("1girl smile", topn=50)
+
+mesh = make_mesh(n_data=4)
+sharded = SearchEngine(art_dir, mesh=mesh)
+got = sharded.find_similar_documents("1girl smile", topn=50)
+
+assert [d for d, _ in got] == [d for d, _ in expected], (got[:5], expected[:5])
+np.testing.assert_allclose([v for _, v in got], [v for _, v in expected],
+                           rtol=1e-4, atol=1e-5)
+print("DIST_ENGINE_OK", jax.process_index())
+"""
+
+
+def test_two_process_sharded_engine(tmp_path):
+    """Multi-host serving: every process loads the artifacts, contributes its
+    index shards (mesh.put_global), and runs the same SPMD fused query — results
+    must match the single-device engine."""
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.cli import genmodel
+    from anime_illust_image_searcher_tpu.index import artifacts
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rng = np.random.RandomState(7)
+        pools = [["1girl", "solo", "smile", "black_hair", "dress"],
+                 ["1boy", "male_focus", "sword", "armor", "standing"]]
+        lines = []
+        for i in range(48):
+            tags = list(rng.choice(pools[i % 2], size=rng.randint(3, 5),
+                                   replace=False))
+            lines.append(f"/img/{i:03d}.png,{','.join(tags)}")
+        with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        genmodel.main(["--epochs", "8"])
+    finally:
+        os.chdir(cwd)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO,
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
+    })
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _ENGINE_WORKER, str(tmp_path), coord, str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
+    assert "DIST_ENGINE_OK 0" in outs[0][0]
+    assert "DIST_ENGINE_OK 1" in outs[1][0]
+
+
 def test_two_process_psum():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
