@@ -80,9 +80,11 @@ class CCIPPredictor:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import DATA_AXIS, put_global
 
-            self.params = jax.device_put(self.params, NamedSharding(self.mesh, P()))
+            replicated = NamedSharding(self.mesh, P())
+            self.params = jax.tree.map(lambda a: put_global(a, replicated),
+                                       self.params)
             self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
     def ccip_default_threshold(self) -> float:

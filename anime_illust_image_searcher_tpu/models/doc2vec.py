@@ -466,7 +466,7 @@ class Doc2VecModel:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import DATA_AXIS, put_global
 
             n_data = mesh.shape[DATA_AXIS]
             if batch_size % n_data:
@@ -474,13 +474,14 @@ class Doc2VecModel:
                     f"batch_size {batch_size} must divide by the data axis {n_data}")
             batch_dp = NamedSharding(mesh, P(None, DATA_AXIS))  # (n_batches, B, ...)
             rep = NamedSharding(mesh, P())
-            doc_idx_b = jax.device_put(doc_idx_b, batch_dp)
-            words_b = jax.device_put(words_b, batch_dp)
-            mask_b = jax.device_put(mask_b, batch_dp)
-            docvecs = jax.device_put(docvecs, rep)
-            syn1 = jax.device_put(syn1, rep)
-            keep_prob = jax.device_put(keep_prob, rep)
-            cum_table = jax.device_put(cum_table, rep)
+            # put_global: multi-host meshes get their shards assembled per process
+            doc_idx_b = put_global(doc_idx_b, batch_dp)
+            words_b = put_global(words_b, batch_dp)
+            mask_b = put_global(mask_b, batch_dp)
+            docvecs = put_global(docvecs, rep)
+            syn1 = put_global(syn1, rep)
+            keep_prob = put_global(keep_prob, rep)
+            cum_table = put_global(cum_table, rep)
 
         # Whole epoch RUNS are single device programs (_train_epochs: scan over
         # epochs around the per-epoch batch scan) — one dispatch per log/checkpoint
@@ -583,8 +584,10 @@ class Doc2VecModel:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.mesh import put_global
+
             rep = NamedSharding(self.mesh, P())
-            consts = tuple(jax.device_put(c, rep) for c in consts)
+            consts = tuple(put_global(c, rep) for c in consts)
         self._infer_cache["device_consts"] = (self.syn1neg, consts)
         return consts
 
@@ -664,12 +667,12 @@ class Doc2VecModel:
             # GSPMD-retiling ulps; pinned by tests/test_parallel.py)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import DATA_AXIS, put_global
 
             n_data = self.mesh.shape[DATA_AXIS]
             if chunk % n_data == 0:
                 dp = NamedSharding(self.mesh, P(None, DATA_AXIS))
-                inputs = [jax.device_put(a, dp) for a in inputs]
+                inputs = [put_global(a, dp) for a in inputs]
         words_d, mask_d, init_d, seeds_d = [jnp.asarray(a) for a in inputs]
         out = _infer_vectors_chunked(
             syn1, words_d, mask_d, keep_prob, cum_table, init_d, seeds_d,

@@ -117,10 +117,11 @@ class TaggerPredictor:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import DATA_AXIS, put_global
 
             replicated = NamedSharding(self.mesh, P())
-            self.params = jax.device_put(self.params, replicated)
+            self.params = jax.tree.map(lambda a: put_global(a, replicated),
+                                       self.params)
             self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         else:
             self._batch_sharding = None

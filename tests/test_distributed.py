@@ -142,6 +142,61 @@ def test_two_process_sharded_engine(tmp_path):
     assert "DIST_ENGINE_OK 1" in outs[1][0]
 
 
+_TRAIN_WORKER = """
+import sys
+import numpy as np
+from anime_illust_image_searcher_tpu.parallel import distributed
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+from anime_illust_image_searcher_tpu.config import Doc2VecConfig
+from anime_illust_image_searcher_tpu.models.doc2vec import Doc2VecModel
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+assert distributed.initialize(coordinator_address=coord, num_processes=2,
+                              process_id=pid) is True
+import jax
+
+rng = np.random.RandomState(5)
+pools = [[f"a{i}" for i in range(10)], [f"b{i}" for i in range(10)]]
+corpus = [list(rng.choice(pools[i % 2], size=6, replace=False)) for i in range(32)]
+cfg = Doc2VecConfig(vector_size=16, epochs=4, max_doc_len=8, sample=0.0)
+
+single = Doc2VecModel.train(corpus, cfg, batch_size=8)
+dp = Doc2VecModel.train(corpus, cfg, batch_size=8, mesh=make_mesh(n_data=4))
+np.testing.assert_allclose(dp.docvecs, single.docvecs, rtol=1e-4, atol=1e-5)
+np.testing.assert_allclose(dp.syn1neg, single.syn1neg, rtol=1e-4, atol=1e-5)
+print("DIST_TRAIN_OK", jax.process_index())
+"""
+
+
+def test_two_process_dp_training():
+    """genmodel --data-parallel across hosts: PV-DBOW training over a
+    process-spanning mesh must reproduce the single-device run."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PALLAS_AXON_POOL_IPS": "",
+        "PYTHONPATH": REPO,
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
+    })
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _TRAIN_WORKER, coord, str(i)],
+                         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
+    assert "DIST_TRAIN_OK 0" in outs[0][0]
+    assert "DIST_TRAIN_OK 1" in outs[1][0]
+
+
 def test_two_process_psum():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
