@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, pad_to_multiple
+from .mesh import DATA_AXIS, pad_to_multiple, put_global
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -41,11 +41,11 @@ class ShardedSimilarityIndex:
         n_data = mesh.shape[DATA_AXIS]
         padded, _ = pad_to_multiple(matrix.astype(np.float32), n_data, axis=0)
         sharding = NamedSharding(mesh, P(DATA_AXIS, None))
-        self.matrix = jax.device_put(padded, sharding)
+        self.matrix = put_global(padded, sharding)  # multi-host meshes supported
         self.query_sharding = NamedSharding(mesh, P())
 
     def scores(self, query: np.ndarray) -> np.ndarray:
-        q = jax.device_put(query.astype(np.float32), self.query_sharding)
+        q = put_global(query.astype(np.float32), self.query_sharding)
         scores, _, _ = _scores_and_topk(self.matrix, q, 1)
         return np.asarray(scores)[: self.num_docs]
 
@@ -55,7 +55,7 @@ class ShardedSimilarityIndex:
         # over-fetch by the pad count to guarantee k real results after filtering.
         pad = self.matrix.shape[0] - self.num_docs
         k_eff = min(k + pad, self.matrix.shape[0])
-        q = jax.device_put(query.astype(np.float32), self.query_sharding)
+        q = put_global(query.astype(np.float32), self.query_sharding)
         _, vals, idx = _scores_and_topk(self.matrix, q, k_eff)
         vals, idx = np.asarray(vals), np.asarray(idx)
         keep = idx < self.num_docs
