@@ -138,6 +138,25 @@ def test_fused_epoch_runs_match_per_epoch_dispatch():
     np.testing.assert_array_equal(np.asarray(s1_a), np.asarray(s1_b))
 
 
+def test_negative_sampler_method_equivalence():
+    """_sample_negatives uses the fast searchsorted lowerings ('compare_all' /
+    'sort'); they must keep returning indices identical to the reference 'scan'
+    lowering — the training/inference bit-stability guarantee rides on it."""
+    import jax
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.models.doc2vec import _sample_negatives
+
+    for v in (37, 4000, 20000):  # spans both method branches
+        cum = jnp.asarray(np.cumsum(np.random.RandomState(v).rand(v)).astype(np.float32))
+        cum = cum / cum[-1]
+        key = jax.random.PRNGKey(v)
+        got = _sample_negatives(key, cum, (16, 8, 5))
+        u = jax.random.uniform(key, (16, 8, 5))
+        ref = jnp.searchsorted(cum, u, method="scan").astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_train_epoch_bf16_gather_option_close_to_f32():
     """The opt-in bf16 syn1 gather (Doc2VecConfig.train_gather_bf16) must track
     the f32 path closely — measured as a perf no-op on v5e, kept as an option."""
