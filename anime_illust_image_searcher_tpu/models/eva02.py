@@ -99,9 +99,28 @@ def tiny_test_config(num_classes: int = 32) -> Eva02Config:
 
 
 # ---------------------------------------------------------------------------
-# RoPE (timm RotaryEmbeddingCat semantics: lang-mode freq bands, axial 2D,
-# sin/cos concatenated with per-band duplication, rotate-interleaved-pairs apply)
+# RoPE (timm RotaryEmbeddingCat semantics: lang-mode freq bands, axial 2D).
+#
+# timm applies the rotation to INTERLEAVED (even, odd) pairs. On TPU that
+# formulation costs ~11 ms/block at B=128 (stride-2 slices + stack force
+# sublane relayouts); the mathematically equivalent HALF-SPLIT layout
+# (rotate_half on contiguous halves, as in GPT-NeoX) measures 5.4 ms/block.
+# q·kᵀ is exactly invariant under any fixed permutation applied to both q and
+# k within a head, so this model stores q/k projections in the half-split dim
+# order: new dim i holds timm dim 2i, new dim head_dim/2+i holds timm dim
+# 2i+1 (``rope_half_permutation``). The weight converter applies that column
+# permutation to checkpoint q/k projections (models/weights.py); attention
+# scores and all downstream activations match timm exactly — only the
+# internal q/k activation layout differs (noted in tools/parity_harness.py).
 # ---------------------------------------------------------------------------
+
+
+def rope_half_permutation(head_dim: int):
+    """Index map interleaved -> half-split: new[..., j] = old[..., perm[j]]."""
+    import numpy as np
+
+    return np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
 
 
 def build_rope_cat(
@@ -110,7 +129,7 @@ def build_rope_cat(
     temperature: float,
     ref_shape: Optional[Tuple[int, int]],
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (sin, cos), each (grid_h*grid_w, head_dim), f32."""
+    """Return (sin, cos), each (grid_h*grid_w, head_dim), f32, half-split layout."""
     num_bands = head_dim // 4
     exp = jnp.arange(num_bands, dtype=jnp.float32) / num_bands
     bands = 1.0 / (temperature ** exp)                       # (num_bands,)
@@ -126,16 +145,15 @@ def build_rope_cat(
 
     angles = pos[:, :, None] * bands[None, None, :]              # (N, 2, num_bands)
     angles = angles.reshape(pos.shape[0], 2 * num_bands)         # [y bands | x bands]
-    # duplicate each band for the (even, odd) rotation pair
-    angles = jnp.repeat(angles, 2, axis=-1)                      # (N, head_dim)
+    # each band appears once per half (the two elements of its rotation pair)
+    angles = jnp.concatenate([angles, angles], axis=-1)          # (N, head_dim)
     return jnp.sin(angles), jnp.cos(angles)
 
 
 def apply_rope_cat(x: jnp.ndarray, sin: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
-    """x: (..., N, head_dim). Rotate interleaved pairs: (x0, x1) -> (-x1, x0)."""
-    x1 = x[..., 0::2]
-    x2 = x[..., 1::2]
-    rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+    """x: (..., N, head_dim) in half-split dim order. rotate_half: (a, b) -> (-b, a)."""
+    h = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
     return x * cos + rot * sin
 
 

@@ -73,9 +73,10 @@ class TaggerPredictor:
         import os
 
         if use_pallas is None:
-            # Measured on v5e (B=128, EVA02-L): XLA's fused attention 114 img/s vs the
-            # Pallas kernel's 87 — XLA is the production default until the kernel
-            # closes the gap. Opt in with AIIS_USE_PALLAS=1.
+            # Measured on v5e (B=128, EVA02-L): XLA's fused attention beats the
+            # Pallas kernel in-model (ARCHITECTURE.md §7 ablation: XLA is at the
+            # Dh=64 MXU floor) — XLA is the production default. Opt in with
+            # AIIS_USE_PALLAS=1.
             use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
         if os.environ.get("AIIS_INT8", "0") == "1" and config.quant == "none":
             import dataclasses

@@ -150,14 +150,33 @@ def convert_timm_eva02(sd: Dict[str, np.ndarray], cfg: Eva02Config) -> dict:
         return (f"blocks.{i}.mlp.fc1_g", f"blocks.{i}.mlp.fc1_x",
                 f"blocks.{i}.mlp.norm", f"blocks.{i}.mlp.fc2")
 
+    # The model's rope uses the half-split head-dim layout (rotate_half) instead
+    # of timm's interleaved pairs — a per-head column permutation of the q/k
+    # projections makes the two exactly equivalent (q·k is permutation-invariant;
+    # see models/eva02.py rope notes). v/proj are untouched.
+    def qk_permute(arr: np.ndarray) -> np.ndarray:
+        if not cfg.use_rope:
+            return arr
+        from .eva02 import rope_half_permutation
+
+        head_dim = cfg.embed_dim // cfg.num_heads
+        perm = rope_half_permutation(head_dim)
+        full = np.concatenate(
+            [h * head_dim + perm for h in range(cfg.num_heads)])
+        return np.ascontiguousarray(arr[..., full])
+
     for i in range(cfg.depth):
         blk: dict = {
             "norm1": ln(f"blocks.{i}.norm1"),
             "norm2": ln(f"blocks.{i}.norm2"),
         }
+        q = dense(f"blocks.{i}.attn.q_proj")
+        k = dense(f"blocks.{i}.attn.k_proj", bias=False)
+        q = {"kernel": qk_permute(q["kernel"]), "bias": qk_permute(q["bias"])}
+        k = {"kernel": qk_permute(k["kernel"])}
         attn: dict = {
-            "q_proj": dense(f"blocks.{i}.attn.q_proj"),
-            "k_proj": dense(f"blocks.{i}.attn.k_proj", bias=False),
+            "q_proj": q,
+            "k_proj": k,
             "v_proj": dense(f"blocks.{i}.attn.v_proj"),
             "proj": dense(f"blocks.{i}.attn.proj"),
         }

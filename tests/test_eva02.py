@@ -51,6 +51,35 @@ def test_rope_zero_position_is_identity(rng):
     np.testing.assert_allclose(out, x, rtol=1e-6)
 
 
+def test_rope_half_split_matches_timm_interleaved(rng):
+    """The half-split rotate_half rope + per-head q/k permutation must produce
+    attention scores identical to timm's interleaved-pair formulation on the
+    unpermuted vectors (the weight converter relies on this equivalence)."""
+    from anime_illust_image_searcher_tpu.models.eva02 import rope_half_permutation
+
+    head_dim, n = 32, 16
+    sin_h, cos_h = build_rope_cat((4, 4), head_dim, 100.0, None)
+    sin_h, cos_h = np.asarray(sin_h), np.asarray(cos_h)
+    perm = rope_half_permutation(head_dim)
+
+    # timm layout: interleaved band duplication + (x0, x1) -> (-x1, x0)
+    sin_i, cos_i = sin_h[:, perm.argsort()], cos_h[:, perm.argsort()]
+
+    def timm_rope(x):
+        x1, x2 = x[..., 0::2], x[..., 1::2]
+        rot = np.stack([-x2, x1], axis=-1).reshape(x.shape)
+        return x * cos_i + rot * sin_i
+
+    q = rng.randn(n, head_dim).astype(np.float32)
+    k = rng.randn(n, head_dim).astype(np.float32)
+    scores_timm = timm_rope(q) @ timm_rope(k).T
+    ours_q = np.asarray(apply_rope_cat(q[:, perm], sin_h, cos_h))
+    ours_k = np.asarray(apply_rope_cat(k[:, perm], sin_h, cos_h))
+    np.testing.assert_allclose(ours_q @ ours_k.T, scores_timm, rtol=1e-5, atol=1e-5)
+    # sanity: the half-layout sin table is the permuted interleaved table
+    np.testing.assert_allclose(sin_h, sin_i[:, perm], rtol=0, atol=0)
+
+
 def test_rope_ref_shape_rescales():
     sin_a, _ = build_rope_cat((8, 8), 32, 10000.0, (4, 4))
     sin_b, _ = build_rope_cat((4, 4), 32, 10000.0, (4, 4))

@@ -11,6 +11,12 @@ that has both:
 It reports, per block, max|Δ| between the timm forward's intermediate activations and
 this framework's, then the final probability diff and the resulting tag-set diff at
 the reference thresholds (tagging.py:333 semantics).
+
+Layout note: this framework stores q/k projections in the half-split rope dim
+order (models/eva02.py rope notes) — block INPUTS/OUTPUTS and attention scores
+match timm exactly, but raw q/k activations differ by the fixed per-head
+permutation `rope_half_permutation`; the harness compares block boundaries, which
+are layout-invariant.
 """
 
 from __future__ import annotations
