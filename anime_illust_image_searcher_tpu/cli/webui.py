@@ -152,12 +152,17 @@ class WebUIServer:
         try:
             some_tag = next(iter(engine.dictionary.token2id))
         except StopIteration:
-            return
+            return None
+
+        # topn is a STATIC argument of the fused programs — warming with any other
+        # value compiles a program production queries never use (observed as ~15 s
+        # first-burst latency spikes); always warm at the serving topn.
+        topn = engine.cfg.search.topn
 
         def work():
             for b in engine.QUERY_BATCH_BUCKETS:
                 try:
-                    engine.find_similar_documents_batch([some_tag] * b, topn=10)
+                    engine.find_similar_documents_batch([some_tag] * b, topn=topn)
                 except Exception as e:  # noqa: BLE001 — warmup must never crash
                     print(f"batch-bucket warmup skipped (b={b}): {e}")
                     return
@@ -172,13 +177,15 @@ class WebUIServer:
                 try:
                     big = " ".join(tags[: min(len(tags), prev + 1)])
                     if engine.fused_path_available(big):
-                        engine.find_similar_documents(big, topn=10)
+                        engine.find_similar_documents(big, topn=topn)
                         print(f"{bucket}-term query program warm")
                 except Exception as e:  # noqa: BLE001
                     print(f"big-bucket warmup skipped ({bucket}): {e}")
                     return
 
-        threading.Thread(target=work, daemon=True).start()
+        thread = threading.Thread(target=work, daemon=True)
+        thread.start()
+        return thread  # callers (tests) may join; the server never needs to
 
     def image_allowed(self, fpath: str) -> bool:
         self.load()

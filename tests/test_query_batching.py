@@ -39,6 +39,33 @@ def engine(tmp_path_factory):
 
 
 
+def test_warmup_uses_serving_topn(engine):
+    """Bucket warmup must compile the (bucket, SERVING topn) programs — topn is a
+    static jit arg, so warming any other value leaves production cold (observed
+    as ~15 s first-burst compile spikes on the relay)."""
+    from anime_illust_image_searcher_tpu.cli.webui import WebUIServer
+
+    calls = []
+    orig_batch = engine.find_similar_documents_batch
+    orig_single = engine.find_similar_documents
+
+    def rec_batch(qs, topn=50, search_mode="normal"):
+        calls.append(topn)
+        return orig_batch(qs, topn=topn, search_mode=search_mode)
+
+    engine.find_similar_documents_batch = rec_batch
+    try:
+        thread = WebUIServer._warmup_batch_buckets(engine)
+        assert thread is not None
+        thread.join(timeout=120)
+        assert not thread.is_alive()
+    finally:
+        engine.find_similar_documents_batch = orig_batch
+        engine.find_similar_documents = orig_single
+    assert calls, "warmup thread never ran"
+    assert set(calls) == {engine.cfg.search.topn}, calls
+
+
 def assert_same_results(got, seq):
     """Rankings must match exactly; scores to 1e-5 (vmap retiles the matvec
     accumulation, shifting f32 sums in the 7th decimal)."""
