@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pickle
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 
@@ -112,42 +112,48 @@ class BM25DeviceIndex:
 
     @staticmethod
     def from_stats(stats: BM25Stats, vocab_size: int, cfg: BM25Config = BM25Config()) -> "BM25DeviceIndex":
-        doc_ids: List[int] = []
-        term_ids: List[int] = []
-        contribs: List[float] = []
+        # Vectorized over the flattened (doc, term) pairs — the per-dict python
+        # loops cost ~3 s of every engine startup at 100k docs / 1.9M nnz. All
+        # arithmetic stays f64 (like the old python-float loop) before the final
+        # f32 cast, and dict order is preserved, so the layout is bit-identical.
         k1, b = cfg.k1, cfg.b
         avgdl = stats.avgdl if stats.avgdl else 1.0
-        per_doc: List[List[Tuple[int, float]]] = []
-        for doc_idx, term_freq in enumerate(stats.corpus):
-            dl = float(stats.doc_lengths[doc_idx])
-            norm = k1 * (1 - b + b * (dl / avgdl))
-            row: List[Tuple[int, float]] = []
-            for term_id, tf in term_freq.items():
-                idf = stats.idf.get(term_id, 0.0)
-                c = idf * (tf * (k1 + 1)) / (tf + norm)
-                doc_ids.append(doc_idx)
-                term_ids.append(term_id)
-                contribs.append(c)
-                row.append((term_id, c))
-            per_doc.append(row)
+        num_docs = stats.num_docs
 
-        width = max((len(r) for r in per_doc), default=1)
+        lens = np.fromiter((len(tf) for tf in stats.corpus), np.int64, num_docs)
+        nnz = int(lens.sum())
+        doc_ids = np.repeat(np.arange(num_docs, dtype=np.int32), lens)
+        term_ids = np.fromiter(
+            (t for tf in stats.corpus for t in tf), np.int32, nnz)
+        tfs = np.fromiter(
+            (v for tf in stats.corpus for v in tf.values()), np.float64, nnz)
+
+        idf_arr = np.zeros(vocab_size + 1, np.float64)
+        if stats.idf:
+            idf_keys = np.fromiter(stats.idf.keys(), np.int64, len(stats.idf))
+            idf_arr[idf_keys] = np.fromiter(
+                stats.idf.values(), np.float64, len(stats.idf))
+        dl = np.asarray(stats.doc_lengths, np.float64)
+        norm_doc = k1 * (1 - b + b * (dl / avgdl))            # (D,)
+        contrib = idf_arr[term_ids] * (tfs * (k1 + 1)) / (tfs + norm_doc[doc_ids])
+
+        width = int(lens.max()) if num_docs else 1
         width = max(8, (width + 7) // 8 * 8)  # sublane-friendly
-        term_mat = np.full((stats.num_docs, width), vocab_size, dtype=np.int32)
-        contrib_mat = np.zeros((stats.num_docs, width), dtype=np.float32)
-        for d, row in enumerate(per_doc):
-            for j, (t, c) in enumerate(row):
-                term_mat[d, j] = t
-                contrib_mat[d, j] = c
+        term_mat = np.full((num_docs, width), vocab_size, dtype=np.int32)
+        contrib_mat = np.zeros((num_docs, width), dtype=np.float32)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if num_docs else np.zeros(0)
+        col = np.arange(nnz, dtype=np.int64) - np.repeat(starts, lens)
+        term_mat[doc_ids, col] = term_ids
+        contrib_mat[doc_ids, col] = contrib.astype(np.float32)
 
         return BM25DeviceIndex(
-            doc_ids=np.asarray(doc_ids, dtype=np.int32),
-            term_ids=np.asarray(term_ids, dtype=np.int32),
-            contrib=np.asarray(contribs, dtype=np.float32),
+            doc_ids=doc_ids,
+            term_ids=term_ids,
+            contrib=contrib.astype(np.float32),
             term_mat=term_mat,
             contrib_mat=contrib_mat,
             vocab_size=vocab_size,
-            num_docs=stats.num_docs,
+            num_docs=num_docs,
         )
 
     def to_device(self):
