@@ -64,9 +64,10 @@ class Eva02Config:
     # 'token' is the cls-token -> norm -> head variant. The weight converter detects
     # which one a checkpoint uses by its fc_norm/norm keys.
     global_pool: str = "avg"
-    # f32 LayerNorms are the parity default; bf16 halves their HBM traffic (~18% of
-    # forward time at B=64) at ~1e-2 normalization precision cost. Flip only with the
-    # parity harness in hand.
+    # Effectively a no-op on current flax: nn.LayerNorm computes statistics in
+    # f32 regardless of ``dtype`` (verified: flipping this leaves tiny-model
+    # outputs bit-identical and B=128 timing unchanged). Kept for config-surface
+    # stability; both settings are parity-safe.
     norm_in_f32: bool = True
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16  # compute dtype; params stay f32
