@@ -7,11 +7,14 @@ reading ``.npy`` arrays produced by ``cli.utility.make_tensor_files``:
 
     python -m anime_illust_image_searcher_tpu.cli.tagging_pre --dir TENSOR_DIR [--model-dir M]
 
-Parity notes: batch defaults large like the colab variant (BATCH_SIZE=200,
-colab_env/tagging.py:48); output opens in 'w' mode — the colab variant truncates
-instead of appending (colab_env/tagging.py:278, QUIRKS.md #2 contrast); output lines
-carry the .npy path with the suffix stripped, matching the reference's convention that
-tensor files mirror the original image paths.
+Parity notes: output opens in 'w' mode — the colab variant truncates instead of
+appending (colab_env/tagging.py:278, QUIRKS.md #2 contrast); output lines carry the
+.npy path with the suffix stripped, matching the reference's convention that tensor
+files mirror the original image paths. The batch size defaults to 128 — the measured
+v5e sweet spot, sharing the tagging CLI's already-compiled program — instead of the
+colab variant's 200 (colab_env/tagging.py:48, a T4 memory choice, not an
+output-affecting semantic; a distinct batch shape costs its own multi-minute
+remote compile). ``--batch-size`` restores any value.
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ from ..data.ingest import PrefetchLoader
 from ..models.tagger import TaggerPredictor
 from ..utils.progress import ProgressMeter
 
-DEFAULT_BATCH = 200  # colab_env/tagging.py:48
+DEFAULT_BATCH = 128  # v5e sweet spot (colab variant used 200, colab_env/tagging.py:48)
 
 
 def list_npy_recursive(dir_path: str) -> List[str]:
@@ -81,15 +84,28 @@ def main(arg_str: List[str]) -> None:
         workers=cfg.decode_workers, decode_fn=load_npy(cfg.image_size),
     )
     with open(cfg.output_file, "w", encoding="utf-8") as out:  # 'w': colab semantics
-        for batch in loader:
-            results = predictor.predict(
-                batch.images,
+        def flush(pending) -> None:
+            pbatch, devs = pending
+            results = predictor.finalize(
+                devs,
                 cfg.general_thresh, cfg.general_mcut_enabled,
                 cfg.character_thresh, cfg.character_mcut_enabled,
             )
-            for path, line in zip(batch.paths, results[: batch.valid]):
+            for path, line in zip(pbatch.paths, results[: pbatch.valid]):
                 out.write(path[: -len(".npy")] + "," + line + "\n")
-            meter.add(batch.valid)
+            meter.add(pbatch.valid)
+
+        # depth-1 pipeline like cli/tagging.py: dispatch batch N, then sync and
+        # assemble batch N-1 while the device runs (the synchronous predict()
+        # serialized H2D + exec + D2H + host work per batch)
+        pending = None
+        for batch in loader:
+            devs = predictor.predict_device(batch.images)
+            if pending is not None:
+                flush(pending)
+            pending = (batch, devs)
+        if pending is not None:
+            flush(pending)
     meter.report(final=True)
 
 

@@ -13,7 +13,15 @@ _DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/aiis_tpu/jax_compilation")
 
 
 def enable_persistent_compile_cache(cache_dir: str = "") -> None:
-    cache_dir = cache_dir or os.environ.get("AIIS_JAX_CACHE_DIR", _DEFAULT_CACHE_DIR)
+    # Respect an explicit JAX_COMPILATION_CACHE_DIR: silently redirecting to the
+    # module default split compiles across two cache dirs and cost a ~4-minute
+    # recompile for anything warmed under the other one.
+    cache_dir = (
+        cache_dir
+        or os.environ.get("AIIS_JAX_CACHE_DIR")
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or _DEFAULT_CACHE_DIR
+    )
     os.makedirs(cache_dir, exist_ok=True)
     import jax
 
