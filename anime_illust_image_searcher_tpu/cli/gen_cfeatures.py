@@ -22,6 +22,8 @@ import datetime
 import sys
 from typing import Optional
 
+import numpy as np
+
 from ..config import CCIPConfig, DEFAULT_CONFIG
 from ..data.ingest import PrefetchLoader, filter_files_by_date, list_files_recursive
 from ..index import artifacts
@@ -89,13 +91,25 @@ class Predictor(CCIPPredictor):
             pad_to_square=False,
             resample=Image.BILINEAR,
         )
+        def flush(pending) -> None:
+            pbatch, dev = pending
+            feats = np.asarray(dev)[: pbatch.valid]
+            for path in pbatch.paths:
+                out.write(path + "\n")
+            self.cindex.add_documents(list(feats))
+            meter.add(pbatch.valid)
+
         try:
+            # depth-1 pipeline like the tagging CLIs: dispatch batch N, then sync
+            # and index batch N-1 while the device runs
+            pending = None
             for batch in loader:
-                feats = self.ccip_batch_extract_features(batch.images)[: batch.valid]
-                for path in batch.paths:
-                    out.write(path + "\n")
-                self.cindex.add_documents(list(feats))
-                meter.add(batch.valid)
+                dev = self.ccip_extract_device(batch.images)
+                if pending is not None:
+                    flush(pending)
+                pending = (batch, dev)
+            if pending is not None:
+                flush(pending)
         finally:
             out.close()
         self.cindex.save(index_name)

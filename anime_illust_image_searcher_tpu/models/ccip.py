@@ -95,8 +95,10 @@ class CCIPPredictor:
 
     # ---- features ------------------------------------------------------------
 
-    def ccip_batch_extract_features(self, images_u8: np.ndarray) -> np.ndarray:
-        """(B, S, S, 3) uint8 RGB -> (B, feature_dim) f32."""
+    def ccip_extract_device(self, images_u8: np.ndarray):
+        """Dispatch the feature forward WITHOUT syncing — callers (gen_cfeatures'
+        depth-1 pipeline) overlap host work with device compute; sync with
+        np.asarray on the returned array."""
         self.load_model()
         if self._batch_sharding is not None:
             import jax
@@ -104,12 +106,14 @@ class CCIPPredictor:
             images_dev = jax.device_put(np.asarray(images_u8), self._batch_sharding)
         else:
             images_dev = jnp.asarray(images_u8)
-        return np.asarray(
-            extract_features(
-                self.params, images_dev, self._mean, self._std,
-                self.model_cfg, self.use_pallas,
-            )
+        return extract_features(
+            self.params, images_dev, self._mean, self._std,
+            self.model_cfg, self.use_pallas,
         )
+
+    def ccip_batch_extract_features(self, images_u8: np.ndarray) -> np.ndarray:
+        """(B, S, S, 3) uint8 RGB -> (B, feature_dim) f32."""
+        return np.asarray(self.ccip_extract_device(images_u8))
 
     def ccip_extract_feature(self, image_u8: np.ndarray) -> np.ndarray:
         return self.ccip_batch_extract_features(image_u8[None])[0]
