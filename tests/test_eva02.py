@@ -208,6 +208,76 @@ def test_converter_detects_avg_pool_variant():
     assert logits.shape == (1, ncls)
 
 
+def test_checkpoint_dir_roundtrip(tmp_path, tiny):
+    """Full --model-dir flow: safetensors state dict + selected_tags.csv on disk ->
+    load_tagger_checkpoint -> TaggerPredictor tags a batch. Also pins that the
+    converter applied the rope half-split q/k permutation."""
+    import safetensors.numpy
+
+    from anime_illust_image_searcher_tpu.models.eva02 import rope_half_permutation
+    from anime_illust_image_searcher_tpu.models.tagger import TaggerPredictor
+    from anime_illust_image_searcher_tpu.models.weights import _t
+
+    cfg = tiny_test_config(num_classes=6)
+    rng = np.random.RandomState(2)
+    d, hid, ncls, p = cfg.embed_dim, cfg.mlp_hidden_dim, cfg.num_classes, cfg.patch_size
+    sd = {
+        "patch_embed.proj.weight": rng.randn(d, 3, p, p).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(d, np.float32),
+        "cls_token": rng.randn(1, 1, d).astype(np.float32),
+        "pos_embed": rng.randn(1, cfg.num_patches + 1, d).astype(np.float32),
+        "norm.weight": np.ones(d, np.float32),
+        "norm.bias": np.zeros(d, np.float32),
+        "head.weight": rng.randn(ncls, d).astype(np.float32),
+        "head.bias": np.zeros(ncls, np.float32),
+    }
+    for i in range(cfg.depth):
+        sd.update({
+            f"blocks.{i}.norm1.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm1.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.norm2.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm2.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.q_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.q_proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.k_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.v_proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.v_proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.attn.proj.weight": rng.randn(d, d).astype(np.float32),
+            f"blocks.{i}.attn.proj.bias": np.zeros(d, np.float32),
+            f"blocks.{i}.mlp.w1.weight": rng.randn(hid, d).astype(np.float32),
+            f"blocks.{i}.mlp.w1.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.w2.weight": rng.randn(hid, d).astype(np.float32),
+            f"blocks.{i}.mlp.w2.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.norm.weight": np.ones(hid, np.float32),
+            f"blocks.{i}.mlp.norm.bias": np.zeros(hid, np.float32),
+            f"blocks.{i}.mlp.w3.weight": rng.randn(d, hid).astype(np.float32),
+            f"blocks.{i}.mlp.w3.bias": np.zeros(d, np.float32),
+        })
+    safetensors.numpy.save_file(sd, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "selected_tags.csv", "w", encoding="utf-8") as f:
+        f.write("tag_id,name,category,count\n")
+        f.write("1,general,9,10\n")  # rating row (category 9)
+        for j in range(ncls - 3):
+            f.write(f"{10+j},gen_tag_{j},0,5\n")
+        f.write("90,char_a,4,3\n")
+        f.write("91,char_b,4,2\n")
+
+    pred = TaggerPredictor(model_dir=str(tmp_path))
+    pred.load_model()
+    # rope permutation applied to the q kernel (per-head half-split column order)
+    head_dim = pred.model_cfg.head_dim
+    perm = rope_half_permutation(head_dim)
+    full = np.concatenate(
+        [h * head_dim + perm for h in range(pred.model_cfg.num_heads)])
+    got_q = np.asarray(pred.params["params"]["blocks_0"]["attn"]["q_proj"]["kernel"])
+    np.testing.assert_array_equal(got_q, _t(sd["blocks.0.attn.q_proj.weight"])[:, full])
+
+    imgs = rng.randint(0, 255, (2, pred.model_cfg.img_size,
+                                pred.model_cfg.img_size, 3), dtype=np.uint8)
+    lines = pred.predict(imgs, 0.3, True, 0.3, True)
+    assert len(lines) == 2 and all(isinstance(s, str) for s in lines)
+
+
 def test_head_weight_transposed_correctly(tiny):
     """Converter must transpose torch (out,in) Linear weights."""
     from anime_illust_image_searcher_tpu.models.weights import _t
