@@ -45,7 +45,7 @@ from jax.experimental import multihost_utils
 ranks = multihost_utils.process_allgather(
     np.array([jax.process_index()], np.int32))
 assert sorted(np.ravel(ranks).tolist()) == [0, 1], ranks
-print("DIST_OK", jax.process_index())
+print(f"DIST_OK_{jax.process_index()}")
 """
 
 
@@ -86,7 +86,7 @@ got = sharded.find_similar_documents("1girl smile", topn=50)
 assert [d for d, _ in got] == [d for d, _ in expected], (got[:5], expected[:5])
 np.testing.assert_allclose([v for _, v in got], [v for _, v in expected],
                            rtol=1e-4, atol=1e-5)
-print("DIST_ENGINE_OK", jax.process_index())
+print(f"DIST_ENGINE_OK_{jax.process_index()}")
 """
 
 
@@ -138,8 +138,8 @@ def test_two_process_sharded_engine(tmp_path):
     outs = [p.communicate(timeout=900) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
-    assert "DIST_ENGINE_OK 0" in outs[0][0]
-    assert "DIST_ENGINE_OK 1" in outs[1][0]
+    assert "DIST_ENGINE_OK_0" in outs[0][0]
+    assert "DIST_ENGINE_OK_1" in outs[1][0]
 
 
 _TRAIN_WORKER = """
@@ -164,7 +164,7 @@ single = Doc2VecModel.train(corpus, cfg, batch_size=8)
 dp = Doc2VecModel.train(corpus, cfg, batch_size=8, mesh=make_mesh(n_data=4))
 np.testing.assert_allclose(dp.docvecs, single.docvecs, rtol=1e-4, atol=1e-5)
 np.testing.assert_allclose(dp.syn1neg, single.syn1neg, rtol=1e-4, atol=1e-5)
-print("DIST_TRAIN_OK", jax.process_index())
+print(f"DIST_TRAIN_OK_{jax.process_index()}")
 """
 
 
@@ -193,8 +193,8 @@ def test_two_process_dp_training():
     outs = [p.communicate(timeout=900) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
-    assert "DIST_TRAIN_OK 0" in outs[0][0]
-    assert "DIST_TRAIN_OK 1" in outs[1][0]
+    assert "DIST_TRAIN_OK_0" in outs[0][0]
+    assert "DIST_TRAIN_OK_1" in outs[1][0]
 
 
 def test_two_process_psum():
@@ -227,5 +227,5 @@ def test_two_process_psum():
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"stdout:\n{out}\nstderr:\n{err}"
-    assert "DIST_OK 0" in outs[0][0]
-    assert "DIST_OK 1" in outs[1][0]
+    assert "DIST_OK_0" in outs[0][0]
+    assert "DIST_OK_1" in outs[1][0]
