@@ -106,6 +106,37 @@ def test_big_query_rides_fused_256_bucket(engine):
     )
 
 
+def test_term_bucket_selection():
+    from anime_illust_image_searcher_tpu.ops.fused_query import (
+        QUERY_TERM_BUCKETS, term_bucket,
+    )
+
+    assert term_bucket(0) == QUERY_TERM_BUCKETS[0]
+    assert term_bucket(64) == 64
+    assert term_bucket(65) == 256
+    assert term_bucket(256) == 256
+    with pytest.raises(ValueError):
+        term_bucket(257)
+
+
+def test_pack_query_big_bucket_layout():
+    """A 256-slot buffer packs ids/weights into the right blocks and the slot
+    count is recoverable from the buffer length (the fused program derives its
+    static Q from it)."""
+    from anime_illust_image_searcher_tpu.ops.fused_query import pack_query
+
+    vec = np.arange(8, dtype=np.float32)
+    weights = {i: 1.0 for i in range(70)}
+    packed = pack_query(vec, weights, vocab_size=1000, magic=1000, max_terms=256)
+    assert packed.shape[0] == 4 * 256 + 8 + 1
+    q = (packed.shape[0] - 8 - 1) // 4
+    assert q == 256
+    np.testing.assert_array_equal(packed[:70], np.arange(70, dtype=np.float32))
+    assert np.all(packed[70:256] == -1.0)          # unused id slots
+    np.testing.assert_array_equal(packed[256:256 + 70], np.ones(70, np.float32))
+    np.testing.assert_array_equal(packed[4 * 256: 4 * 256 + 8], vec)
+
+
 def test_mixed_bucket_batch(engine):
     """A batch mixing a 64-slot and a 256-slot query repacks at the larger bucket
     and still matches per-query results."""
