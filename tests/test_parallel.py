@@ -175,6 +175,28 @@ print("DP_D2V_OK")
     assert "DP_D2V_OK" in out
 
 
+def test_put_global_single_process():
+    """Single-process meshes take the device_put fast path; content and sharding
+    must match a plain device_put (the multi-process make_array_from_callback
+    branch is exercised end-to-end by tests/test_distributed.py)."""
+    code = """
+import numpy as np, jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh, put_global
+
+mesh = make_mesh(n_data=8)
+arr = np.arange(64, dtype=np.float32).reshape(16, 4)
+sharding = NamedSharding(mesh, P('data', None))
+a = put_global(arr, sharding)
+b = jax.device_put(arr, sharding)
+assert a.sharding == b.sharding, (a.sharding, b.sharding)
+np.testing.assert_array_equal(np.asarray(a), arr)
+print("PUT_GLOBAL_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "PUT_GLOBAL_OK" in out
+
+
 def test_dp_doc2vec_inference_matches_single_device():
     """genmodel --data-parallel also shards the index-build inference pass; the
     per-doc math is independent along the sharded axis, so vectors must match
