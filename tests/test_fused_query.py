@@ -60,6 +60,7 @@ def test_fused_matches_fallback(engine, query):
     )
 
 
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_require_with_few_matches_stays_finite(engine):
     """<10 docs matching a +required tag used to propagate NaN through the PRF mean
     (QUIRKS.md #15); both paths must return finite pinned scores and agree on ids."""
