@@ -207,13 +207,34 @@ class TaggerPredictor:
             )
         return ret_strings
 
+    @staticmethod
+    def _select_sorted(names: List[str], probs: np.ndarray, thresh: float) -> List[str]:
+        """Reference tag selection, byte-exact (tagging.py:194,203-226): tags above
+        the threshold are dict-deduplicated BY NAME (last occurrence's prob wins, the
+        first occurrence's position orders equal-prob ties via Python's stable sort),
+        sorted by prob descending, spaces -> underscores.
+
+        The f64 upcast is load-bearing: the reference compares ``astype(float)``
+        probs against the f64 threshold (tagging.py:186,194), so an f32 prob of
+        0.3 (0.30000001... in f64) PASSES a ``> 0.3`` test that it would fail in
+        f32 arithmetic."""
+        probs = probs.astype(np.float64)
+        sel = np.where(probs > thresh)[0]
+        res: dict = {}
+        for i in sel:
+            res[names[i]] = probs[i]
+        ordered = sorted(res.items(), key=lambda x: x[1], reverse=True)
+        return [name.replace(" ", "_") for name, _ in ordered]
+
     def _assemble_line(self, general: np.ndarray, g_t: float,
                        character: np.ndarray, c_t: float) -> str:
-        g_sel = np.where(general > g_t)[0]
-        g_sel = g_sel[np.argsort(-general[g_sel], kind="stable")]
-        parts = [self._general_names[i].replace(" ", "_") for i in g_sel]
-        c_sel = np.where(character > c_t)[0]
-        if len(c_sel) > 0:
-            c_sel = c_sel[np.argsort(-character[c_sel], kind="stable")]
-            parts += [self._character_names[i].replace(" ", "_") for i in c_sel]
-        return ",".join(parts)
+        ret = ",".join(self._select_sorted(self._general_names, general, g_t))
+        c_parts = self._select_sorted(self._character_names, character, c_t)
+        if c_parts:
+            # The reference always prefixes the character block with a comma
+            # (tagging.py:224) — with an empty general set the full file line
+            # becomes ``path,,chartag`` (leading empty token). Kept byte-exact;
+            # genmodel's reader keeps the empty token as a corpus "tag" exactly
+            # like the reference does (QUIRKS.md #17).
+            ret += "," + ",".join(c_parts)
+        return ret
