@@ -14,10 +14,14 @@ TPU mapping:
   - the forward is shape-static (448² → 1025 tokens) so XLA compiles exactly one
     program per batch bucket, and pjit shards the batch over the ``data`` mesh axis.
 
-Weight conversion from the HF safetensors checkpoint is in models/weights.py. Exact
-numerical parity vs timm requires the published weights, which this environment cannot
-download (zero egress); tools/parity_harness.py carries the per-layer diff harness to
-run where they are available (SURVEY.md §7 "Hard parts").
+Weight conversion from the HF safetensors checkpoint is in models/weights.py. The
+architecture + conversion (including the rope half-split q/k permutation) are
+numerically validated in-env against a vendored PyTorch replica of timm's Eva forward
+semantics (tests/test_eva02_oracle.py: logits <= 1e-5 at f32, per-block activations
+checked, and an identity permutation is off by O(1) — the oracle discriminates).
+The published weights themselves need network access (zero egress here);
+tools/parity_harness.py carries the per-layer diff harness to run where they are
+available (SURVEY.md §7 "Hard parts").
 """
 
 from __future__ import annotations
