@@ -103,6 +103,9 @@ def main() -> None:
     if query is not None:
         headline["query_latency_p50_ms_100k"] = query["value"]
         headline["query_device_ms_estimate_100k"] = query["device_ms_estimate"]
+        # direct measurement (one serialized-scan dispatch / N), not a subtraction
+        headline["query_device_ms_measured_100k"] = query.get(
+            "device_query_ms_measured")
     print(json.dumps(headline))
 
 

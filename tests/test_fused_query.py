@@ -151,3 +151,14 @@ def test_mixed_bucket_batch(engine):
         assert [d for d, _ in got] == [d for d, _ in single]
         np.testing.assert_allclose([v for _, v in got], [v for _, v in single],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_serial_scan_matches_per_query(engine):
+    """fused_normal_query_serial (the --device-only measurement instrument) must
+    produce bit-identical rows to the per-query fused program."""
+    from bench_query import run_device_only_bench
+
+    queries = ["1girl smile", "sword armor", "bottle", "1girl:2 sword:-1"]
+    out = run_device_only_bench(engine, queries, repeats=1)
+    assert out["n_queries"] == 4
+    assert out["device_query_ms_measured"] > 0
