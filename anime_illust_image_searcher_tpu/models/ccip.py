@@ -58,6 +58,49 @@ class CCIPPredictor:
         self.threshold: float = -1.0
         self._mean = jnp.asarray(config.mean, jnp.float32)
         self._std = jnp.asarray(config.std, jnp.float32)
+        # learned-metric path (VERDICT r2 #3): set lazily when the checkpoint
+        # dir carries a model_metrics.onnx that is NOT 1-cosine
+        self._metric_fn = None
+        self._metric_vs_index = None
+        self._metric_checked = False
+
+    def _ensure_metric(self) -> None:
+        """Metric-only load: pure-feature metric calls must not force a full
+        (possibly random-weight) encoder init just to pick the metric fn."""
+        if self._metric_checked:
+            return
+        self._metric_checked = True
+        if self.model_dir:
+            self._load_learned_metric()
+
+    def _load_learned_metric(self) -> None:
+        """If the checkpoint dir ships ``model_metrics.onnx`` (tools/convert_ccip
+        copies it there when the published metric is NOT 1-cosine), convert it
+        into jitted metric functions; 1-cosine graphs keep the fused matmul ops
+        (reference: gen_cfeatures.py:124-130,248-274)."""
+        import os
+
+        path = os.path.join(self.model_dir, "model_metrics.onnx")
+        if not os.path.exists(path):
+            return
+        import jax
+
+        from .ccip_weights import (
+            analyze_metric_graph, metric_fn_from_graph, metric_vs_index_fn,
+        )
+        from .onnx_pb import load_model as load_onnx
+
+        graph = load_onnx(path).graph
+        verdict = analyze_metric_graph(graph, self.config.feature_dim)
+        if verdict["is_one_minus_cosine"]:
+            return  # the fused 1-cos ops are exact; keep the one-dispatch paths
+        if not verdict.get("convertible", False):
+            raise NotImplementedError(
+                "model_metrics.onnx is neither 1-cosine nor convertible: "
+                + str(verdict.get("convert_error", verdict)))
+        self._metric_fn = jax.jit(metric_fn_from_graph(graph))
+        self._metric_vs_index = jax.jit(metric_vs_index_fn(graph))
+        print(f"CCIP: using converted learned metric (verdict: {verdict})")
 
     def load_model(self) -> None:
         if self.params is not None:
@@ -68,6 +111,7 @@ class CCIPPredictor:
             self.model_cfg, self.params, thr = load_ccip_checkpoint(self.model_dir)
             if thr is not None:
                 self.threshold = thr
+            self._ensure_metric()
         else:
             print(
                 "WARNING: no CCIP model dir (set AIIS_CCIP_MODEL_DIR or pass "
@@ -150,11 +194,18 @@ class CCIPPredictor:
 
     def ccip_batch_differences(self, images: List[FeatureOrImage]) -> np.ndarray:
         feats = np.stack([self._p_feature(i) for i in images]).astype(np.float32)
+        self._ensure_metric()
+        if self._metric_fn is not None:
+            return np.asarray(self._metric_fn(jnp.asarray(feats)))
         return np.asarray(ccip_batch_differences_op(jnp.asarray(feats)))
 
     def ccip_differences_vs_index(self, index_matrix: np.ndarray,
                                   query_feat: np.ndarray) -> np.ndarray:
         """All-rows difference in one device call."""
+        self._ensure_metric()
+        if self._metric_vs_index is not None:
+            return np.asarray(self._metric_vs_index(
+                jnp.asarray(index_matrix), jnp.asarray(query_feat)))
         return np.asarray(
             ccip_differences_vs_index_op(jnp.asarray(index_matrix), jnp.asarray(query_feat))
         )
@@ -164,9 +215,18 @@ class CCIPPredictor:
         """One-dispatch character rerank stage: (k, S, S, 3) zero-padded top-k
         images -> diffs of their valid-mean feature vs every indexed row. The
         index rides its cached device copy (``SimilarityIndex._device``), so a
-        warm character query costs one small H2D + one exec + one D2H."""
+        warm character query costs one small H2D + one exec + one D2H.
+
+        With a converted learned metric the stage is two dispatches (feature
+        extraction + vmapped metric) — still batched, never per-row calls."""
         self.load_model()
         valid = np.arange(images_u8.shape[0]) < n_valid
+        if self._metric_vs_index is not None:
+            feats = np.asarray(self.ccip_extract_device(np.asarray(images_u8)))
+            w = valid.astype(np.float32)
+            mean_feat = (w[:, None] * feats).sum(0) / max(float(w.sum()), 1.0)
+            return np.asarray(self._metric_vs_index(
+                index._device(), jnp.asarray(mean_feat)))
         return np.asarray(ccip_rerank_diffs_op(
             self.params, jnp.asarray(np.asarray(images_u8)), jnp.asarray(valid),
             self._mean, self._std, index._device(),

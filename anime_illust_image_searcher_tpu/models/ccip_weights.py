@@ -586,6 +586,14 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
             env[node.outputs[0]] = i[0] / i[1]
         elif op == "Neg":
             env[node.outputs[0]] = -i[0]
+        elif op == "Abs":
+            env[node.outputs[0]] = np.abs(i[0])
+        elif op == "Exp":
+            env[node.outputs[0]] = np.exp(i[0])
+        elif op == "Log":
+            env[node.outputs[0]] = np.log(i[0])
+        elif op == "Tanh":
+            env[node.outputs[0]] = np.tanh(i[0])
         elif op == "Sqrt":
             env[node.outputs[0]] = np.sqrt(i[0])
         elif op == "Pow":
@@ -706,15 +714,241 @@ def analyze_metric_graph(graph: GraphP, feature_dim: int = 768,
     NotImplementedError (naming the op) when the graph uses ops outside the
     executor's subset — in that case inspect manually before trusting the
     batched metric op. Reference: gen_cfeatures.py:248-274.
+
+    When the graph is NOT 1-cosine, the verdict also reports whether
+    ``metric_fn_from_graph`` can convert it into a jitted JAX metric
+    (``convertible`` + ``converted_max_diff`` vs the numpy executor), so a
+    learned metric head (abs-diff MLP, bilinear, Gemm stacks, ...) runs
+    natively instead of dead-ending (VERDICT r2 #3).
     """
     rng = np.random.RandomState(seed)
     feats = rng.randn(n_probe, feature_dim).astype(np.float32)
     got = execute_graph(graph, {graph.inputs[0][0]: feats})[0]
     norm = feats / np.linalg.norm(feats, axis=1, keepdims=True)
     hypothesis = (1.0 - norm @ norm.T).astype(np.float32)
+    verdict: Dict[str, object]
     if got.shape != hypothesis.shape:
-        return {"is_one_minus_cosine": False, "output_shape": got.shape,
-                "max_abs_diff": None}
-    diff = float(np.max(np.abs(got - hypothesis)))
-    return {"is_one_minus_cosine": diff < 1e-4, "output_shape": got.shape,
-            "max_abs_diff": diff}
+        verdict = {"is_one_minus_cosine": False, "output_shape": got.shape,
+                   "max_abs_diff": None}
+    else:
+        diff = float(np.max(np.abs(got - hypothesis)))
+        verdict = {"is_one_minus_cosine": diff < 1e-4,
+                   "output_shape": got.shape, "max_abs_diff": diff}
+    if not verdict["is_one_minus_cosine"]:
+        try:
+            import jax
+
+            fn = metric_fn_from_graph(graph)
+            converted = np.asarray(jax.jit(fn)(feats))
+            verdict["convertible"] = True
+            verdict["converted_max_diff"] = float(
+                np.max(np.abs(converted - got)))
+        except NotImplementedError as e:
+            verdict["convertible"] = False
+            verdict["convert_error"] = str(e)
+    return verdict
+
+
+# ---------------------------------------------------------------------------
+# Learned-metric conversion: ONNX metric graph -> jitted JAX function.
+#
+# The reference runs model_metrics.onnx through onnxruntime, one call per image
+# pair (webui.py:306-309). If the real graph turns out to be a learned head
+# rather than 1-cosine, the interpreter below traces its op sequence with jnp
+# values, so jax.jit fuses the whole metric into one XLA program — same batched
+# shape as ccip_batch_differences_op, whatever the architecture. Convolutions
+# are deliberately out of scope (metric heads are not convnets); the op subset
+# mirrors the numpy executor's metric-relevant ops and raises by name otherwise.
+# ---------------------------------------------------------------------------
+
+
+def metric_fn_from_graph(graph: GraphP):
+    """Return ``fn(feats: (N, F) f32) -> np.ndarray`` tracing the ONNX metric
+    graph with jnp — jittable / vmappable. Shape-plumbing ops (Shape, Constant,
+    shape arithmetic) evaluate concretely at trace time (static shapes), so the
+    compiled program has no dynamic shapes — the XLA-friendly form.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _ELEMENTWISE = {
+        "Neg": lambda x: -x,
+        "Abs": jnp.abs, "Exp": jnp.exp, "Log": jnp.log, "Tanh": jnp.tanh,
+        "Sqrt": jnp.sqrt, "Relu": lambda x: jnp.maximum(x, 0),
+        "Sigmoid": jax.nn.sigmoid,
+        "Erf": lambda x: jax.scipy.special.erf(x),
+    }
+    _BINARY = {
+        "Add": lambda a, b: a + b, "Sub": lambda a, b: a - b,
+        "Mul": lambda a, b: a * b, "Div": lambda a, b: a / b,
+        "Pow": lambda a, b: a ** b,
+    }
+
+    def _concrete(v, what: str) -> np.ndarray:
+        """Shape/axis operands must be trace-time constants."""
+        if isinstance(v, (np.ndarray, np.generic, int, float, list, tuple)):
+            return np.asarray(v)
+        raise NotImplementedError(
+            f"metric graph feeds a traced value into {what}; only static "
+            "shape plumbing is supported")
+
+    def interp(feats):
+        env: Dict[str, object] = dict(graph.initializers)
+        env[graph.inputs[0][0]] = jnp.asarray(feats, jnp.float32)
+        for node in graph.nodes:
+            i = [env[n] if n else None for n in node.inputs]
+            op = node.op_type
+            o = node.outputs[0]
+            if op in _ELEMENTWISE:
+                env[o] = _ELEMENTWISE[op](i[0])
+            elif op in _BINARY:
+                # np op np stays concrete (shape arithmetic); anything with a
+                # tracer promotes to jnp automatically
+                env[o] = _BINARY[op](i[0], i[1])
+            elif op == "MatMul":
+                env[o] = jnp.matmul(i[0], i[1],
+                                    preferred_element_type=jnp.float32)
+            elif op == "Gemm":
+                a, b = i[0], i[1]
+                if node.attr("transA", 0):
+                    a = a.T
+                if node.attr("transB", 0):
+                    b = b.T
+                y = node.attr("alpha", 1.0) * jnp.matmul(
+                    a, b, preferred_element_type=jnp.float32)
+                if len(i) > 2 and i[2] is not None:
+                    y = y + node.attr("beta", 1.0) * i[2]
+                env[o] = y
+            elif op == "Softmax":
+                env[o] = jax.nn.softmax(i[0], axis=node.attr("axis", -1))
+            elif op in ("ReduceMean", "ReduceSum", "ReduceL2",
+                        "ReduceMax", "ReduceMin"):
+                axes = node.attr("axes")
+                if axes is None and len(i) > 1 and i[1] is not None:
+                    axes = [int(a) for a in np.ravel(_concrete(i[1], op))]
+                axes = tuple(axes) if axes else None
+                keep = bool(node.attr("keepdims", 1))
+                if op == "ReduceL2":
+                    env[o] = jnp.sqrt(jnp.sum(jnp.square(i[0]), axis=axes,
+                                              keepdims=keep))
+                else:
+                    fn = {"ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
+                          "ReduceMax": jnp.max, "ReduceMin": jnp.min}[op]
+                    env[o] = fn(i[0], axis=axes, keepdims=keep)
+            elif op == "Transpose":
+                env[o] = jnp.transpose(i[0], node.attr("perm"))
+            elif op == "Reshape":
+                shape = [int(s) for s in np.ravel(_concrete(i[1], "Reshape"))]
+                shape = [i[0].shape[d] if s == 0 else s
+                         for d, s in enumerate(shape)]
+                env[o] = jnp.reshape(i[0], shape)
+            elif op == "Flatten":
+                ax = node.attr("axis", 1)
+                lead = int(np.prod(i[0].shape[:ax]) or 1)
+                env[o] = jnp.reshape(i[0], (lead, -1))
+            elif op == "Concat":
+                ax = node.attr("axis", 0)
+                if all(isinstance(v, np.ndarray) for v in i):
+                    env[o] = np.concatenate(i, axis=ax)  # shape plumbing
+                else:
+                    env[o] = jnp.concatenate([jnp.asarray(v) for v in i], axis=ax)
+            elif op == "Split":
+                ax = node.attr("axis", 0)
+                if node.attr("split") is not None:
+                    sizes = node.attr("split")
+                elif len(i) > 1 and i[1] is not None:
+                    sizes = [int(s) for s in np.ravel(_concrete(i[1], "Split"))]
+                else:
+                    sizes = [i[0].shape[ax] // len(node.outputs)] * len(node.outputs)
+                offs = np.cumsum(sizes)[:-1].tolist()
+                for out_name, piece in zip(node.outputs,
+                                           jnp.split(i[0], offs, axis=ax)):
+                    env[out_name] = piece
+            elif op == "Unsqueeze":
+                axes = node.attr("axes")
+                if axes is None:
+                    axes = [int(a) for a in np.ravel(_concrete(i[1], "Unsqueeze"))]
+                out = i[0]
+                # shape plumbing (unsqueezing a Shape/Gather scalar) stays concrete
+                expand = (np.expand_dims
+                          if isinstance(out, (np.ndarray, np.generic))
+                          else jnp.expand_dims)
+                for ax in sorted(axes):
+                    out = expand(out, ax)
+                env[o] = out
+            elif op == "Squeeze":
+                axes = node.attr("axes")
+                if axes is None and len(i) > 1 and i[1] is not None:
+                    axes = [int(a) for a in np.ravel(_concrete(i[1], "Squeeze"))]
+                squeeze = (np.squeeze
+                           if isinstance(i[0], (np.ndarray, np.generic))
+                           else jnp.squeeze)
+                env[o] = squeeze(i[0], axis=tuple(axes) if axes else None)
+            elif op == "Expand":
+                shape = [int(s) for s in np.ravel(_concrete(i[1], "Expand"))]
+                # ONNX Expand broadcasts bidirectionally
+                shape = list(np.broadcast_shapes(tuple(i[0].shape), tuple(shape)))
+                env[o] = jnp.broadcast_to(i[0], shape)
+            elif op == "Gather":
+                if isinstance(i[0], np.ndarray) and isinstance(
+                        i[1], (np.ndarray, np.generic)):
+                    # shape plumbing (e.g. Gather on a Shape output) stays concrete
+                    env[o] = np.take(i[0], np.asarray(i[1], np.int64),
+                                     axis=node.attr("axis", 0))
+                else:
+                    env[o] = jnp.take(jnp.asarray(i[0]),
+                                      jnp.asarray(i[1]).astype(jnp.int32),
+                                      axis=node.attr("axis", 0))
+            elif op == "Shape":
+                env[o] = np.asarray(np.shape(i[0]), np.int64)  # static -> concrete
+            elif op == "Cast":
+                to = {1: jnp.float32, 6: jnp.int32, 7: jnp.int64, 9: jnp.bool_,
+                      11: jnp.float64}[node.attr("to", 1)]
+                env[o] = i[0].astype(to)
+            elif op == "Constant":
+                env[o] = node.attr("value").to_numpy()
+            elif op in ("Identity", "Dropout"):
+                env[o] = i[0]
+            elif op == "Clip":
+                lo = i[1] if len(i) > 1 and i[1] is not None else node.attr("min")
+                hi = i[2] if len(i) > 2 and i[2] is not None else node.attr("max")
+                env[o] = jnp.clip(i[0], lo, hi)
+            elif op == "LayerNormalization":
+                ax = node.attr("axis", -1)
+                eps = node.attr("epsilon", 1e-5)
+                x = i[0]
+                mu = jnp.mean(x, axis=ax, keepdims=True)
+                var = jnp.mean(jnp.square(x - mu), axis=ax, keepdims=True)
+                y = (x - mu) / jnp.sqrt(var + eps) * i[1]
+                if len(i) > 2 and i[2] is not None:
+                    y = y + i[2]
+                env[o] = y
+            else:
+                raise NotImplementedError(
+                    f"ONNX op {op!r} not supported by the JAX metric converter")
+        return jnp.asarray(env[graph.outputs[0][0]])
+
+    return interp
+
+
+def metric_vs_index_fn(graph: GraphP):
+    """Return ``fn(index_matrix: (D, F), query: (F,)) -> (D,) diffs`` for a
+    learned pairwise metric graph: each row pairs with the query as a 2-row
+    batch through the graph (one 2x2 metric matrix per row, cell [0, 1]),
+    vmapped over the index — ~4x the minimal pair work but fully batched, vs
+    the reference's one onnxruntime call per indexed image (webui.py:306-309).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    interp = metric_fn_from_graph(graph)
+
+    def one(row, query):
+        return interp(jnp.stack([query, row]))[0, 1]
+
+    def fn(index_matrix, query):
+        return jax.vmap(one, in_axes=(0, None))(
+            jnp.asarray(index_matrix, jnp.float32),
+            jnp.asarray(query, jnp.float32))
+
+    return fn

@@ -92,18 +92,37 @@ def main(argv) -> int:
         threshold = float(metrics.get("threshold", metrics.get("val_threshold", -1)))
         print(f"threshold: {threshold}")
 
+    ship_metrics = False
     if args.metrics:
         metric_graph = onnx_pb.load_model(args.metrics).graph
         try:
             verdict = analyze_metric_graph(metric_graph, cfg.feature_dim)
             print(f"metric analysis: {verdict}")
             if not verdict["is_one_minus_cosine"]:
-                print("WARNING: model_metrics.onnx is NOT 1-cosine; "
-                      "ccip_batch_differences_op must be updated to match")
+                if verdict.get("convertible"):
+                    # learned metric head: ship the graph with the checkpoint —
+                    # CCIPPredictor converts it to a jitted JAX metric at load
+                    # (models/ccip.py:_load_learned_metric)
+                    ship_metrics = True
+                    print("model_metrics.onnx is a learned metric; it will be "
+                          "copied into the checkpoint and converted at load "
+                          f"(converted_max_diff={verdict['converted_max_diff']:.2e})")
+                else:
+                    print("FAILED: model_metrics.onnx is neither 1-cosine nor "
+                          f"convertible: {verdict.get('convert_error', verdict)}")
+                    return 1
         except NotImplementedError as e:
             print(f"metric analysis inconclusive: {e}")
+            print("WARNING: character mode will assume 1-cosine; verify with "
+                  "onnxruntime on this machine")
 
     save_ccip_checkpoint(args.dest, cfg, params, threshold)
+    if ship_metrics:
+        import shutil
+
+        shutil.copyfile(args.metrics,
+                        __import__("os").path.join(args.dest,
+                                                   "model_metrics.onnx"))
     print(f"saved checkpoint to {args.dest}")
     return 0
 
