@@ -806,8 +806,11 @@ def metric_fn_from_graph(graph: GraphP):
                 # tracer promotes to jnp automatically
                 env[o] = _BINARY[op](i[0], i[1])
             elif op == "MatMul":
+                # full-f32 MXU passes: bf16 default costs ~1e-2 against CCIP's
+                # 0.119 match threshold (same rationale as caformer's 1-cos ops)
                 env[o] = jnp.matmul(i[0], i[1],
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
             elif op == "Gemm":
                 a, b = i[0], i[1]
                 if node.attr("transA", 0):
@@ -815,7 +818,8 @@ def metric_fn_from_graph(graph: GraphP):
                 if node.attr("transB", 0):
                     b = b.T
                 y = node.attr("alpha", 1.0) * jnp.matmul(
-                    a, b, preferred_element_type=jnp.float32)
+                    a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
                 if len(i) > 2 and i[2] is not None:
                     y = y + node.attr("beta", 1.0) * i[2]
                 env[o] = y
