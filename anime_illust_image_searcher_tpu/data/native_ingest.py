@@ -62,14 +62,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.aiis_decode_resize.restype = ctypes.c_int
     lib.aiis_decode_resize.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.aiis_pool_create.restype = ctypes.c_void_p
     lib.aiis_pool_create.argtypes = [ctypes.c_int]
     lib.aiis_pool_destroy.argtypes = [ctypes.c_void_p]
     lib.aiis_pool_decode_batch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
     ]
     _lib = lib
@@ -80,15 +80,26 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def scaled_decode_default() -> bool:
+    """libjpeg DCT-domain scaled decode (decode near the target size directly).
+    Off by default: output pixels differ slightly from a full decode + resize,
+    and the golden tagger fixtures pin the full-decode path. Enable with
+    AIIS_SCALED_DECODE=1 for throughput (bench_ingest.py quantifies both)."""
+    return os.environ.get("AIIS_SCALED_DECODE", "0") == "1"
+
+
 def decode_resize(path: str, size: int, pad_to_square: bool = True,
-                  bilinear: bool = False) -> Optional[np.ndarray]:
+                  bilinear: bool = False,
+                  scaled: Optional[bool] = None) -> Optional[np.ndarray]:
     """Single-image native decode -> (size, size, 3) uint8 RGB, or None on failure."""
     lib = get_lib()
     if lib is None:
         return None
+    if scaled is None:
+        scaled = scaled_decode_default()
     out = np.empty((size, size, 3), dtype=np.uint8)
     ok = lib.aiis_decode_resize(
-        path.encode(), size, int(pad_to_square), int(bilinear),
+        path.encode(), size, int(pad_to_square), int(bilinear), int(scaled),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if ok else None
@@ -107,13 +118,17 @@ class NativeBatchDecoder:
     def decode_batch(
         self, paths: Sequence[str], size: int,
         pad_to_square: bool = True, bilinear: bool = False,
+        scaled: Optional[bool] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         n = len(paths)
+        if scaled is None:
+            scaled = scaled_decode_default()
         out = np.empty((n, size, size, 3), dtype=np.uint8)
         ok = np.zeros(n, dtype=np.int32)
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         self._lib.aiis_pool_decode_batch(
             self._pool, arr, n, size, int(pad_to_square), int(bilinear),
+            int(scaled),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         )

@@ -52,7 +52,7 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-bool decode_jpeg(FILE* f, ImageU8* out) {
+bool decode_jpeg(FILE* f, ImageU8* out, int min_dim) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -65,6 +65,20 @@ bool decode_jpeg(FILE* f, ImageU8* out) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (min_dim > 0) {
+    // DCT-domain scaled decode (libjpeg scale_num/8): pick the smallest M/8
+    // that keeps the LONG side >= min_dim, so the downstream antialiased
+    // resize remains a downscale. Content scales uniformly in both axes and
+    // the short side is white-padded downstream, so min_dim only constrains
+    // the long side. Skips most of the IDCT + scanline work for large photos.
+    long full = std::max<long>(cinfo.image_width, cinfo.image_height);
+    unsigned int m = 8;
+    for (unsigned int cand = 1; cand <= 8; ++cand) {
+      if ((full * cand + 7) / 8 >= min_dim) { m = cand; break; }
+    }
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -123,7 +137,7 @@ bool decode_png(FILE* f, ImageU8* out) {
   return true;
 }
 
-bool decode_file(const char* path, ImageU8* out) {
+bool decode_file(const char* path, ImageU8* out, int min_dim) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -131,9 +145,9 @@ bool decode_file(const char* path, ImageU8* out) {
   rewind(f);
   bool ok = false;
   if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8 && magic[2] == 0xFF) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, min_dim);
   } else if (got >= 8 && !png_sig_cmp(magic, 0, 8)) {
-    ok = decode_png(f, out);
+    ok = decode_png(f, out);  // libpng has no scaled decode
   }
   fclose(f);
   return ok;
@@ -337,9 +351,11 @@ class Pool {
   bool stop_;
 };
 
-int decode_one(const char* path, int size, int pad_to_square, int bilinear, uint8_t* out) {
+int decode_one(const char* path, int size, int pad_to_square, int bilinear,
+               int scaled_decode, uint8_t* out) {
   ImageU8 raw;
-  if (!decode_file(path, &raw) || raw.w <= 0 || raw.h <= 0) return 0;
+  if (!decode_file(path, &raw, scaled_decode ? size : 0) || raw.w <= 0 || raw.h <= 0)
+    return 0;
   ImageU8 prepared = flatten_and_pad(raw, pad_to_square != 0);
   resize_rgb(prepared, size, bilinear != 0, out);
   return 1;
@@ -350,9 +366,10 @@ int decode_one(const char* path, int size, int pad_to_square, int bilinear, uint
 extern "C" {
 
 // Decode one image into out[size*size*3]. Returns 1 on success.
+// scaled_decode != 0 enables libjpeg DCT-domain scaling toward `size`.
 int aiis_decode_resize(const char* path, int size, int pad_to_square, int bilinear,
-                       uint8_t* out) {
-  return decode_one(path, size, pad_to_square, bilinear, out);
+                       int scaled_decode, uint8_t* out) {
+  return decode_one(path, size, pad_to_square, bilinear, scaled_decode, out);
 }
 
 void* aiis_pool_create(int workers) { return new Pool(workers); }
@@ -361,8 +378,8 @@ void aiis_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 
 // Decode n images in parallel into out[n*size*size*3]; ok_flags[i] set to 1/0.
 void aiis_pool_decode_batch(void* pool_ptr, const char** paths, int n, int size,
-                            int pad_to_square, int bilinear, uint8_t* out,
-                            int* ok_flags) {
+                            int pad_to_square, int bilinear, int scaled_decode,
+                            uint8_t* out, int* ok_flags) {
   if (n <= 0) return;
   Pool* pool = static_cast<Pool*>(pool_ptr);
   // done/mu/cv protocol: `done` is only set and notified while holding `mu`, so the
@@ -376,7 +393,8 @@ void aiis_pool_decode_batch(void* pool_ptr, const char** paths, int n, int size,
   size_t stride = size_t(size) * size * 3;
   for (int i = 0; i < n; ++i) {
     pool->submit([&, i] {
-      ok_flags[i] = decode_one(paths[i], size, pad_to_square, bilinear, out + stride * i);
+      ok_flags[i] = decode_one(paths[i], size, pad_to_square, bilinear,
+                               scaled_decode, out + stride * i);
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(mu);
         done = true;

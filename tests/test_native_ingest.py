@@ -85,3 +85,31 @@ def test_matches_pil_bilinear_no_pad(tmp_path, rng):
     )
     diff = np.abs(native.astype(int) - pil.astype(int))
     assert diff.max() <= 2, diff.max()
+
+
+def test_scaled_decode_close_to_full(tmp_path):
+    """libjpeg DCT-domain scaled decode (AIIS_SCALED_DECODE / scaled=True) must
+    approximate the full decode+resize closely on smooth content, and fall back
+    to full decode for images already near the target size."""
+    rng2 = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:1200, 0:900].astype(np.float32)
+    smooth = np.stack([
+        127 + 100 * np.sin(xx / 40), 127 + 100 * np.cos(yy / 50),
+        127 + 100 * np.sin((xx + yy) / 70),
+    ], axis=-1)
+    smooth = np.clip(smooth + rng2.randn(1200, 900, 3) * 4, 0, 255).astype(np.uint8)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray(smooth).save(p, quality=92)
+
+    full = native_ingest.decode_resize(p, 224, scaled=False)
+    fast = native_ingest.decode_resize(p, 224, scaled=True)
+    d = np.abs(full.astype(np.int16) - fast.astype(np.int16))
+    assert d.mean() < 2.0, d.mean()
+
+    # small image: the chosen scale is 8/8 -> bit-identical to full decode
+    small = np.clip(smooth[:200, :150], 0, 255)
+    ps = str(tmp_path / "small.jpg")
+    Image.fromarray(small).save(ps, quality=92)
+    np.testing.assert_array_equal(
+        native_ingest.decode_resize(ps, 224, scaled=False),
+        native_ingest.decode_resize(ps, 224, scaled=True))
