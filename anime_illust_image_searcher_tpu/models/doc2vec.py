@@ -281,7 +281,8 @@ def _train_epochs(
     keep_prob: jax.Array,
     cum_table: jax.Array,
     base_key: jax.Array,
-    epoch_ids: jax.Array,     # (E,) int32 absolute epoch numbers
+    epoch_ids: jax.Array,     # (E,) uint32 absolute epoch numbers (fold_in
+                              # bit-equivalence for these values is test-pinned)
     lrs: jax.Array,           # (E,) f32 host-precomputed schedule (bit-stable)
     negative: int,
     gather_bf16: bool = False,
@@ -501,17 +502,24 @@ class Doc2VecModel:
              for e in range(cfg.epochs)], np.float32,
         )
 
-        def _next_boundary(e: int) -> int:
-            cands = [cfg.epochs]
-            if log_every:
-                cands.append((e // log_every + 1) * log_every)
-            if ckpt_file and checkpoint_every:
-                cands.append((e // checkpoint_every + 1) * checkpoint_every)
-            return min(min(cands), cfg.epochs)
+        # Segment stride = gcd of the boundary intervals: every log/checkpoint
+        # boundary is a stride multiple, so at most TWO program shapes compile
+        # (stride + a final remainder) instead of one per distinct interleaved
+        # boundary-segment length — each shape is a full training-program
+        # compile, multi-minute on the remote-compile relay (ADVICE r2).
+        # Coprime intervals degrade to stride 1 (per-epoch dispatch, one
+        # compile), which still beats N compiles.
+        import math
+
+        intervals = [i for i in (log_every,
+                                 checkpoint_every if ckpt_file else None) if i]
+        stride = math.gcd(*intervals) if intervals else max(
+            cfg.epochs - start_epoch, 1)
 
         epoch = start_epoch
         while epoch < cfg.epochs:
-            upto = _next_boundary(epoch)
+            # start_epoch is 0 or a checkpoint boundary (a stride multiple)
+            upto = min(epoch + stride - epoch % stride, cfg.epochs)
             epoch_ids = jnp.arange(epoch, upto, dtype=jnp.uint32)
             docvecs, syn1 = _train_epochs(
                 docvecs, syn1, doc_idx_b, words_b, mask_b,
@@ -580,8 +588,13 @@ class Doc2VecModel:
         shared by every inference dispatch (the per-chunk jnp.asarray re-upload of
         the (V, dim) syn1 matrix was pure H2D waste). Lives only in the in-memory
         cache; ``save`` pickles explicit keys, so this never hits disk."""
+        # validity key covers ALL mirrored host arrays, not just syn1neg —
+        # replacing vocab.keep_prob/cum_table alone must invalidate (ADVICE r2).
+        # The cache holds strong refs to the keyed arrays, so `is` is sound
+        # (no id-reuse hazard).
+        key = (self.syn1neg, self.vocab.keep_prob, self.vocab.cum_table)
         cached = self._infer_cache.get("device_consts")
-        if cached is not None and cached[0] is self.syn1neg:
+        if cached is not None and all(a is b for a, b in zip(cached[0], key)):
             return cached[1]
         consts = (
             jnp.asarray(self.syn1neg),
@@ -595,7 +608,7 @@ class Doc2VecModel:
 
             rep = NamedSharding(self.mesh, P())
             consts = tuple(put_global(c, rep) for c in consts)
-        self._infer_cache["device_consts"] = (self.syn1neg, consts)
+        self._infer_cache["device_consts"] = (key, consts)
         return consts
 
     def infer_vectors(
@@ -680,6 +693,13 @@ class Doc2VecModel:
             if chunk % n_data == 0:
                 dp = NamedSharding(self.mesh, P(None, DATA_AXIS))
                 inputs = [put_global(a, dp) for a in inputs]
+            else:
+                # Non-divisible chunk: replicate explicitly. On a multi-process
+                # mesh a bare jnp.asarray would build process-LOCAL arrays that
+                # cannot mix with the globally-sharded syn1 consts (ADVICE r2);
+                # replication degrades throughput, never correctness.
+                rep = NamedSharding(self.mesh, P())
+                inputs = [put_global(a, rep) for a in inputs]
         words_d, mask_d, init_d, seeds_d = [jnp.asarray(a) for a in inputs]
         out = _infer_vectors_chunked(
             syn1, words_d, mask_d, keep_prob, cum_table, init_d, seeds_d,
