@@ -229,3 +229,37 @@ def test_unconvertible_metric_raises_with_op_name(tmp_path):
     g.outputs[0] = ("z", (None, None))
     with pytest.raises(NotImplementedError, match="EyeLike"):
         analyze_metric_graph(g, feature_dim=F)
+
+
+def test_rerank_diffs_with_learned_metric(tmp_path):
+    """The one-dispatch character rerank falls back to extract + vmapped metric
+    when a learned metric is active; diffs must match the oracle on the
+    valid-masked mean feature (webui.py:292-309 semantics)."""
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.config import CCIPConfig
+    from anime_illust_image_searcher_tpu.models.ccip import CCIPPredictor
+
+    rng = np.random.RandomState(5)
+    g = absdiff_mlp_graph(rng)
+    dest = _checkpoint_dir(tmp_path, metric_graph=g)
+    pred = CCIPPredictor(config=CCIPConfig(image_size=32, feature_dim=F),
+                         model_dir=dest, use_pallas=False)
+
+    class StubIndex:
+        def __init__(self, m):
+            self._m = jnp.asarray(m)
+
+        def _device(self):
+            return self._m
+
+    index_rows = rng.randn(9, F).astype(np.float32)
+    imgs = rng.randint(0, 255, (4, 32, 32, 3), np.uint8)
+    n_valid = 3
+    diffs = pred.rerank_diffs(imgs, n_valid, StubIndex(index_rows))
+
+    feats = pred.ccip_batch_extract_features(imgs)
+    mean_feat = feats[:n_valid].mean(axis=0)
+    stacked = np.concatenate([mean_feat[None], index_rows])
+    want = absdiff_mlp_oracle(stacked, g)[0, 1:]
+    np.testing.assert_allclose(diffs, want, atol=1e-4, rtol=1e-4)
