@@ -145,6 +145,67 @@ def run_device_only_bench(engine, queries, repeats: int = 3) -> dict:
     }
 
 
+def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
+                              dim: int = 300, n_queries: int = 50,
+                              terms_per_doc: int = 30) -> dict:
+    """Device-side query cost at corpus scale N, on synthetic device arrays.
+
+    The fused program's cost depends only on array shapes, not data provenance,
+    so this measures the serving scaling curve (e.g. 1M docs) without the
+    multi-minute host-side artifact build. Same instrument as --device-only:
+    one serialized-scan dispatch of N queries, wall / N."""
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.ops.fused_query import (
+        MAX_QUERY_TERMS, fused_normal_query_serial, pack_query,
+    )
+
+    rng = np.random.RandomState(0)
+    matrix = rng.standard_normal((n_docs, dim)).astype(np.float32)
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+    norms = np.abs(rng.standard_normal(n_docs)).astype(np.float32) + 0.5
+    term_mat = rng.randint(0, vocab, (n_docs, terms_per_doc)).astype(np.int32)
+    contrib_mat = np.abs(rng.standard_normal(
+        (n_docs, terms_per_doc))).astype(np.float32)
+
+    packed = np.stack([
+        pack_query(
+            rng.standard_normal(dim).astype(np.float32),
+            {int(t): 1.0 for t in rng.randint(0, 200, rng.randint(1, 4))},
+            vocab, magic=1000, max_terms=MAX_QUERY_TERMS,
+        )
+        for _ in range(n_queries)
+    ])
+
+    import jax.numpy as jnp
+
+    args = [jnp.asarray(a) for a in (matrix, norms, term_mat, contrib_mat,
+                                     packed)]
+
+    def dispatch():
+        return fused_normal_query_serial(
+            *args, 0.5, 0.5, 0.7, 0.3,
+            vocab_size=vocab, num_docs=n_docs, topn=800, k=10,
+        )
+
+    np.asarray(dispatch())  # warm/compile
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(dispatch())
+        walls.append((time.perf_counter() - t0) * 1000.0)
+    wall = float(np.median(walls))
+    return {
+        "metric": "query_device_ms_at_scale",
+        "value": round(wall / n_queries, 3),
+        "unit": "ms/query @ %dk docs (serialized scan, synthetic arrays)"
+                % (n_docs // 1000),
+        "n_queries": n_queries,
+        "wall_ms_one_dispatch": round(wall, 2),
+        "vs_baseline": None,
+    }
+
+
 def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
                     n_queries: int = 50, directory: str | None = None) -> dict:
     """Build (or reuse) the 100k-doc artifact chain and measure warm query latency.
@@ -242,7 +303,20 @@ def main() -> None:
     parser.add_argument("--device-only", action="store_true",
                         help="only the serialized-scan device measurement "
                              "(one dispatch of 100 queries / N)")
+    parser.add_argument("--synthetic-scale", type=int, default=None,
+                        metavar="N_DOCS",
+                        help="device query cost at corpus scale N on synthetic "
+                             "device arrays (no artifact build; e.g. 1000000)")
     args = parser.parse_args()
+    if args.synthetic_scale:
+        from anime_illust_image_searcher_tpu.utils.jax_setup import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
+        print(json.dumps(run_synthetic_scale_bench(args.synthetic_scale,
+                                                   vocab=args.vocab)))
+        return
     if args.device_only:
         from anime_illust_image_searcher_tpu.utils.jax_setup import (
             enable_persistent_compile_cache,
