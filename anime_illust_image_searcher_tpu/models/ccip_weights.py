@@ -697,7 +697,30 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
         elif op == "GlobalAveragePool":
             env[node.outputs[0]] = np.mean(i[0], axis=(2, 3), keepdims=True)
         elif op == "AveragePool":
-            raise NotImplementedError("AveragePool with windows: inspect manually")
+            kh, kw = node.attr("kernel_shape")
+            sh, sw = node.attr("strides", [1, 1])
+            pads = node.attr("pads", [0, 0, 0, 0])
+            cip = bool(node.attr("count_include_pad", 0))
+            x = i[0]
+            xp = pad_conv(x, pads)
+            n_, c_, h_, w_ = xp.shape
+            oh = (h_ - kh) // sh + 1
+            ow = (w_ - kw) // sw + 1
+            stack = np.stack([
+                xp[:, :, dy:dy + oh * sh:sh, dx:dx + ow * sw:sw]
+                for dy in range(kh) for dx in range(kw)
+            ], axis=0)  # (kh*kw, N, C, oh, ow)
+            if cip or (pads == [0, 0, 0, 0]):
+                out = stack.mean(axis=0)
+            else:
+                # divisor = count of non-pad elements per window
+                ones = pad_conv(np.ones_like(x[:1, :1]), pads)
+                cnt = np.stack([
+                    ones[:, :, dy:dy + oh * sh:sh, dx:dx + ow * sw:sw]
+                    for dy in range(kh) for dx in range(kw)
+                ], axis=0).sum(axis=0)
+                out = stack.sum(axis=0) / cnt
+            env[node.outputs[0]] = out.astype(np.float32)
         else:
             raise NotImplementedError(
                 f"ONNX op {op!r} not supported by the verification executor")

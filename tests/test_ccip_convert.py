@@ -462,3 +462,26 @@ def test_convert_ccip_tool_end_to_end(tmp_path, torch_model):
     cfg = json.loads((tmp_path / "out" / "config.json").read_text())
     assert cfg["threshold"] == 0.1944
     assert tuple(cfg["dims"]) == DIMS
+
+
+@pytest.mark.parametrize("count_include_pad", [0, 1])
+def test_executor_average_pool_matches_torch(count_include_pad):
+    rng = np.random.RandomState(4)
+    x = rng.rand(2, 3, 11, 9).astype(np.float32)
+    g = opb.GraphP()
+    g.nodes.append(opb.NodeP(
+        op_type="AveragePool", inputs=["x"], outputs=["y"],
+        attributes={
+            "kernel_shape": opb.AttrP.make("kernel_shape", [3, 3]),
+            "strides": opb.AttrP.make("strides", [2, 2]),
+            "pads": opb.AttrP.make("pads", [1, 1, 1, 1]),
+            "count_include_pad": opb.AttrP.make("count_include_pad",
+                                                count_include_pad),
+        }))
+    g.inputs.append(("x", (None, 3, 11, 9)))
+    g.outputs.append(("y", (None, 3, 6, 5)))
+    from anime_illust_image_searcher_tpu.models.ccip_weights import execute_graph
+    got = execute_graph(g, {"x": x})[0]
+    ref = F.avg_pool2d(torch.from_numpy(x), 3, stride=2, padding=1,
+                       count_include_pad=bool(count_include_pad)).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
