@@ -24,6 +24,8 @@ import numpy as np
 _RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                             "runtime")
 _SO_PATH = os.path.join(_RUNTIME_DIR, "libaiis_ingest.so")
+# must match aiis_abi_version() in runtime/ingest.cpp
+_ABI_VERSION = 2
 
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
@@ -59,6 +61,30 @@ def get_lib() -> Optional[ctypes.CDLL]:
         print(f"native ingest load failed: {e}")
         _load_failed = True
         return None
+    # ABI guard: a .so built before a C-ABI change must never be called with
+    # the new signatures (stale builds survive checkouts; mtime is unreliable).
+    # Missing symbol or version mismatch -> rebuild once, else disable.
+    try:
+        lib.aiis_abi_version.restype = ctypes.c_int
+        so_abi = lib.aiis_abi_version()
+    except AttributeError:
+        so_abi = -1
+    if so_abi != _ABI_VERSION:
+        del lib
+        if not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+            lib.aiis_abi_version.restype = ctypes.c_int
+            so_abi = lib.aiis_abi_version()
+        except (OSError, AttributeError):
+            so_abi = -1
+        if so_abi != _ABI_VERSION:
+            print(f"native ingest ABI mismatch (want {_ABI_VERSION}, "
+                  f"got {so_abi}) even after rebuild; using PIL path")
+            _load_failed = True
+            return None
     lib.aiis_decode_resize.restype = ctypes.c_int
     lib.aiis_decode_resize.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -91,7 +91,20 @@ class CCIPPredictor:
         from .onnx_pb import load_model as load_onnx
 
         graph = load_onnx(path).graph
-        verdict = analyze_metric_graph(graph, self.config.feature_dim)
+        # probe with the CHECKPOINT's feature dim, not the CCIPConfig default —
+        # the checkpoint is authoritative (config.json carries it even before
+        # load_model builds model_cfg)
+        feature_dim = self.config.feature_dim
+        if self.model_cfg is not None:
+            feature_dim = self.model_cfg.feature_dim
+        else:
+            import json
+
+            cfg_path = os.path.join(self.model_dir, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path, encoding="utf-8") as f:
+                    feature_dim = json.load(f).get("feature_dim", feature_dim)
+        verdict = analyze_metric_graph(graph, feature_dim)
         if verdict["is_one_minus_cosine"]:
             return  # the fused 1-cos ops are exact; keep the one-dispatch paths
         if not verdict.get("convertible", False):
@@ -222,7 +235,20 @@ class CCIPPredictor:
         self.load_model()
         valid = np.arange(images_u8.shape[0]) < n_valid
         if self._metric_vs_index is not None:
-            feats = np.asarray(self.ccip_extract_device(np.asarray(images_u8)))
+            imgs = np.asarray(images_u8)
+            if self._batch_sharding is not None:
+                # the top-k batch (k=10) rarely divides the data axis —
+                # replicate the tiny batch instead of dp-sharding it
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import put_global
+
+                images_dev = put_global(imgs, NamedSharding(self.mesh, P()))
+            else:
+                images_dev = jnp.asarray(imgs)
+            feats = np.asarray(extract_features(
+                self.params, images_dev, self._mean, self._std,
+                self.model_cfg, self.use_pallas))
             w = valid.astype(np.float32)
             mean_feat = (w[:, None] * feats).sum(0) / max(float(w.sum()), 1.0)
             return np.asarray(self._metric_vs_index(

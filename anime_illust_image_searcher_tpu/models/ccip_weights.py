@@ -671,8 +671,13 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
         elif op == "Shape":
             env[node.outputs[0]] = np.asarray(i[0].shape, np.int64)
         elif op == "Cast":
+            to_code = node.attr("to", 1)
             to = {1: np.float32, 6: np.int32, 7: np.int64, 9: np.bool_,
-                  11: np.float64}[node.attr("to", 1)]
+                  11: np.float64}.get(to_code)
+            if to is None:
+                raise NotImplementedError(
+                    f"ONNX Cast to dtype code {to_code} not supported by the "
+                    "verification executor")
             env[node.outputs[0]] = i[0].astype(to)
         elif op == "Constant":
             t = node.attr("value")
@@ -697,6 +702,15 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
         elif op == "GlobalAveragePool":
             env[node.outputs[0]] = np.mean(i[0], axis=(2, 3), keepdims=True)
         elif op == "AveragePool":
+            if node.attr("ceil_mode", 0):
+                raise NotImplementedError(
+                    "AveragePool ceil_mode=1 not supported by the "
+                    "verification executor")
+            auto_pad = node.attr("auto_pad", b"NOTSET")
+            if auto_pad not in (b"NOTSET", "NOTSET"):
+                raise NotImplementedError(
+                    f"AveragePool auto_pad={auto_pad!r} not supported by the "
+                    "verification executor")
             kh, kw = node.attr("kernel_shape")
             sh, sw = node.attr("strides", [1, 1])
             pads = node.attr("pads", [0, 0, 0, 0])
@@ -929,8 +943,13 @@ def metric_fn_from_graph(graph: GraphP):
             elif op == "Shape":
                 env[o] = np.asarray(np.shape(i[0]), np.int64)  # static -> concrete
             elif op == "Cast":
+                to_code = node.attr("to", 1)
                 to = {1: jnp.float32, 6: jnp.int32, 7: jnp.int64, 9: jnp.bool_,
-                      11: jnp.float64}[node.attr("to", 1)]
+                      11: jnp.float64}.get(to_code)
+                if to is None:
+                    raise NotImplementedError(
+                        f"ONNX Cast to dtype code {to_code} not supported by "
+                        "the JAX metric converter")
                 env[o] = i[0].astype(to)
             elif op == "Constant":
                 env[o] = node.attr("value").to_numpy()

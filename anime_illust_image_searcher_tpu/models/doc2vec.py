@@ -715,11 +715,20 @@ class Doc2VecModel:
         padded_ids = ids + [[] for _ in range(bucket - n)]
         words_np, mask_np, seeds, init = self._infer_inputs(padded_ids, len_bucket)
         syn1, keep_prob, cum_table = self._device_consts()
+        inputs = [words_np, mask_np, init, seeds.astype(np.int32)]
+        if self.mesh is not None:
+            # Same constraint as _infer_group_scan's fallback (ADVICE r2): on a
+            # multi-process mesh, process-local arrays cannot mix with the
+            # globally-sharded consts — replicate the (small) bucket inputs.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import put_global
+
+            rep = NamedSharding(self.mesh, P())
+            inputs = [put_global(a, rep) for a in inputs]
+        words_d, mask_d, init_d, seeds_d = [jnp.asarray(a) for a in inputs]
         out = _infer_vectors(
-            syn1,
-            jnp.asarray(words_np), jnp.asarray(mask_np),
-            keep_prob, cum_table,
-            jnp.asarray(init), jnp.asarray(seeds.astype(np.int32)),
+            syn1, words_d, mask_d, keep_prob, cum_table, init_d, seeds_d,
             alpha=cfg.alpha, min_alpha=cfg.min_alpha,
             epochs=epochs, negative=cfg.negative,
         )

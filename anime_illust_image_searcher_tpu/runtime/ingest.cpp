@@ -365,6 +365,11 @@ int decode_one(const char* path, int size, int pad_to_square, int bilinear,
 
 extern "C" {
 
+// Bumped on every C-ABI change; the Python binding refuses (and rebuilds) a
+// .so whose version doesn't match, so a stale build can never be called with
+// a mismatched signature.
+int aiis_abi_version() { return 2; }
+
 // Decode one image into out[size*size*3]. Returns 1 on success.
 // scaled_decode != 0 enables libjpeg DCT-domain scaling toward `size`.
 int aiis_decode_resize(const char* path, int size, int pad_to_square, int bilinear,

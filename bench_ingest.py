@@ -131,16 +131,19 @@ def main() -> None:
             result["native_scaled"][str(w)] = round(
                 bench_native(paths, args.size, w, scaled=True), 1)
         result["scaled_vs_full_pixel_delta"] = scaled_delta(paths, args.size)
-        # per-core rate from the single-worker native runs (thread sweeps
+        # per-core rate from the smallest measured worker count (thread sweeps
         # saturate at the machine's core count; per-core is the sizing number)
         for key, label in (("native", "cores_needed_full"),
                            ("native_scaled", "cores_needed_scaled")):
-            per_core = result[key]["1"]
+            smallest = str(min(int(w) for w in result[key]))
+            per_core = result[key][smallest] / int(smallest)
             result[label] = (round(DEVICE_RATE / per_core, 1)
                              if per_core > 0 else None)
     else:
         result["native_error"] = "native ingest runtime unavailable"
-    result["value"] = result.get("native_scaled", {}).get("1") or result["pil_img_s"]
+    scaled = result.get("native_scaled") or {}
+    result["value"] = (scaled[str(min(int(w) for w in scaled))]
+                       if scaled else result["pil_img_s"])
     print(json.dumps(result))
 
 

@@ -17,6 +17,7 @@ with both in place, real-weight runs reduce to downloads (tools/convert_checkpoi
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -141,31 +142,33 @@ class TEvaBlock(nn.Module):
 
 
 class TEva(nn.Module):
-    """timm Eva at tiny scale; module names == timm state-dict names."""
+    """timm Eva (tiny by default; geometry overridable up to the real EVA02-L);
+    module names == timm state-dict names."""
 
     def __init__(self, scale_attn_inner=False, layer_scale=False,
-                 global_pool="avg", heads=HEADS):
+                 global_pool="avg", heads=HEADS, img=IMG, patch=PATCH,
+                 dim=DIM, depth=DEPTH, mlp_hidden=MLP_HIDDEN, classes=CLASSES):
         super().__init__()
-        grid = IMG // PATCH
+        grid = img // patch
         self.grid = (grid, grid)
         self.global_pool = global_pool
         # timm PatchEmbed saves conv as patch_embed.proj.*
         self.patch_embed = nn.ModuleDict(
-            {"proj": nn.Conv2d(3, DIM, PATCH, stride=PATCH)})
-        self.cls_token = nn.Parameter(torch.zeros(1, 1, DIM))
-        self.pos_embed = nn.Parameter(torch.zeros(1, grid * grid + 1, DIM))
+            {"proj": nn.Conv2d(3, dim, patch, stride=patch)})
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, grid * grid + 1, dim))
         self.blocks = nn.ModuleList([
-            TEvaBlock(DIM, heads, MLP_HIDDEN, scale_attn_inner, layer_scale)
-            for _ in range(DEPTH)
+            TEvaBlock(dim, heads, mlp_hidden, scale_attn_inner, layer_scale)
+            for _ in range(depth)
         ])
         if global_pool == "avg":
-            self.fc_norm = nn.LayerNorm(DIM, eps=1e-6)
+            self.fc_norm = nn.LayerNorm(dim, eps=1e-6)
         else:
-            self.norm = nn.LayerNorm(DIM, eps=1e-6)
-        self.head = nn.Linear(DIM, CLASSES)
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, classes)
         self.register_buffer(
             "rope_embed",
-            build_timm_rope_cat(self.grid, DIM // heads, TEMP, REF_SHAPE),
+            build_timm_rope_cat(self.grid, dim // heads, TEMP, REF_SHAPE),
             persistent=False,
         )
 
@@ -365,3 +368,33 @@ def test_checkpoint_dir_roundtrip(tmp_path, oracle_input):
     cfg = dataclasses.replace(cfg, dtype=np.float32)
     y = forward_flax(cfg, params, oracle_input)
     np.testing.assert_allclose(y, y_ref, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.skipif(os.environ.get("AIIS_FULLSCALE_ORACLE", "0") != "1",
+                    reason="~4 GB RAM + minutes of CPU; run explicitly with "
+                           "AIIS_FULLSCALE_ORACLE=1 (result recorded in "
+                           "ARCHITECTURE.md)")
+def test_convert_matches_oracle_at_full_eva02_l_geometry():
+    """The tiny oracle could in principle miss a bug that only manifests at the
+    production geometry (head_dim 64 -> 16 rope bands, 32x32 grid with the
+    16x16 ref rescale, 1025 tokens, 24 blocks). This runs the SAME oracle at
+    the real wd-eva02-large-tagger-v3 shape on one image."""
+    m = TEva(heads=16, img=448, patch=14, dim=1024, depth=24,
+             mlp_hidden=2730, classes=10861).eval()
+    _randomize(m, seed=23)
+    rng = np.random.RandomState(29)
+    x = rng.rand(1, 3, 448, 448).astype(np.float32)
+    with torch.no_grad():
+        y_ref = m(torch.from_numpy(x)).numpy()
+    sd = timm_state_dict(m)
+    cfg = detect_config_from_state_dict(sd, base=F32_BASE)
+    assert (cfg.img_size, cfg.embed_dim, cfg.depth) == (448, 1024, 24)
+    assert cfg.num_heads == 16 and cfg.mlp_hidden_dim == 2730
+    params = convert_timm_eva02(sd, cfg)
+    y = forward_flax(cfg, params, x)
+    # f32 CPU through 24 blocks: allow a little more accumulation drift than
+    # the 2-block tiny case, still far below any tag-flip-relevant scale
+    np.testing.assert_allclose(y, y_ref, atol=5e-4, rtol=1e-4)
+    probs = 1 / (1 + np.exp(-y))
+    probs_ref = 1 / (1 + np.exp(-y_ref))
+    assert np.abs(probs - probs_ref).max() < 1e-4

@@ -113,3 +113,24 @@ def test_scaled_decode_close_to_full(tmp_path):
     np.testing.assert_array_equal(
         native_ingest.decode_resize(ps, 224, scaled=False),
         native_ingest.decode_resize(ps, 224, scaled=True))
+
+
+def test_stale_abi_so_is_refused(tmp_path, monkeypatch):
+    """A .so predating a C-ABI change (no/old aiis_abi_version) must never be
+    called through the new signatures: get_lib rebuilds, and if the artifact
+    still mismatches it disables the native path instead of corrupting memory."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "dummy.c"
+    src.write_text("int something_else(void) { return 0; }\n")
+    so = tmp_path / "libdummy.so"
+    subprocess.run(["g++", "-shared", "-fPIC", "-o", str(so), str(src)],
+                   check=True)
+    monkeypatch.setattr(native_ingest, "_lib", None)
+    monkeypatch.setattr(native_ingest, "_load_failed", False)
+    monkeypatch.setattr(native_ingest, "_SO_PATH", str(so))
+    # _build() writes to the real path, not our dummy, so the "rebuilt" file
+    # still lacks the symbol -> must refuse, not call through
+    assert native_ingest.get_lib() is None
+    assert native_ingest._load_failed

@@ -51,6 +51,13 @@ def _tool(name: str) -> str:
     return os.path.join(REPO, "tools", name)
 
 
+def _pythonpath() -> str:
+    """REPO prepended to any existing PYTHONPATH — never clobber it (on TPU
+    hosts it carries the axon site; CLAUDE.md rule)."""
+    existing = os.environ.get("PYTHONPATH")
+    return f"{REPO}:{existing}" if existing else REPO
+
+
 def _have_module(name: str) -> bool:
     return importlib.util.find_spec(name) is not None
 
@@ -84,7 +91,7 @@ class Step:
             if path.endswith(".py"):
                 rc = subprocess.run(
                     [sys.executable, path, "--help"], capture_output=True,
-                    cwd=REPO, env={**os.environ, "PYTHONPATH": REPO},
+                    cwd=REPO, env={**os.environ, "PYTHONPATH": _pythonpath()},
                 ).returncode
                 if rc != 0:
                     problems.append(f"--help failed for {script}")
@@ -164,7 +171,7 @@ def build_steps():
                     cwd=REPO) == 0
 
     def test_suite(wd):
-        env = {**os.environ, "PYTHONPATH": REPO,
+        env = {**os.environ, "PYTHONPATH": _pythonpath(),
                "AIIS_MODEL_DIR": os.path.join(wd, "wd-eva02-v3"),
                "AIIS_CCIP_MODEL_DIR": os.path.join(wd, "ccip")}
         return _run([sys.executable, "-m", "pytest", "tests/", "-x", "-q"],
