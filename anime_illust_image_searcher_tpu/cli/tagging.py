@@ -103,7 +103,8 @@ def main(arg_str: list) -> None:
     parser.add_argument(
         "--model-dir", default=None,
         help="local checkpoint dir with model.safetensors + selected_tags.csv "
-             "(converted from SmilingWolf/wd-eva02-large-tagger-v3)",
+             "(converted from SmilingWolf/wd-eva02-large-tagger-v3); "
+             "defaults to $AIIS_MODEL_DIR, else random weights",
     )
     parser.add_argument(
         "--model-repo", default=None, metavar="REPO_ID",

@@ -83,7 +83,10 @@ class TaggerPredictor:
 
             config = dataclasses.replace(config, quant="int8")
         self.config = config
-        self.model_dir = model_dir
+        # env fallback mirrors CCIP's AIIS_CCIP_MODEL_DIR: call sites without a
+        # --model-dir flag (and the release checklist's real-weight test-suite
+        # step) pick up converted weights from the environment
+        self.model_dir = model_dir or os.environ.get("AIIS_MODEL_DIR") or None
         self.use_pallas = use_pallas
         self._model_cfg = model_cfg
         self.mesh = mesh

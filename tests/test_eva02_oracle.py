@@ -311,7 +311,7 @@ def test_convert_matches_oracle_attn_norm_layer_scale_token_pool(oracle_input):
 def test_rope_permutation_is_load_bearing(oracle_input):
     """Skipping the half-split q/k column permutation must BREAK parity — guards
     against the permutation silently becoming a no-op (e.g. identity map)."""
-    from anime_illust_image_searcher_tpu.models import weights as W
+    import anime_illust_image_searcher_tpu.models.eva02 as eva02_mod
 
     m = TEva().eval()
     _randomize(m, seed=17)
@@ -320,8 +320,6 @@ def test_rope_permutation_is_load_bearing(oracle_input):
     sd = timm_state_dict(m)
     cfg = dataclasses.replace(detect_config_from_state_dict(sd, base=F32_BASE),
                               num_heads=HEADS)
-    orig = W.convert_timm_eva02.__globals__  # same module fns; monkeypatch perm
-    import anime_illust_image_searcher_tpu.models.eva02 as eva02_mod
 
     real_perm = eva02_mod.rope_half_permutation
     try:
@@ -335,7 +333,6 @@ def test_rope_permutation_is_load_bearing(oracle_input):
     assert np.abs(y_noperm - y_ref).max() > 0.1, (
         "identity-permuted conversion matched the oracle — the rope layout "
         "equivalence test has lost its teeth (attention scores too flat?)")
-    assert orig is not None
 
 
 def test_checkpoint_dir_roundtrip(tmp_path, oracle_input):
@@ -398,3 +395,35 @@ def test_convert_matches_oracle_at_full_eva02_l_geometry():
     probs = 1 / (1 + np.exp(-y))
     probs_ref = 1 / (1 + np.exp(-y_ref))
     assert np.abs(probs - probs_ref).max() < 1e-4
+
+
+def test_env_model_dir_fallback(tmp_path, monkeypatch, oracle_input):
+    """AIIS_MODEL_DIR mirrors CCIP's AIIS_CCIP_MODEL_DIR: a TaggerPredictor
+    built without --model-dir (webui-style call sites, the release checklist's
+    real-weight suite step) picks the converted checkpoint from the env."""
+    safetensors = pytest.importorskip("safetensors.numpy")
+
+    from anime_illust_image_searcher_tpu.models.tagger import TaggerPredictor
+
+    m = TEva(heads=16).eval()
+    _randomize(m, seed=31)
+    sd = timm_state_dict(m)
+    safetensors.save_file(sd, str(tmp_path / "model.safetensors"))
+    with open(tmp_path / "selected_tags.csv", "w", encoding="utf-8") as f:
+        f.write("tag_id,name,category\n")
+        for i in range(CLASSES):
+            f.write(f"{i},tag_{i},{9 if i < 2 else 0}\n")
+
+    monkeypatch.setenv("AIIS_MODEL_DIR", str(tmp_path))
+    pred = TaggerPredictor()
+    assert pred.model_dir == str(tmp_path)
+    pred.load_model()
+    assert pred.model_cfg.num_classes == CLASSES  # real checkpoint, not random
+
+    with torch.no_grad():
+        y_ref = m(torch.from_numpy(oracle_input)).numpy()
+    import dataclasses as dc
+
+    cfg = dc.replace(pred.model_cfg, dtype=np.float32)
+    y = forward_flax(cfg, pred.params, oracle_input)
+    np.testing.assert_allclose(y, y_ref, atol=1e-5, rtol=1e-4)
