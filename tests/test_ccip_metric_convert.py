@@ -263,3 +263,38 @@ def test_rerank_diffs_with_learned_metric(tmp_path):
     stacked = np.concatenate([mean_feat[None], index_rows])
     want = absdiff_mlp_oracle(stacked, g)[0, 1:]
     np.testing.assert_allclose(diffs, want, atol=1e-4, rtol=1e-4)
+
+
+def test_rerank_diffs_learned_metric_on_mesh(tmp_path):
+    """Mesh mode + learned metric: the k-image top-k batch (k not divisible by
+    the data axis) must replicate rather than dp-shard, and results must match
+    the single-device path."""
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.config import CCIPConfig
+    from anime_illust_image_searcher_tpu.models.ccip import CCIPPredictor
+    from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(6)
+    g = absdiff_mlp_graph(rng)
+    dest = _checkpoint_dir(tmp_path, metric_graph=g)
+
+    class StubIndex:
+        def __init__(self, m):
+            self._m = jnp.asarray(m)
+
+        def _device(self):
+            return self._m
+
+    index_rows = rng.randn(7, F).astype(np.float32)
+    imgs = rng.randint(0, 255, (10, 32, 32, 3), np.uint8)  # k=10, n_data=8
+
+    single = CCIPPredictor(config=CCIPConfig(image_size=32, feature_dim=F),
+                           model_dir=dest, use_pallas=False)
+    want = single.rerank_diffs(imgs, 4, StubIndex(index_rows))
+
+    meshed = CCIPPredictor(config=CCIPConfig(image_size=32, feature_dim=F),
+                           model_dir=dest, use_pallas=False,
+                           mesh=make_mesh(n_data=8))
+    got = meshed.rerank_diffs(imgs, 4, StubIndex(index_rows))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
