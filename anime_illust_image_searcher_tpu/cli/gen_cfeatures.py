@@ -137,6 +137,8 @@ def main(arg_str: list) -> None:
                              "(e.g. deepghs/ccip_onnx); networked deployments only")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard feature batches across all visible chips")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.ccip
@@ -169,6 +171,7 @@ def main(arg_str: list) -> None:
         print(f"cfeatures data-parallel over {n} devices, batch {cfg.batch_size}")
 
     predictor = Predictor(config=cfg, model_dir=model_dir, mesh=mesh)
+    after_date = None
     if args.after is not None:
         try:
             after_date = datetime.datetime.strptime(args.after[0], "%Y-%m-%d").date()
@@ -176,9 +179,13 @@ def main(arg_str: list) -> None:
             print("%s: %s" % (type(e), str(e)))
             print("Invalid date format. format is YYYY-MM-DD")
             sys.exit(1)
-        predictor.process_directory(args.dir[0], after_date)
-    else:
-        predictor.process_directory(args.dir[0])
+    from ..utils.profiling import trace as _profiler_trace
+
+    with _profiler_trace(args.profile):
+        if after_date is not None:
+            predictor.process_directory(args.dir[0], after_date)
+        else:
+            predictor.process_directory(args.dir[0])
 
 
 def _console() -> None:

@@ -61,6 +61,8 @@ def main(arg_str: List[str]) -> None:
                         help="override Doc2Vec training epochs (default 100)")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard Doc2Vec training batches across all visible chips")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the run to DIR")
     args = parser.parse_args(arg_str)
 
     mesh = None
@@ -94,7 +96,6 @@ def main(arg_str: List[str]) -> None:
     if not processed_docs:
         print(f"no documents with >= 3 tags in {artifacts.TAGS_FILE}; nothing to index")
         sys.exit(1)
-    all_docs = processed_docs
 
     cfg: Doc2VecConfig = DEFAULT_CONFIG.doc2vec
     if args.epochs is not None:
@@ -102,6 +103,13 @@ def main(arg_str: List[str]) -> None:
 
         cfg = dataclasses.replace(cfg, epochs=args.epochs, infer_epochs=args.epochs)
 
+    from ..utils.profiling import trace as _profiler_trace
+
+    with _profiler_trace(args.profile):
+        _build(args, cfg, mesh, processed_docs)
+
+
+def _build(args, cfg, mesh, processed_docs) -> None:
     if args.update:
         if args.epochs is not None:
             # Appended vectors must be inferred with the stored model's epochs or the
@@ -140,7 +148,7 @@ def main(arg_str: List[str]) -> None:
     index.save(artifacts.DOC2VEC_INDEX)
 
     # BM25 is always regenerated from the full corpus (genmodel.py:134,177).
-    stats = build_bm25_stats(all_docs, dictionary)
+    stats = build_bm25_stats(processed_docs, dictionary)
     save_bm25_artifacts(stats)
 
 
