@@ -2,7 +2,9 @@
 Implementation: anime_illust_image_searcher_tpu/cli/tagging.py."""
 import sys
 
-from anime_illust_image_searcher_tpu.cli.tagging import main
+from anime_illust_image_searcher_tpu.cli.tagging import (  # noqa: F401
+    Predictor, main,
+)
 
 if __name__ == "__main__":
     main(sys.argv[1:])
