@@ -34,23 +34,48 @@ from ..utils.progress import ProgressMeter
 DEFAULT_BATCH = 128  # v5e sweet spot (colab variant used 200, colab_env/tagging.py:48)
 
 
+# The reference's make_tensor_files keeps the IMAGE path name for its torch
+# tensor files (utility/make_tensor_files.py:165-171: dirbase swapped for dest,
+# extension untouched), so a reference tensor dir contains .jpg/.png-named
+# torch pickles. Ours are imagepath + ".npy". Both are accepted.
+TENSOR_EXTENSIONS = (".npy", ".png", ".jpg", ".jpeg", ".PNG", ".JPG", ".JPEG")
+
+
 def list_npy_recursive(dir_path: str) -> List[str]:
     out: List[str] = []
     for root, _, files in os.walk(dir_path):
         for f in files:
-            if f.endswith(".npy"):
+            if f.endswith(TENSOR_EXTENSIONS):
                 out.append(os.path.join(root, f))
     return out
+
+
+def _pt_to_uint8_rgb(tensor, size: int) -> Optional[np.ndarray]:
+    """Invert the reference's saved transform — (3, S, S) f32, mean/std 0.5
+    normalized, BGR channel order (make_tensor_files.py:186-188) — back to the
+    uint8 RGB HWC this pipeline ships to the device (which re-applies the same
+    normalization + BGR swap on chip; the u8 round trip is exact)."""
+    arr = np.asarray(tensor, dtype=np.float32)
+    if arr.shape != (3, size, size):
+        print(f"bad tensor shape {arr.shape}, want (3, {size}, {size})")
+        return None
+    bgr = np.clip((arr * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(bgr[::-1].transpose(1, 2, 0))  # BGR CHW -> RGB HWC
 
 
 def load_npy(size: int):
     def f(path: str) -> Optional[np.ndarray]:
         try:
-            arr = np.load(path)
-            if arr.shape != (size, size, 3) or arr.dtype != np.uint8:
-                print(f"bad array {path}: {arr.shape} {arr.dtype}")
-                return None
-            return arr
+            if path.endswith(".npy"):
+                arr = np.load(path)
+                if arr.shape != (size, size, 3) or arr.dtype != np.uint8:
+                    print(f"bad array {path}: {arr.shape} {arr.dtype}")
+                    return None
+                return arr
+            import torch  # reference-made tensor file
+
+            return _pt_to_uint8_rgb(
+                torch.load(path, map_location="cpu", weights_only=True), size)
         except Exception as e:  # noqa: BLE001
             print(f"{type(e)}: {e}")
             return None
@@ -92,7 +117,11 @@ def main(arg_str: List[str]) -> None:
                 cfg.character_thresh, cfg.character_mcut_enabled,
             )
             for path, line in zip(pbatch.paths, results[: pbatch.valid]):
-                out.write(path[: -len(".npy")] + "," + line + "\n")
+                # .npy files map back to the image path; reference .pt tensor
+                # files already CARRY the image path (colab_env/tagging.py:291)
+                if path.endswith(".npy"):
+                    path = path[: -len(".npy")]
+                out.write(path + "," + line + "\n")
             meter.add(pbatch.valid)
 
         # depth-1 pipeline like cli/tagging.py: dispatch batch N, then sync and
