@@ -139,6 +139,14 @@ class CCIPPredictor:
 
             from ..parallel.mesh import DATA_AXIS, put_global
 
+            if len(self.mesh.devices.flatten()) > len(jax.local_devices()):
+                # Same rationale as the tagger: cfeature extraction is
+                # per-host-parallel (every process would re-decode the same
+                # directory); the dp batch device_put needs local devices.
+                raise ValueError(
+                    "CCIPPredictor's data-parallel mesh must be single-host; "
+                    "for multi-host extraction run gen_cfeatures per host on "
+                    "disjoint directories")
             replicated = NamedSharding(self.mesh, P())
             self.params = jax.tree.map(lambda a: put_global(a, replicated),
                                        self.params)

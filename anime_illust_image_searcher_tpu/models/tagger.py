@@ -123,6 +123,16 @@ class TaggerPredictor:
 
             from ..parallel.mesh import DATA_AXIS, put_global
 
+            if len(self.mesh.devices.flatten()) > len(jax.local_devices()):
+                # Multi-host tagging is deliberately per-host (ARCHITECTURE §5:
+                # embarrassingly parallel over directories); the dp batch path
+                # device_puts host arrays and would fail obscurely on a
+                # process-spanning mesh.
+                raise ValueError(
+                    "TaggerPredictor's data-parallel mesh must be single-host; "
+                    "for multi-host tagging run the CLI per host on disjoint "
+                    "directories and concatenate the tag files")
+
             replicated = NamedSharding(self.mesh, P())
             self.params = jax.tree.map(lambda a: put_global(a, replicated),
                                        self.params)
