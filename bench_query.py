@@ -206,6 +206,49 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
     }
 
 
+def run_character_mode_bench(n_rows: int = 100_000, image_size: int = 384,
+                             k: int = 10, repeats: int = 3) -> dict:
+    """Character-mode rerank device stage at index scale (the reference's worst
+    hot spot: ONE onnxruntime metric call PER indexed image, webui.py:306-309).
+    Times ``ccip_rerank_diffs_op`` — top-k CCIP feature extraction + masked mean
+    + all-rows metric in one dispatch — with seeded random weights (weights
+    don't change FLOPs) over a random n_rows x 768 device-resident index."""
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.config import CCIPConfig
+    from anime_illust_image_searcher_tpu.models.ccip import CCIPPredictor
+
+    import jax.numpy as jnp
+
+    pred = CCIPPredictor(config=CCIPConfig(image_size=image_size),
+                         use_pallas=False)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (k, image_size, image_size, 3), np.uint8)
+
+    class _Idx:
+        def __init__(self, m):
+            self._m = jnp.asarray(m)
+
+        def _device(self):
+            return self._m
+
+    index = _Idx(rng.standard_normal(
+        (n_rows, pred.config.feature_dim)).astype(np.float32))
+    pred.rerank_diffs(imgs, k, index)  # warm/compile
+    walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        pred.rerank_diffs(imgs, k, index)
+        walls.append((time.perf_counter() - t0) * 1000.0)
+    return {
+        "metric": "character_rerank_ms",
+        "value": round(float(np.median(walls)), 2),
+        "unit": "ms wall @ %dk-row cfeature index (one dispatch: %d-image "
+                "extract + mean + all-rows metric)" % (n_rows // 1000, k),
+        "vs_baseline": None,
+    }
+
+
 def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
                     n_queries: int = 50, directory: str | None = None) -> dict:
     """Build (or reuse) the 100k-doc artifact chain and measure warm query latency.
@@ -307,7 +350,18 @@ def main() -> None:
                         metavar="N_DOCS",
                         help="device query cost at corpus scale N on synthetic "
                              "device arrays (no artifact build; e.g. 1000000)")
+    parser.add_argument("--character-mode", action="store_true",
+                        help="character-rerank device stage at 100k cfeature "
+                             "rows (random weights; FLOPs-representative)")
     args = parser.parse_args()
+    if args.character_mode:
+        from anime_illust_image_searcher_tpu.utils.jax_setup import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
+        print(json.dumps(run_character_mode_bench()))
+        return
     if args.synthetic_scale:
         from anime_illust_image_searcher_tpu.utils.jax_setup import (
             enable_persistent_compile_cache,
