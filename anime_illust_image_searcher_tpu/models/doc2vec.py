@@ -513,8 +513,9 @@ class Doc2VecModel:
 
         intervals = [i for i in (log_every,
                                  checkpoint_every if ckpt_file else None) if i]
-        stride = math.gcd(*intervals) if intervals else max(
-            cfg.epochs - start_epoch, 1)
+        # no boundaries -> one segment to the end, even resuming mid-run
+        # (epoch + stride - epoch%stride lands exactly on cfg.epochs)
+        stride = math.gcd(*intervals) if intervals else max(cfg.epochs, 1)
 
         epoch = start_epoch
         while epoch < cfg.epochs:
