@@ -1,0 +1,274 @@
+"""Model-based oracle for the WHOLE 'normal'-mode scoring pipeline.
+
+The functions below transliterate the reference's query path into plain numpy,
+independently of the package code: BM25 stats (genmodel.py:51-99) and scoring
+(webui.py:119-172), the Doc2Vec query vector (webui.py:82-117 with the
+documented QUIRKS #16 zero-norm guard), 0.5/0.5 fusion with max-normalization
+guards (webui.py:377-383), the PRF rerank with the documented *intended* math
+(QUIRKS #5: score-weighted mean of re-inferred top-10 vectors — the reference's
+tuple-array bug is deliberately fixed), pin-top-10 + custom sort
+(webui.py:219-237), and the elbow filter (webui.py:63-80).
+
+Embedding parity (tag vectors, stored rows) is pinned elsewhere; this oracle
+deliberately reuses the engine's deterministic vectors and tests everything
+DOWNSTREAM of them — fusion, masking, rerank, ordering, elbow — end to end
+against `SearchEngine.find_similar_documents` (the fused one-dispatch program)
+over randomized corpora and queries.
+"""
+
+import numpy as np
+import pytest
+
+from anime_illust_image_searcher_tpu.cli import genmodel
+from anime_illust_image_searcher_tpu.index import artifacts
+from anime_illust_image_searcher_tpu.search.engine import SearchEngine
+
+MAGIC = 1000  # webui.py:60
+K1, B = 1.5, 0.75  # webui.py:126-127
+
+
+# ------------------------------------------------------------------- oracle
+
+
+def unitvec(v):
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def oracle_bm25_stats(docs, token2id):
+    """genmodel.py:51-81 verbatim."""
+    corpus, doc_lengths, df = [], [], {}
+    for tags in docs:
+        term_ids = [token2id[t] for t in tags if t in token2id]
+        tf = {}
+        for tid in term_ids:
+            tf[tid] = tf.get(tid, 0) + 1
+        corpus.append(tf)
+        doc_lengths.append(len(term_ids))
+        for tid in tf:
+            df[tid] = df.get(tid, 0) + 1
+    D = len(docs)
+    dl = np.array(doc_lengths)
+    avgdl = np.mean(dl)
+    idf = {tid: np.log(1 + (D - d + 0.5) / (d + 0.5)) for tid, d in df.items()}
+    return corpus, dl, avgdl, idf, D
+
+
+def oracle_bm25_scores(query_weights, corpus, dl, avgdl, idf, D):
+    """webui.py:119-172 verbatim."""
+    scores = np.zeros(D)
+    for tid, weight in query_weights.items():
+        i = idf.get(tid, 0)
+        tfs = np.array([doc.get(tid, 0) for doc in corpus])
+        denom = tfs + K1 * (1 - B + B * (dl / avgdl))
+        score = i * (tfs * (K1 + 1) / denom)
+        if weight < 0:
+            for d, doc in enumerate(corpus):
+                if tid in doc:
+                    scores[d] = -np.inf
+        elif weight > MAGIC:
+            scores = scores + (weight - MAGIC) * score
+            for d, doc in enumerate(corpus):
+                if tid not in doc:
+                    scores[d] = -np.inf
+        else:
+            scores = scores + weight * score
+    return scores
+
+
+def oracle_parse(query, token2id):
+    """webui.py:354-371 verbatim (shared with test_parser_property's oracle)."""
+    tw = {}
+    for term in query.split(" "):
+        sp = term.split(":")
+        if len(sp) >= 2 and (sp[-1].startswith("+") or sp[-1].startswith("-")
+                             or sp[-1].isdigit()):
+            tag = ":".join(sp[:-1])
+            if sp[-1].startswith("+"):
+                tw[token2id[tag]] = MAGIC + int(sp[-1])
+            else:
+                tw[token2id[tag]] = int(sp[-1])
+        else:
+            tw[token2id[":".join(sp)]] = 1
+    return tw
+
+
+def oracle_doc2vec_vector(engine, query):
+    """webui.py:82-117 with the documented zero-norm guard (QUIRKS #16)."""
+    import math
+
+    tags = query.split(" ")
+    pairs = []
+    all_weight = 0
+    for tag in tags:
+        sp = tag.split(":")
+        if len(sp) >= 2 and (sp[-1].startswith("+") or sp[-1].startswith("-")
+                             or sp[-1].isdigit()):
+            el = ":".join(sp[:-1]).replace("\\(", "(").replace("\\)", ")")
+            w = int(sp[-1])
+        else:
+            el = ":".join(sp).replace("\\(", "(").replace("\\)", ")")
+            w = 1
+        pairs.append((el.replace("(", "\\(").replace(")", "\\)"), w))
+        all_weight += w
+    if all_weight == 0:
+        all_weight = 1
+    vec = np.zeros(engine.model.vector_size, dtype=np.float64)
+    for tag, w in pairs:
+        tv = engine.model.tag_vector(tag).astype(np.float64)
+        n = np.linalg.norm(tv)
+        if n > 0:
+            vec += w * (tv / n)
+    vec = vec / all_weight
+    n = float(np.linalg.norm(vec))
+    if math.isinf(n) or n == 0:
+        n = 1.0
+    return (vec / n).astype(np.float32)
+
+
+def oracle_elbow(sorted_scores):
+    """webui.py:63-80 verbatim."""
+    arr = np.array([s for _, s in sorted_scores], dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        diff = arr[:-1] - arr[1:]
+    diff = np.where(diff == 0, np.inf, diff)
+    t = len(sorted_scores)
+    pts = np.where(diff < 1e-6)[0]
+    if len(pts) == 1:
+        t = pts[0]
+    elif len(pts) >= 2:
+        t = pts[1]
+    mx = arr.max()
+    if not np.isfinite(mx) or mx == 0:  # QUIRKS #15 finite guard
+        mx = 1.0
+    return [(sorted_scores[i][0], float(sorted_scores[i][1] / mx))
+            for i in range(int(t)) if sorted_scores[i][1] > 0]
+
+
+def oracle_find_similar(engine, matrix, bm25_pack, query, topn):
+    """webui.py:345-390 + 189-253 with the intended PRF math."""
+    corpus, dl, avgdl, idf, D = bm25_pack
+    vec = oracle_doc2vec_vector(engine, query)
+    sims = matrix @ unitvec(vec.astype(np.float64))
+
+    tw = oracle_parse(query, engine.dictionary.token2id)
+    bm25 = oracle_bm25_scores(tw, corpus, dl, avgdl, idf, D)
+
+    if sims.max() > 0:
+        sims = sims / sims.max()
+    if bm25.max() > 0:
+        bm25 = bm25 / bm25.max()
+    final = 0.5 * bm25 + 0.5 * sims
+
+    sims_list = sorted(enumerate(final), key=lambda it: -it[1])
+    if len(sims_list) <= 10:
+        return oracle_elbow(sims_list)[:topn]
+
+    top10 = sims_list[:10]
+    top10_ids = [d for d, _ in top10]
+    weights = np.array([s for _, s in top10], dtype=np.float64)
+    docs = [engine.image_files_name_tags_arr[d].split(",")[1:] for d in top10_ids]
+    vecs = engine.model.infer_vectors(docs).astype(np.float64)
+    if not np.isfinite(weights).all():
+        # QUIRKS #15: pinned top-10, tail dropped
+        return oracle_elbow([(d, 1.0) for d in top10_ids])[:topn]
+    wsum = weights.sum()
+    if wsum == 0:
+        weights = np.ones_like(weights)
+        wsum = weights.sum()
+    mean = (weights[:, None] * vecs).sum(0) / wsum
+    mean = unitvec(mean)
+    rer = matrix @ mean  # rows are unit; query already unit
+    rf = 0.7 * final + 0.3 * rer
+    if rf.max() > 0:
+        rf = rf / rf.max()
+    tail = [(d, float(rf[d])) for d in np.argsort(-rf, kind="stable")
+            if d not in set(top10_ids)]
+    full = [(d, 1.0) for d in top10_ids] + tail
+    return oracle_elbow(full)[:topn]
+
+
+# ------------------------------------------------------------------ fixture
+
+POOL = [f"tag{i:02d}" for i in range(40)]
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pipeline_oracle")
+    import os
+
+    rng = np.random.RandomState(11)
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        lines = []
+        for i in range(90):
+            k = rng.randint(3, 8)
+            tags = list(rng.choice(POOL, size=k, replace=False))
+            lines.append(f"/img/{i:03d}.png,{','.join(tags)}")
+        with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        genmodel.main(["--epochs", "15"])
+        engine = SearchEngine(str(tmp))
+    finally:
+        os.chdir(cwd)
+    docs = [l.split(",")[1:] for l in lines]
+    # stored rows are already unit vectors; oracle uses them as the similarity
+    # matrix exactly like gensim MatrixSimilarity does
+    matrix = np.asarray(engine.index.matrix[: len(docs)], dtype=np.float64)
+    bm25_pack = oracle_bm25_stats(docs, engine.dictionary.token2id)
+    return engine, matrix, bm25_pack
+
+
+def random_queries(rng, n):
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 4)
+        tags = list(rng.choice(POOL, size=k, replace=False))
+        parts = []
+        for t in tags:
+            r = rng.rand()
+            if r < 0.2:
+                parts.append(f"{t}:{rng.randint(2, 5)}")
+            elif r < 0.3:
+                parts.append(f"{t}:+1")
+            elif r < 0.4:
+                parts.append(f"{t}:-1")
+            else:
+                parts.append(t)
+        out.append(" ".join(parts))
+    return out
+
+
+def test_pipeline_matches_oracle_randomized(setup):
+    engine, matrix, bm25_pack = setup
+    rng = np.random.RandomState(5)
+    checked = 0
+    for query in random_queries(rng, 30):
+        want = oracle_find_similar(engine, matrix, bm25_pack, query, topn=800)
+        got = engine.find_similar_documents(query, topn=800)
+        want_ids = [d for d, _ in want]
+        got_ids = [d for d, _ in got]
+        assert got_ids[:10] == want_ids[:10], (query, got_ids[:10], want_ids[:10])
+        # full list: identical ids modulo f32-vs-f64 near-ties; scores must
+        # agree wherever a doc appears in both
+        assert len(got) == len(want), (query, len(got), len(want))
+        overlap = len(set(got_ids) & set(want_ids))
+        assert overlap >= len(want) - 1, (query, overlap, len(want))
+        want_map = dict(want)
+        for d, s in got:
+            if d in want_map:
+                assert abs(s - want_map[d]) < 5e-4, (query, d, s, want_map[d])
+        checked += 1
+    assert checked == 30
+
+
+def test_pipeline_oracle_require_exclude(setup):
+    """Targeted require/exclude coverage on top of the randomized sweep."""
+    engine, matrix, bm25_pack = setup
+    for query in ("tag00:+1", "tag01 tag02:-1", "tag03:+2 tag04", "tag05:3"):
+        want = oracle_find_similar(engine, matrix, bm25_pack, query, topn=800)
+        got = engine.find_similar_documents(query, topn=800)
+        assert [d for d, _ in got][:10] == [d for d, _ in want][:10], query
+        assert len(got) == len(want), query
