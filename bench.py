@@ -94,12 +94,39 @@ def main() -> None:
     if query_line:
         print(query_line)
 
+    # Tertiary metric: host-ingest rate (CPU-only, ~1 min) — how many decode
+    # cores feed this chip (ARCHITECTURE §6 sizing).
+    ingest = None
+    try:
+        import io
+        from contextlib import redirect_stdout
+
+        from bench_ingest import RESOLUTIONS, bench_native, make_corpus
+
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="aiis_bench_ingest_")
+        with redirect_stdout(io.StringIO()):
+            paths = make_corpus(d, 24)
+            ingest = {
+                "native_img_s_per_core": round(
+                    bench_native(paths, 448, 1, scaled=False), 1),
+                "native_scaled_img_s_per_core": round(
+                    bench_native(paths, 448, 1, scaled=True), 1),
+            }
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"ingest bench failed: {exc!r}")
+
     headline = {
         "metric": "wd_vit_tagging_throughput",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
     }
+    if ingest is not None:
+        headline["ingest_img_s_per_core"] = ingest["native_img_s_per_core"]
+        headline["ingest_scaled_img_s_per_core"] = (
+            ingest["native_scaled_img_s_per_core"])
     if query is not None:
         headline["query_latency_p50_ms_100k"] = query["value"]
         headline["query_device_ms_estimate_100k"] = query["device_ms_estimate"]
