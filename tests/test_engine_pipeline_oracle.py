@@ -272,3 +272,48 @@ def test_pipeline_oracle_require_exclude(setup):
         got = engine.find_similar_documents(query, topn=800)
         assert [d for d, _ in got][:10] == [d for d, _ in want][:10], query
         assert len(got) == len(want), query
+
+
+@pytest.fixture(scope="module")
+def dup_setup(tmp_path_factory):
+    """Corpus with many DUPLICATE documents: identical tag sets give identical
+    vectors and scores, so the elbow's zero-diff masking and the stable
+    tie-breaking (lowest doc id first) are both load-bearing."""
+    tmp = tmp_path_factory.mktemp("pipeline_oracle_dup")
+    import os
+
+    rng = np.random.RandomState(21)
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        lines = []
+        base_sets = [list(rng.choice(POOL, size=4, replace=False))
+                     for _ in range(6)]
+        for i in range(72):
+            tags = base_sets[i % 6]  # 12 exact copies of each tag set
+            lines.append(f"/img/{i:03d}.png,{','.join(tags)}")
+        with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        genmodel.main(["--epochs", "15"])
+        engine = SearchEngine(str(tmp))
+    finally:
+        os.chdir(cwd)
+    docs = [l.split(",")[1:] for l in lines]
+    matrix = np.asarray(engine.index.matrix[: len(docs)], dtype=np.float64)
+    bm25_pack = oracle_bm25_stats(docs, engine.dictionary.token2id)
+    return engine, matrix, bm25_pack, base_sets
+
+
+def test_pipeline_oracle_with_heavy_ties(dup_setup):
+    engine, matrix, bm25_pack, base_sets = dup_setup
+    queries = [base_sets[0][0], " ".join(base_sets[1][:2]),
+               f"{base_sets[2][0]}:2 {base_sets[3][1]}",
+               f"{base_sets[4][0]}:+1"]
+    for query in queries:
+        want = oracle_find_similar(engine, matrix, bm25_pack, query, topn=800)
+        got = engine.find_similar_documents(query, topn=800)
+        assert [d for d, _ in got][:10] == [d for d, _ in want][:10], query
+        assert len(got) == len(want), (query, len(got), len(want))
+        want_map = dict(want)
+        for d, s in got:
+            assert d in want_map and abs(s - want_map[d]) < 5e-4, (query, d)
