@@ -45,9 +45,15 @@ def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int =
     print(f"synthesizing {n_docs} docs ...")
     docs = []
     lines = []
+    # vectorized zipf sampling: per-doc rng.choice(p=...) costs ~0.5 ms each
+    # (~8 min at 1M docs); one searchsorted over the cumulative distribution
+    # draws every tag id in a few seconds
+    cum = np.cumsum(probs)
+    ks = rng.randint(10, tags_per_doc, size=n_docs)
+    draws = np.searchsorted(cum, rng.rand(int(ks.sum())))
+    offs = np.concatenate([[0], np.cumsum(ks)])
     for i in range(n_docs):
-        k = rng.randint(10, tags_per_doc)
-        ids = np.unique(rng.choice(vocab, size=k, p=probs))
+        ids = np.unique(draws[offs[i]:offs[i + 1]])
         tags = [tag_names[t] for t in ids]
         docs.append(tags)
         lines.append(f"/img/{i:06d}.png,{','.join(tags)}")
