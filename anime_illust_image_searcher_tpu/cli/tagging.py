@@ -116,7 +116,16 @@ def main(arg_str: list) -> None:
                         help="write a jax.profiler trace of the run to DIR")
     parser.add_argument("--data-parallel", action="store_true",
                         help="shard batches across all visible chips (multi-chip dp)")
+    parser.add_argument("--scaled-decode", action="store_true",
+                        help="libjpeg DCT-domain scaled decode: ~3x faster host "
+                             "ingest (bench_ingest.py), pixels differ slightly "
+                             "from the full-decode path (mean ~1.4/255); same "
+                             "as AIIS_SCALED_DECODE=1")
     args = parser.parse_args(arg_str)
+    if args.scaled_decode:
+        import os as _os
+
+        _os.environ["AIIS_SCALED_DECODE"] = "1"
 
     cfg = DEFAULT_CONFIG.tagger
     if args.batch_size:
