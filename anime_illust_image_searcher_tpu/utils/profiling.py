@@ -22,21 +22,35 @@ def profile_dir() -> Optional[str]:
 
 @contextlib.contextmanager
 def trace(directory: Optional[str] = None) -> Iterator[None]:
-    """Capture a device+host profiler trace into ``directory`` (no-op when None)."""
+    """Capture a device+host profiler trace into ``directory`` (no-op when None).
+
+    Profiler failures never break the run, but exceptions raised by the WRAPPED
+    BODY must propagate untouched — a catch-all around the yield would swallow
+    them into contextlib's "generator didn't stop after throw()" and bury the
+    real traceback."""
     directory = directory or profile_dir()
     if not directory:
         yield
         return
     import jax
 
-    os.makedirs(directory, exist_ok=True)
+    prof = None
     try:
-        with jax.profiler.trace(directory):
-            yield
-        print(f"profiler trace written to {directory}")
-    except Exception as e:  # noqa: BLE001 — profiling must never break the run
+        os.makedirs(directory, exist_ok=True)
+        prof = jax.profiler.trace(directory)
+        prof.__enter__()
+    except Exception as e:  # noqa: BLE001 — profiler start failure only
         print(f"profiling unavailable: {e}")
+        prof = None
+    try:
         yield
+    finally:
+        if prof is not None:
+            try:
+                prof.__exit__(None, None, None)
+                print(f"profiler trace written to {directory}")
+            except Exception as e:  # noqa: BLE001
+                print(f"profiler finalize failed: {e}")
 
 
 @contextlib.contextmanager

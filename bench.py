@@ -101,12 +101,12 @@ def main() -> None:
         import io
         from contextlib import redirect_stdout
 
-        from bench_ingest import RESOLUTIONS, bench_native, make_corpus
+        from bench_ingest import bench_native, make_corpus
 
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="aiis_bench_ingest_")
-        with redirect_stdout(io.StringIO()):
+        with tempfile.TemporaryDirectory(prefix="aiis_bench_ingest_") as d, \
+                redirect_stdout(io.StringIO()):
             paths = make_corpus(d, 24)
             ingest = {
                 "native_img_s_per_core": round(

@@ -50,7 +50,9 @@ def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int =
     # draws every tag id in a few seconds
     cum = np.cumsum(probs)
     ks = rng.randint(10, tags_per_doc, size=n_docs)
-    draws = np.searchsorted(cum, rng.rand(int(ks.sum())))
+    # clamp: float64 cumsum can end slightly below 1.0, and a draw in that gap
+    # would index one past tag_names
+    draws = np.minimum(np.searchsorted(cum, rng.rand(int(ks.sum()))), vocab - 1)
     offs = np.concatenate([[0], np.cumsum(ks)])
     for i in range(n_docs):
         ids = np.unique(draws[offs[i]:offs[i + 1]])
