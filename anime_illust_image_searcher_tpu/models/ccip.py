@@ -85,9 +85,7 @@ class CCIPPredictor:
             return
         import jax
 
-        from .ccip_weights import (
-            analyze_metric_graph, metric_fn_from_graph, metric_vs_index_fn,
-        )
+        from .ccip_weights import analyze_metric_graph, metric_vs_index_fn
         from .onnx_pb import load_model as load_onnx
 
         graph = load_onnx(path).graph
@@ -107,11 +105,20 @@ class CCIPPredictor:
         verdict = analyze_metric_graph(graph, feature_dim)
         if verdict["is_one_minus_cosine"]:
             return  # the fused 1-cos ops are exact; keep the one-dispatch paths
-        if not verdict.get("convertible", False):
-            raise NotImplementedError(
-                "model_metrics.onnx is neither 1-cosine nor convertible: "
-                + str(verdict.get("convert_error", verdict)))
-        self._metric_fn = jax.jit(metric_fn_from_graph(graph))
+        jitted = verdict.pop("_converted_fn", None)
+        if not verdict.get("convertible", False) or jitted is None:
+            # A hand-placed metric file outside the converter's subset must not
+            # brick feature extraction (convert_ccip's inconclusive branch warns
+            # the same way); metric values then use the fused 1-cosine ops.
+            print(
+                "WARNING: model_metrics.onnx is neither 1-cosine nor "
+                "convertible; falling back to the fused 1-cosine metric. "
+                f"Verdict: {verdict.get('convert_error', verdict)}"
+            )
+            return
+        # reuse the fn analyze_metric_graph already jitted (and traced) rather
+        # than re-converting + re-compiling the same graph
+        self._metric_fn = jitted
         self._metric_vs_index = jax.jit(metric_vs_index_fn(graph))
         print(f"CCIP: using converted learned metric (verdict: {verdict})")
 

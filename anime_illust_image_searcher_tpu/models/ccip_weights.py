@@ -711,7 +711,12 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
                 raise NotImplementedError(
                     f"AveragePool auto_pad={auto_pad!r} not supported by the "
                     "verification executor")
-            kh, kw = node.attr("kernel_shape")
+            kernel_shape = node.attr("kernel_shape")
+            if len(kernel_shape) != 2:
+                raise NotImplementedError(
+                    f"AveragePool kernel_shape={list(kernel_shape)!r}: only 2D "
+                    "pooling is supported by the verification executor")
+            kh, kw = kernel_shape
             sh, sw = node.attr("strides", [1, 1])
             pads = node.attr("pads", [0, 0, 0, 0])
             cip = bool(node.attr("count_include_pad", 0))
@@ -733,7 +738,9 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
                     ones[:, :, dy:dy + oh * sh:sh, dx:dx + ow * sw:sw]
                     for dy in range(kh) for dx in range(kw)
                 ], axis=0).sum(axis=0)
-                out = stack.sum(axis=0) / cnt
+                # a window lying entirely in padding has cnt 0 (pads >= kernel);
+                # onnxruntime yields 0 there, not nan/inf
+                out = stack.sum(axis=0) / np.maximum(cnt, 1.0)
             env[node.outputs[0]] = out.astype(np.float32)
         else:
             raise NotImplementedError(
@@ -775,11 +782,15 @@ def analyze_metric_graph(graph: GraphP, feature_dim: int = 768,
         try:
             import jax
 
-            fn = metric_fn_from_graph(graph)
-            converted = np.asarray(jax.jit(fn)(feats))
+            jitted = jax.jit(metric_fn_from_graph(graph))
+            converted = np.asarray(jitted(feats))
             verdict["convertible"] = True
             verdict["converted_max_diff"] = float(
                 np.max(np.abs(converted - got)))
+            # hand the already-jitted (and now traced/compiled) fn to callers so
+            # checkpoint load doesn't pay a second trace+compile (underscore key:
+            # not part of the printable/serializable verdict)
+            verdict["_converted_fn"] = jitted
         except NotImplementedError as e:
             verdict["convertible"] = False
             verdict["convert_error"] = str(e)

@@ -3,7 +3,15 @@
 # Usage: sh anime_illust_image_searcher_tpu/runtime/build.sh
 set -e
 cd "$(dirname "$0")"
+# Build to a temp name, then rename over the target: the rename gives the .so a
+# fresh inode, so an in-process ABI-mismatch rebuild re-dlopens the NEW library
+# (dlopen caches by inode; the stale mapping is never dlclosed), and truncating
+# a currently-mapped .so in place (SIGBUS risk) can't happen. rename(2) is also
+# atomic for concurrent builders.
+TMP="libaiis_ingest.so.tmp.$$"
+trap 'rm -f "$TMP"' EXIT
 g++ -O3 -march=native -fPIC -shared -std=c++17 \
-    ingest.cpp -o libaiis_ingest.so \
+    ingest.cpp -o "$TMP" \
     -ljpeg -lpng -lpthread
+mv -f "$TMP" libaiis_ingest.so
 echo "built $(pwd)/libaiis_ingest.so"

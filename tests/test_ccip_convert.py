@@ -5,9 +5,10 @@ metric-graph analyzer (VERDICT r1 #2; reference gen_cfeatures.py:112-130)."""
 
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
-import torch.nn.functional as F
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+F = torch.nn.functional
 
 from anime_illust_image_searcher_tpu.models import onnx_pb as opb
 from anime_illust_image_searcher_tpu.models.ccip_weights import (
@@ -485,3 +486,41 @@ def test_executor_average_pool_matches_torch(count_include_pad):
     ref = F.avg_pool2d(torch.from_numpy(x), 3, stride=2, padding=1,
                        count_include_pad=bool(count_include_pad)).numpy()
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_executor_average_pool_rejects_non_2d_kernel():
+    """A 1D/3D kernel_shape must raise the advertised NotImplementedError naming
+    the op, not a bare tuple-unpack ValueError (ADVICE r3)."""
+    g = opb.GraphP()
+    g.nodes.append(opb.NodeP(
+        op_type="AveragePool", inputs=["x"], outputs=["y"],
+        attributes={"kernel_shape": opb.AttrP.make("kernel_shape", [3])}))
+    g.inputs.append(("x", (None, 3, 11)))
+    g.outputs.append(("y", (None, 3, 9)))
+    from anime_illust_image_searcher_tpu.models.ccip_weights import execute_graph
+    x = np.zeros((1, 3, 11), dtype=np.float32)
+    with pytest.raises(NotImplementedError, match="AveragePool"):
+        execute_graph(g, {"x": x})
+
+
+def test_executor_average_pool_all_padding_window_is_finite():
+    """pads >= kernel creates corner windows made entirely of padding; with
+    count_include_pad=0 the non-pad divisor is 0 — must yield 0, not nan/inf
+    (ADVICE r3)."""
+    x = np.ones((1, 1, 2, 2), dtype=np.float32)
+    g = opb.GraphP()
+    g.nodes.append(opb.NodeP(
+        op_type="AveragePool", inputs=["x"], outputs=["y"],
+        attributes={
+            "kernel_shape": opb.AttrP.make("kernel_shape", [2, 2]),
+            "strides": opb.AttrP.make("strides", [2, 2]),
+            "pads": opb.AttrP.make("pads", [2, 2, 2, 2]),
+            "count_include_pad": opb.AttrP.make("count_include_pad", 0),
+        }))
+    g.inputs.append(("x", (None, 1, 2, 2)))
+    g.outputs.append(("y", (None, 1, 3, 3)))
+    from anime_illust_image_searcher_tpu.models.ccip_weights import execute_graph
+    got = execute_graph(g, {"x": x})[0]
+    assert np.all(np.isfinite(got))
+    assert got[0, 0, 0, 0] == 0.0  # all-padding corner window
+    assert got[0, 0, 1, 1] == 1.0  # the real 2x2 block

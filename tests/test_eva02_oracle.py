@@ -21,8 +21,9 @@ import os
 
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
 
 from anime_illust_image_searcher_tpu.models.eva02 import Eva02, Eva02Config
 from anime_illust_image_searcher_tpu.models.weights import (

@@ -5,6 +5,7 @@ import argparse
 import os
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from anime_illust_image_searcher_tpu.cli import tagging_pre
@@ -68,7 +69,7 @@ def test_reference_pt_tensor_files(tmp_cwd, monkeypatch):
     the IMAGE path name — utility/make_tensor_files.py:165-188) tag identically
     to the equivalent .npy files: the u8 round trip through the saved transform
     is exact, so the tag lines match byte-for-byte."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     rng = np.random.RandomState(1)
     os.makedirs("pt", exist_ok=True)
