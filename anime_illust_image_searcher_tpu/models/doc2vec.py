@@ -90,7 +90,16 @@ class Vocab:
 
 
 def _stable_doc_seed(word_ids: Sequence[int], model_seed: int) -> int:
-    """Deterministic 63-bit seed from token ids (order-sensitive)."""
+    """Deterministic 63-bit seed from the doc's token-id MULTISET.
+
+    Order-insensitive by design (ids are sorted before hashing): a tag document
+    is a bag of tags, so permutations seed identically — they still infer
+    slightly different vectors because the word array itself stays unsorted.
+    Callers pass the doc's own (unpadded) ids: bucket fill appends EMPTY docs,
+    never zero-pads a row, so a real token id 0 can't be conflated with padding
+    (pinned by tests/test_doc2vec.py::test_stable_doc_seed_semantics). When a
+    doc exceeds max_doc_len the hash covers all ids while inference sees the
+    truncated row — determinism (same doc -> same seed) still holds."""
     h = hashlib.blake2b(digest_size=8)
     h.update(np.int64(model_seed).tobytes())
     h.update(np.asarray(sorted(word_ids), dtype=np.int64).tobytes())
