@@ -94,6 +94,13 @@ class SearchConfig:
     rerank_top_k: int = 10
     # NG_WORDS verbatim, including the reference's 'pixcel_art' spelling (webui.py:38).
     ng_words: Tuple[str, ...] = ("language", "english_text", "pixcel_art")
+    # Bug-compat PRF: emulate the reference's tuple-array rerank AS BUILT
+    # (webui.py:198-211 — (index,value) pairs Frobenius-normalized with the
+    # index column, round() collapsing every feature id to 0) instead of the
+    # intended math QUIRKS #5 implements. Engine __init__ also honors
+    # AIIS_REFERENCE_PRF=1. Rankings then bit-match the as-built reference
+    # (modulo deterministic inference); the fused one-dispatch path is bypassed.
+    reference_prf: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

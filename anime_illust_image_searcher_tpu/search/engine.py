@@ -82,6 +82,12 @@ class SearchEngine:
         self.rep = list(rep) if rep else None
         self.cfeature_reranker = cfeature_reranker
         self.mesh = mesh
+        # Bug-compat PRF (QUIRKS #5 counterpart): reproduce the reference's
+        # tuple-array rerank as built. Config flag or AIIS_REFERENCE_PRF=1.
+        self._reference_prf = (
+            config.search.reference_prf
+            or os.environ.get("AIIS_REFERENCE_PRF", "0") == "1"
+        )
 
         def p(name: str) -> str:
             return os.path.join(directory, name)
@@ -198,6 +204,7 @@ class SearchEngine:
         k = self.cfg.search.rerank_top_k
         if (
             search_mode != "character oriented"
+            and not self._reference_prf  # fused program implements the intended PRF
             and self._norms_known
             and len(self.index) > k
             # truly enormous queries (> largest term bucket) take the multi-call
@@ -213,7 +220,9 @@ class SearchEngine:
             # say so once instead of silently degrading.
             self._warned_slow_path = True
             reason = (
-                "index stores no doc-vector norms (rebuild with genmodel to fix)"
+                "AIIS_REFERENCE_PRF bug-compat mode bypasses the fused program"
+                if self._reference_prf
+                else "index stores no doc-vector norms (rebuild with genmodel to fix)"
                 if not self._norms_known
                 else f"query has more than {max_terms} terms"
                 if len(new_doc.split(" ")) > max_terms
@@ -311,6 +320,7 @@ class SearchEngine:
 
         return (
             search_mode != "character oriented"
+            and not self._reference_prf
             and self._norms_known
             and len(self.index) > self.cfg.search.rerank_top_k
             and len(new_doc.split(" ")) <= QUERY_TERM_BUCKETS[-1]
@@ -381,6 +391,74 @@ class SearchEngine:
         ]
         return self.model.infer_vectors(docs)
 
+    def _gensim_sparse_scores(self, pairs: List[Tuple[int, float]]) -> np.ndarray:
+        """Score a gensim-style sparse query against the index exactly the way
+        gensim does (Similarity.__getitem__ chain): matutils.unitvec's sparse
+        branch normalizes over ALL pairs (asserting on a zero-norm document),
+        then matutils.sparse2full densifies via dict() — DUPLICATE feature ids
+        keep the LAST value — and the dense f32 matvec runs over the stored
+        unit rows. The duplicate-collapse-after-normalize order is load-bearing
+        for the reference-PRF bug emulation."""
+        length = math.sqrt(sum(float(val) ** 2 for _, val in pairs))
+        assert length > 0.0, (
+            "sparse documents must not contain any explicit zero entries")
+        collapsed = {int(tid): np.float32(float(val) / length)
+                     for tid, val in pairs}
+        dense = np.zeros(self.index.num_features, dtype=np.float32)
+        for tid, val in collapsed.items():
+            dense[tid] = val
+        return self.index.matrix @ dense
+
+    def _doc2vec_rerank_reference_bug(
+        self, final_scores: np.ndarray, topn: int
+    ) -> List[Result]:
+        """The reference's PRF rerank AS BUILT (webui.py:189-253), bug included:
+        each top-10 doc vector becomes an (index, value) tuple array, the
+        score-weighted mean is Frobenius-normalized INCLUDING the index column
+        (norm >= 2992 for 300-d vectors, so round(index/norm) collapses every
+        feature id to 0), and gensim's sparse-query chain reduces the rescan to
+        ``unit_rows[:, 0] * (mean[-1] / ||mean||)`` — a perturbation by each
+        doc's feature-0 component. Enabled by AIIS_REFERENCE_PRF=1 so as-built
+        normal-mode tail orderings can be reproduced bit-for-bit (VERDICT r3
+        #2); the default path implements the intended math (QUIRKS #5).
+
+        Faithfully crashes where the reference crashes: ZeroDivisionError when
+        the top-10 scores sum to zero (np.average), ValueError from round(nan)
+        when -inf require/exclude scores reach the top-10 (QUIRKS #15 applies
+        only to the fixed path), AssertionError on a zero mean vector (gensim
+        unitvec).
+        """
+        sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
+        k = self.cfg.search.rerank_top_k
+        if len(sims) <= k:
+            sims = filter_searched_result(sims)
+            return sims[: min(topn, len(sims))]
+
+        top10_sims = sims[:k]
+        top10_doc_ids = [int(d) for d, _ in top10_sims]
+        top10_vecs = self.get_embedded_vectors_by_doc_ids(top10_doc_ids)
+        dim = top10_vecs.shape[1]
+        # (k, dim, 2) stack of (feature_index, value) pairs — the reference's
+        # List[List[Tuple[int, float]]] as np.average sees it
+        idx_col = np.broadcast_to(np.arange(dim, dtype=np.float64)[:, None],
+                                  (dim, 1))
+        tuple_arrays = np.concatenate(
+            [np.broadcast_to(idx_col, (len(top10_vecs), dim, 1)),
+             top10_vecs.astype(np.float64)[:, :, None]], axis=2)
+        weights = [float(s) for _, s in top10_sims]
+        weighted_mean_vec = np.average(tuple_arrays, axis=0, weights=weights)
+        weighted_mean_vec = weighted_mean_vec / np.linalg.norm(weighted_mean_vec)
+        pairs = [(round(docid), val) for docid, val in weighted_mean_vec.tolist()]
+        reranked_scores = self._gensim_sparse_scores(pairs)
+
+        reranked_final = (
+            self.cfg.search.original_score_weight * final_scores
+            + self.cfg.search.reranked_score_weight * reranked_scores
+        )
+        if reranked_final.max() > 0:
+            reranked_final = reranked_final / reranked_final.max()
+        return assemble_prf_results(top10_doc_ids, reranked_final, topn)
+
     def doc2vec_rerank(self, final_scores: np.ndarray, topn: int) -> List[Result]:
         """Pseudo-relevance-feedback rerank (webui.py:189-253).
 
@@ -394,6 +472,9 @@ class SearchEngine:
         full corpus — only the ≤ topn+10 candidate rows.
         """
         from ..ops.cosine import top_k_scores
+
+        if self._reference_prf:
+            return self._doc2vec_rerank_reference_bug(final_scores, topn)
 
         k = self.cfg.search.rerank_top_k
         n_docs = len(final_scores)
