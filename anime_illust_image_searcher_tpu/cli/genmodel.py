@@ -23,7 +23,9 @@ from typing import List, Tuple
 
 from ..config import DEFAULT_CONFIG, Doc2VecConfig
 from ..index import artifacts
-from ..index.bm25_index import build_bm25_stats, save_bm25_artifacts
+from ..index.bm25_index import (
+    BM25DeviceIndex, build_bm25_stats, save_bm25_artifacts,
+)
 from ..index.dictionary import TagDictionary
 from ..index.similarity import SimilarityIndex
 from ..models.doc2vec import Doc2VecModel
@@ -133,6 +135,12 @@ def _build(args, cfg, mesh, processed_docs) -> None:
             mesh=mesh,
         )
         model.save(artifacts.DOC2VEC_MODEL)
+        # Pre-derive the mmap'd serving sidecar (skips the big unpickle at
+        # engine start; ARCHITECTURE §3). Best-effort — serving rebuilds it.
+        try:
+            model.write_serve_cache(artifacts.DOC2VEC_MODEL)
+        except OSError:
+            pass
         index = None
         new_docs = processed_docs
 
@@ -150,6 +158,15 @@ def _build(args, cfg, mesh, processed_docs) -> None:
     # BM25 is always regenerated from the full corpus (genmodel.py:134,177).
     stats = build_bm25_stats(processed_docs, dictionary)
     save_bm25_artifacts(stats)
+    # Pre-derive the mmap'd serving cache while the stats are in memory, so the
+    # first engine start skips the corpus unpickle + device-form build
+    # (~170 s at 1M docs; ARCHITECTURE §3). Best-effort: serving rebuilds it.
+    try:
+        BM25DeviceIndex.from_stats(
+            stats, vocab_size=len(dictionary), cfg=DEFAULT_CONFIG.bm25
+        ).write_cache(".", cfg=DEFAULT_CONFIG.bm25)
+    except OSError:
+        pass
 
 
 def _console() -> None:

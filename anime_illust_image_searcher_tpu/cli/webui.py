@@ -120,16 +120,18 @@ class WebUIServer:
         if self.engine is None:
             engine = SearchEngine(self.directory, rep=self.rep, mesh=self.mesh)
             if os.path.exists(os.path.join(self.directory, artifacts.CFEATURES_CSV)):
+                # engine= defers the 1M-row tag-dict build to the first
+                # character-mode query instead of webui startup
                 engine.cfeature_reranker = CCIPReranker(
-                    engine.image_files_name_tags_arr,
-                    engine.file_tag_index_dict,
-                    engine.filepath_docid_dict,
-                    directory=self.directory,
+                    directory=self.directory, engine=engine,
                 )
             # /api/image may only serve files the index knows about (after --rep
             # rewriting) — a browser-supplied path must not read arbitrary files.
+            # Derived from the raw tag lines (first CSV token is the path), not
+            # filepath_docid_dict, to keep startup free of the full dict build.
             allowed = set()
-            for fpath in engine.filepath_docid_dict:
+            for line in engine.image_files_name_tags_arr:
+                fpath = line.split(",", 1)[0]
                 if self.rep:
                     fpath = fpath.replace(self.rep[0], self.rep[1])
                 allowed.add(fpath)

@@ -25,6 +25,10 @@ BM25_IDF = "bm25_idf"
 BM25_AVGDL = "bm25_avgdl"
 BM25_D = "bm25_D"
 BM25_DOC_LENGTHS = "bm25_doc_lengths"
+# TPU-era sidecar (not a reference artifact): mmap-able device-form arrays
+# derived from the five BM25 pickles, keyed by their fingerprint — cuts 1M-doc
+# engine cold start by ~170 s (ARCHITECTURE §3).
+BM25_SERVE_CACHE = "bm25_servecache"
 # Reference spelling preserved (gen_cfeatures.py:311).
 CFEATURES_INDEX_PREFIX = "charactor-featues-idx"
 CFEATURES_CSV = "charactor-featues-idx.csv"

@@ -764,14 +764,10 @@ class Doc2VecModel:
             pickle.dump(state, f)
 
     @staticmethod
-    def load(path: str) -> "Doc2VecModel":
-        with open(path, "rb") as f:
-            state = pickle.load(f)
-        cfg: Doc2VecConfig = state["cfg"]
-        tokens: List[str] = state["tokens"]
-        counts: np.ndarray = np.asarray(state["counts"])
-        tmp_cfg = cfg
-        vocab = Vocab.build([], tmp_cfg)
+    def _from_state(cfg: "Doc2VecConfig", tokens: List[str], counts: np.ndarray,
+                    syn1neg: np.ndarray, docvecs: np.ndarray, corpus_count: int,
+                    tag_vectors: Optional[np.ndarray]) -> "Doc2VecModel":
+        vocab = Vocab.build([], cfg)
         vocab.tokens = tokens
         vocab.token2id = {t: i for i, t in enumerate(tokens)}
         vocab.counts = counts
@@ -787,12 +783,119 @@ class Doc2VecModel:
         cum = np.cumsum(noise)
         vocab.cum_table = (cum / cum[-1]).astype(np.float32) if len(cum) else np.zeros(0, np.float32)
         model = Doc2VecModel(
-            cfg, vocab, np.asarray(state["syn1neg"]), np.asarray(state["docvecs"]),
-            corpus_count=state.get("corpus_count", len(state["docvecs"])),
+            cfg, vocab, syn1neg, docvecs, corpus_count=corpus_count,
         )
-        if "tag_vectors" in state:
-            model._infer_cache["tag_vectors"] = np.asarray(state["tag_vectors"])
+        if tag_vectors is not None:
+            model._infer_cache["tag_vectors"] = tag_vectors
         return model
+
+    @staticmethod
+    def load(path: str) -> "Doc2VecModel":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        counts = np.asarray(state["counts"])
+        tv = state.get("tag_vectors")
+        return Doc2VecModel._from_state(
+            state["cfg"], state["tokens"], counts,
+            np.asarray(state["syn1neg"]), np.asarray(state["docvecs"]),
+            state.get("corpus_count", len(state["docvecs"])),
+            np.asarray(tv) if tv is not None else None,
+        )
+
+    # ---- serving cache -------------------------------------------------------
+    #
+    # The pickle (reference-named ``doc2vec_model``, genmodel.py:162) force-
+    # materializes ``docvecs`` — 1.2 GB at 1M docs, ~8-20 s of every serving
+    # start, even though the query path only touches syn1neg + the tag-vector
+    # table (the index matrix serves similarity). ``load_for_serving`` keeps the
+    # pickle canonical and mmaps a derived sidecar directory instead, keyed by
+    # the pickle's (size, mtime): docvecs pages fault in only if actually used.
+
+    @staticmethod
+    def _serve_cache_fp(path: str) -> dict:
+        import os
+
+        st = os.stat(path)
+        return {
+            "format": "aiis-doc2vec-servecache-v1",
+            "size": int(st.st_size),
+            "mtime_ns": int(st.st_mtime_ns),
+        }
+
+    @staticmethod
+    def serve_cache_dir(path: str) -> str:
+        return path + ".servecache"
+
+    def write_serve_cache(self, path: str) -> None:
+        """Manifest written last (tmp+rename): matching manifest implies the
+        array files are complete."""
+        import json
+        import os
+        import tempfile
+
+        d = Doc2VecModel.serve_cache_dir(path)
+        os.makedirs(d, exist_ok=True)
+
+        def put(name: str, writer) -> None:
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    writer(f)
+                os.replace(tmp, os.path.join(d, name))
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+
+        put("syn1neg.npy", lambda f: np.save(f, np.ascontiguousarray(self.syn1neg)))
+        put("docvecs.npy", lambda f: np.save(f, np.ascontiguousarray(self.docvecs)))
+        tv = self._infer_cache.get("tag_vectors")
+        if tv is not None:
+            put("tag_vectors.npy", lambda f: np.save(f, np.ascontiguousarray(tv)))
+        meta = {
+            "cfg": self.cfg,
+            "tokens": self.vocab.tokens,
+            "counts": np.asarray(self.vocab.counts),
+            "corpus_count": int(self.corpus_count),
+            "has_tag_vectors": tv is not None,
+        }
+        put("meta.pkl", lambda f: pickle.dump(meta, f))
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump({"fp": Doc2VecModel._serve_cache_fp(path)}, f)
+        os.replace(tmp, os.path.join(d, "manifest.json"))
+
+    @staticmethod
+    def load_for_serving(path: str) -> "Doc2VecModel":
+        """mmap the serving cache when fresh; else full unpickle + (best-effort)
+        write the cache for the next start. Bit-identical to ``load``."""
+        import json
+        import os
+
+        d = Doc2VecModel.serve_cache_dir(path)
+        try:
+            with open(os.path.join(d, "manifest.json"), "r", encoding="utf-8") as f:
+                manifest = json.load(f)
+            if manifest.get("fp") != Doc2VecModel._serve_cache_fp(path):
+                raise ValueError("stale serve cache")
+            with open(os.path.join(d, "meta.pkl"), "rb") as f:
+                meta = pickle.load(f)
+            syn1neg = np.load(os.path.join(d, "syn1neg.npy"))
+            docvecs = np.load(os.path.join(d, "docvecs.npy"), mmap_mode="r")
+            tv = None
+            if meta.get("has_tag_vectors"):
+                tv = np.load(os.path.join(d, "tag_vectors.npy"))
+            return Doc2VecModel._from_state(
+                meta["cfg"], meta["tokens"], np.asarray(meta["counts"]),
+                syn1neg, docvecs, meta["corpus_count"], tv,
+            )
+        except (OSError, ValueError, KeyError, json.JSONDecodeError, pickle.UnpicklingError):
+            model = Doc2VecModel.load(path)
+            try:
+                model.write_serve_cache(path)
+            except OSError:
+                pass
+            return model
 
     @property
     def vector_size(self) -> int:

