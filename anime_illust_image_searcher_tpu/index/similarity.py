@@ -59,6 +59,7 @@ class SimilarityIndex:
         # latency path (search/engine.py).
         self._norms = np.zeros((0,), dtype=np.float32)
         self._device_matrix = None  # lazily transferred jax array
+        self._device_norms = None
         if vectors:
             self.add_documents(vectors)
 
@@ -81,6 +82,7 @@ class SimilarityIndex:
         self._norms[self._n : needed] = norms
         self._n = needed
         self._device_matrix = None  # invalidate device cache
+        self._device_norms = None
 
     # ---- persistence --------------------------------------------------------
 
@@ -138,6 +140,13 @@ class SimilarityIndex:
         if self._device_matrix is None or self._device_matrix.shape[0] != self._n:
             self._device_matrix = jnp.asarray(self._matrix[: self._n])
         return self._device_matrix
+
+    def _device_norms_arr(self):
+        import jax.numpy as jnp
+
+        if self._device_norms is None or self._device_norms.shape[0] != self._n:
+            self._device_norms = jnp.asarray(np.asarray(self.norms, np.float32))
+        return self._device_norms
 
     def __getitem__(self, query: Vector) -> np.ndarray:
         """Cosine scores of a query against every stored vector, shape (num_docs,)."""

@@ -298,6 +298,42 @@ def ccip_rerank_diffs_op(
 
 
 @jax.jit
+def ccip_rerank_diffs_from_rows_op(
+    index_matrix: jax.Array,  # (D, F) unit rows (device-resident)
+    norms: jax.Array,         # (D,) pre-normalization norms
+    row_ids: jax.Array,       # (k,) int32 — cfeature rows of the top-k files
+    valid: jax.Array,         # (k,) bool
+) -> jax.Array:
+    """Row-gather variant of ``ccip_rerank_diffs_op``: when every top-k file's
+    feature already sits in the cfeature index (the common case — the index was
+    built by the same deterministic pipeline), the raw features are
+    ``matrix[row] * norms[row]``; the query ships k int32 ids instead of
+    4.4 MB of pixels. Through this VM's relay that turns a ~150 ms image H2D
+    into a no-op (ARCHITECTURE §4); math is identical to the live op with
+    ``feats`` replaced by the reconstruction (f32 round-trip ≤1e-7 relative)."""
+    raw = index_matrix[row_ids] * norms[row_ids][:, None]  # (k, F)
+    w = valid.astype(jnp.float32)
+    mean_feat = jnp.sum(w[:, None] * raw, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    m = index_matrix.astype(jnp.float32)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    q = mean_feat / jnp.maximum(jnp.linalg.norm(mean_feat), 1e-12)
+    return 1.0 - jnp.dot(m, q, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def ccip_mean_feature_from_rows_op(
+    index_matrix: jax.Array, norms: jax.Array,
+    row_ids: jax.Array, valid: jax.Array,
+) -> jax.Array:
+    """Just the valid-masked raw-feature mean from gathered rows — the learned-
+    metric branch feeds this into its own vmapped metric program."""
+    raw = index_matrix[row_ids] * norms[row_ids][:, None]
+    w = valid.astype(jnp.float32)
+    return jnp.sum(w[:, None] * raw, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+@jax.jit
 def ccip_batch_differences_op(feats: jax.Array) -> jax.Array:
     """(N, F) features -> (N, N) pairwise difference matrix = 1 - cosine.
 

@@ -17,6 +17,7 @@ from ..config import CCIPConfig
 from ..data.ingest import load_rgb_square
 from .caformer import (
     CAFormerConfig, ccip_batch_differences_op, ccip_differences_vs_index_op,
+    ccip_mean_feature_from_rows_op, ccip_rerank_diffs_from_rows_op,
     ccip_rerank_diffs_op, extract_features, init_params,
 )
 
@@ -273,3 +274,22 @@ class CCIPPredictor:
             self._mean, self._std, index._device(),
             self.model_cfg, self.use_pallas,
         ))
+
+    def rerank_diffs_from_rows(self, row_ids: np.ndarray, n_valid: int,
+                               index) -> np.ndarray:
+        """Row-gather character rerank: top-k features come from the device-
+        resident cfeature index (matrix[row]·norm[row]) instead of live
+        decode+forward — the query H2D is k int32 ids. Callers must have
+        verified eligibility (every file present in the index, unchanged on
+        disk, norms known); ``CCIPReranker`` does (search/rerank_ccip.py)."""
+        self.load_model()
+        k = int(np.asarray(row_ids).shape[0])
+        valid = jnp.asarray(np.arange(k) < n_valid)
+        ids = jnp.asarray(np.asarray(row_ids, np.int32))
+        self._ensure_metric()
+        if self._metric_vs_index is not None:
+            mean_feat = ccip_mean_feature_from_rows_op(
+                index._device(), index._device_norms_arr(), ids, valid)
+            return np.asarray(self._metric_vs_index(index._device(), mean_feat))
+        return np.asarray(ccip_rerank_diffs_from_rows_op(
+            index._device(), index._device_norms_arr(), ids, valid))

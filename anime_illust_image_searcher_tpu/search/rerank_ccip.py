@@ -3,6 +3,11 @@
 Reproduces webui.py:255-342 with the hot loop redesigned: the reference calls the ONNX
 metric model once per indexed image (webui.py:306-309); here all index rows are scored
 against the top-10 mean feature in ONE device matvec (ops in models/caformer.py).
+When every top-10 file's feature is already in the cfeature index and unchanged on
+disk (mtime vs the index artifact), the top-10 features come from a device-side row
+gather instead of live decode+forward — features are deterministic, so the gather is
+the same value the reference recomputes per query; AIIS_RERANK_LIVE=1 forces the
+reference-shaped live path.
 
 Semantics preserved:
   - lazy model + index load on first character-mode query
@@ -19,6 +24,8 @@ Semantics preserved:
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
+
+import os
 
 import numpy as np
 
@@ -55,6 +62,11 @@ class CCIPReranker:
         self.predictor = predictor
         self.cfeature_filepath_idx: Optional[List[str]] = None
         self.cfeatures_idx: Optional[SimilarityIndex] = None
+        # row-gather metadata; None until _lazy_load builds it (a caller that
+        # injects cfeatures_idx directly just never takes the gather path)
+        self._row_of: Optional[Dict[str, int]] = None
+        self._index_mtime: float = 0.0
+        self._norms_known: bool = False
 
     @property
     def image_files_name_tags_arr(self) -> List[str]:
@@ -75,8 +87,6 @@ class CCIPReranker:
         return self._filepath_docid_dict
 
     def _lazy_load(self) -> None:
-        import os
-
         if self.predictor is None:
             self.predictor = CCIPPredictor(self.cfg.ccip)
         if self.cfeature_filepath_idx is None:
@@ -88,9 +98,46 @@ class CCIPReranker:
         if self.cfeatures_idx is None:
             max_number = artifacts.get_current_cfeature_number(self.directory)
             name = artifacts.cfeatures_index_name(max_number)
-            self.cfeatures_idx = SimilarityIndex.load(
-                os.path.join(self.directory, name)
+            index_path = os.path.join(self.directory, name)
+            self.cfeatures_idx = SimilarityIndex.load(index_path)
+            # Row-gather fast-path metadata: path -> cfeature row (unique
+            # occurrences only — a duplicated path's rows could disagree), the
+            # index artifact's build time (a file modified AFTER it must be
+            # re-extracted live), and whether raw features are reconstructible
+            # (norms unknown on pre-v1.1 indexes).
+            row_of: Dict[str, int] = {}
+            for i, p in enumerate(self.cfeature_filepath_idx):
+                row_of[p] = -1 if p in row_of else i
+            self._row_of = row_of
+            mtimes = [os.path.getmtime(f) for f in
+                      (index_path, index_path + ".npy") if os.path.exists(f)]
+            self._index_mtime = min(mtimes) if mtimes else 0.0
+            norms = self.cfeatures_idx.norms
+            self._norms_known = (
+                len(self.cfeatures_idx) == 0 or float(np.max(norms)) > 0
+                or not np.any(self.cfeatures_idx.matrix)
             )
+
+    def _gather_rows(self, top10_files: List[str]) -> Optional[List[int]]:
+        """Row ids for the gather fast path, or None if ANY top-k file needs
+        live extraction (absent from the index, duplicated there, deleted, or
+        modified after the index build) — then the whole query takes the
+        reference-shaped live path so the mean never mixes sources."""
+        if (self._row_of is None or not self._norms_known
+                or os.environ.get("AIIS_RERANK_LIVE", "0") == "1"):
+            return None
+        rows: List[int] = []
+        for f in top10_files:
+            row = self._row_of.get(f, -1)
+            if row < 0:
+                return None
+            try:
+                if os.path.getmtime(f) > self._index_mtime:
+                    return None
+            except OSError:
+                return None  # file gone: live path will skip it like the reference
+            rows.append(row)
+        return rows
 
     def __call__(
         self,
@@ -114,38 +161,55 @@ class CCIPReranker:
             for doc_id in top10_doc_ids
         ]
 
-        # decode the hit files (skip failures like webui.py:296-301); the whole
-        # device stage — batched feature extraction (reference: one ONNX call per
-        # file), masked mean, and the all-rows metric (reference: one ONNX call per
-        # INDEXED image, webui.py:306-309) — then runs as ONE dispatch against the
-        # device-resident index
-        from concurrent.futures import ThreadPoolExecutor
+        # Device stage — the reference makes one ONNX call per top-10 file plus
+        # one per INDEXED image (webui.py:296-309). Two one-dispatch forms here:
+        #   - row-gather (common case): every top-10 file's feature is already in
+        #     the device-resident index, so the query ships k int32 row ids —
+        #     gather + masked mean + all-rows metric in one program, no pixel H2D;
+        #   - live: decode the files, batched extraction + mean + metric in one
+        #     program (exact reference semantics; also the AIIS_RERANK_LIVE=1 and
+        #     stale/missing-file fallback).
+        rows = self._gather_rows(top10_files)
+        if rows is not None:
+            diffs = self.predictor.rerank_diffs_from_rows(
+                np.asarray(rows, np.int32), len(rows), self.cfeatures_idx)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        def _decode(file: str) -> Optional[np.ndarray]:
-            try:
-                img = self.predictor.gen_image_ndarray(file)
-                if img is None:
-                    raise ValueError(f"failed to load {file}")
-                return img
-            except Exception as e:  # noqa: BLE001
-                print(f"Error: {e}")
-                return None
+            def _decode(file: str) -> Optional[np.ndarray]:
+                try:
+                    img = self.predictor.gen_image_ndarray(file)
+                    if img is None:
+                        raise ValueError(f"failed to load {file}")
+                    return img
+                except Exception as e:  # noqa: BLE001
+                    print(f"Error: {e}")
+                    return None
 
-        # decode the k hit files concurrently (PIL releases the GIL around IO and
-        # most of decode; order preserved, failures skipped)
-        with ThreadPoolExecutor(max_workers=len(top10_files)) as ex:
-            decoded = [img for img in ex.map(_decode, top10_files) if img is not None]
-        if not decoded:
-            sims = filter_searched_result(sims)
-            return sims[: min(topn, len(sims))]
+            # decode the k hit files concurrently (PIL releases the GIL around IO
+            # and most of decode; order preserved, failures skipped)
+            with ThreadPoolExecutor(max_workers=len(top10_files)) as ex:
+                decoded = [img for img in ex.map(_decode, top10_files)
+                           if img is not None]
+            if not decoded:
+                sims = filter_searched_result(sims)
+                return sims[: min(topn, len(sims))]
 
-        # pad to the fixed top-k batch so one compiled program serves every query
-        pad = len(top10_files) - len(decoded)
-        batch = np.stack(decoded + [np.zeros_like(decoded[0])] * pad)
-        diffs = self.predictor.rerank_diffs(batch, len(decoded), self.cfeatures_idx)
+            # pad to the fixed top-k batch so one compiled program serves every query
+            pad = len(top10_files) - len(decoded)
+            batch = np.stack(decoded + [np.zeros_like(decoded[0])] * pad)
+            diffs = self.predictor.rerank_diffs(batch, len(decoded),
+                                                self.cfeatures_idx)
 
+        # Host filter, vectorized: the threshold compare runs over the whole diff
+        # vector at once and only the few candidate rows touch the python tag
+        # dicts (the old per-row loop cost ~80 ms/query at 100k rows). float()
+        # upcast per candidate keeps the f64 compare/score arithmetic of the
+        # reference loop bit-for-bit.
+        diffs_np = np.asarray(diffs)
         matches: List[Result] = []
-        for idx, fpath in enumerate(self.cfeature_filepath_idx):
+        for idx in np.nonzero(diffs_np.astype(np.float64) < threshold)[0]:
+            fpath = self.cfeature_filepath_idx[idx]
             tag_map = self.file_tag_index_dict.get(fpath)
             if tag_map is None:
                 continue  # unknown file: required/exclude checks both fail
@@ -153,9 +217,8 @@ class CCIPReranker:
                 continue
             if not all(tag not in tag_map for tag in exclude_tags):
                 continue
-            diff = float(diffs[idx])
-            if diff < threshold:
-                matches.append((self.filepath_docid_dict[fpath], 1.0 - diff))
+            matches.append((self.filepath_docid_dict[fpath],
+                            1.0 - float(diffs_np[idx])))
 
         matches.sort(key=lambda it: -it[1])
         return list(top10_sims) + matches

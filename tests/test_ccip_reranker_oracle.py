@@ -128,6 +128,50 @@ def test_character_reranker_matches_oracle(setup):
                [d for d, _ in got[:10]] == [d for d, _ in srt]
 
 
+def test_gather_path_active_and_equal_to_live(setup, monkeypatch):
+    """The fixture's corpus was fully cfeature-indexed after the files were
+    written, so the row-gather fast path must be active — and must return the
+    same ranking as the reference-shaped live path (features are
+    deterministic; gather reconstructs row·norm, live recomputes)."""
+    engine, reranker = setup
+    rng = np.random.RandomState(11)
+    n = len(engine.image_files_name_tags_arr)
+    final = rng.rand(n).astype(np.float64)
+
+    # the fast path is actually eligible for these top-10 files
+    sims = sorted(enumerate(final), key=lambda it: -it[1])[:10]
+    files = [engine.image_files_name_tags_arr[d].split(",")[0] for d, _ in sims]
+    assert reranker._gather_rows(files) is not None
+
+    got_gather = reranker(final, 800, [], [])
+    monkeypatch.setenv("AIIS_RERANK_LIVE", "1")
+    assert reranker._gather_rows(files) is None  # env kill-switch honored
+    got_live = reranker(final, 800, [], [])
+    monkeypatch.delenv("AIIS_RERANK_LIVE")
+    assert [d for d, _ in got_gather] == [d for d, _ in got_live]
+    np.testing.assert_allclose([s for _, s in got_gather],
+                               [s for _, s in got_live], rtol=1e-4, atol=1e-5)
+
+
+def test_gather_falls_back_when_file_changes(setup):
+    """A file modified after the index build must be re-extracted live — its
+    indexed feature may be stale (reference always extracts live)."""
+    engine, reranker = setup
+    path = reranker.cfeature_filepath_idx[0]
+    files = list(reranker.cfeature_filepath_idx[:10])
+    assert reranker._gather_rows(files) is not None
+    future = reranker._index_mtime + 10
+    os.utime(path, (future, future))
+    try:
+        assert reranker._gather_rows(files) is None
+    finally:
+        past = reranker._index_mtime - 10
+        os.utime(path, (past, past))
+    assert reranker._gather_rows(files) is not None
+    # a file absent from the cfeature index also forces the live path
+    assert reranker._gather_rows(files[:9] + ["/nonexistent/x.png"]) is None
+
+
 def test_character_few_results_branch_matches_oracle(setup):
     engine, reranker = setup
     rng = np.random.RandomState(9)
