@@ -35,10 +35,14 @@ MAX_QUERY_TERMS = 64
 # Packed-buffer term-slot buckets. Queries pick the smallest bucket that fits their
 # distinct-term count; each bucket compiles its own program (the BM25 comparison
 # sweep is (docs × slots × Q), so small queries shouldn't pay a big-Q sweep). The
-# 64-slot program covers interactive use; 256 removes the old multi-call fallback
+# 8-slot program serves typical interactive queries (1-5 tags) at 1/8th the sweep
+# cost; 64 covers heavy interactive use; 256 removes the old multi-call fallback
 # cliff (~18x slower at 100k docs) for enormous queries.
-QUERY_TERM_BUCKETS = (MAX_QUERY_TERMS, 256)
+QUERY_TERM_BUCKETS = (8, MAX_QUERY_TERMS, 256)
 DIFF_FILTER_THRESH = 1e-6  # webui.py:58
+# "no flag at this position" sentinel for the elbow prefix info — must stay exact
+# as f32 and above any possible cut position (doc counts are < 2^24 by contract)
+CUT_SENTINEL = 2 ** 24 - 1
 
 
 def term_bucket(n_terms: int) -> int:
@@ -104,28 +108,24 @@ def pack_query(
     return packed
 
 
-def _fused_query_impl(
-    matrix: jax.Array,        # (D, F) unit rows (D may include padding rows)
-    norms: jax.Array,         # (D,) pre-normalization norms
-    term_mat: jax.Array,      # (D, W) int32, padded with vocab_size sentinel
-    contrib_mat: jax.Array,   # (D, W) f32, padded with 0
-    packed: jax.Array,        # pack_query() buffer
+def _query_rf(
+    matrix: jax.Array,
+    norms: jax.Array,
+    term_mat: jax.Array,
+    contrib_mat: jax.Array,
+    packed: jax.Array,
     bm25_weight: float,
     doc2vec_weight: float,
     orig_weight: float,
     rerank_weight: float,
-    vocab_size: int,
     num_docs: int,
-    topn: int,
     k: int,
-    num_real: int = 0,        # 0 -> num_docs; < num_docs when rows are padding
-                              # (multi-chip sharding pads D to the mesh size)
-) -> jax.Array:
-    """Returns one f32 buffer: [top10_scores(k) | top10_ids(k) | r_scores(kk) | r_ids(kk)].
+    num_real: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared score pipeline: packed query -> (rf, top_vals, top_idx).
 
-    When the inputs carry NamedShardings (rows over the ``data`` mesh axis), GSPMD
-    partitions the matvecs/reductions per shard and inserts the top-k all-gather —
-    the single-chip and sharded paths run the same program.
+    Used by both the fast (prefix-elbow) and exact (full-sort-elbow) programs so
+    their rankings are definitionally identical.
     """
     f = matrix.shape[1]
     # slot count rides in the (static) buffer length: [4 term blocks | qvec | n_req]
@@ -143,13 +143,26 @@ def _fused_query_impl(
     # BM25 as a query-term comparison sweep: match[d, w, q] = (term == qid) stays a
     # fused register-level intermediate; no corpus-sized gathers or scatters (each
     # segment-sum scatter measured ~25 ms, each big-table gather ~23 ms at 100k docs).
+    w_slots = term_mat.shape[1]
     tm = term_mat.astype(jnp.float32)[:, :, None]          # (D, W, 1)
     match = (tm == qids[None, None, :]).astype(jnp.float32)  # (D, W, Q)
     slot_w = jnp.einsum("dwq,q->dw", match, qw)
     bm25 = jnp.sum(slot_w * contrib_mat, axis=1)
-    excl_hits = jnp.einsum("dwq,q->d", match, qexcl)
-    req_hits = jnp.einsum("dwq,q->d", match, qreq)
     neg_inf = jnp.float32(-jnp.inf)
+    if w_slots <= 4095:
+        # One contraction for both mask counts: each slot matches at most one
+        # query id, so excl/require hit counts are integers <= W; encode both in
+        # base base_k (a power of two >= W+1, so the decode divide is EXACT in
+        # f32: hits = excl + base_k*req < base_k*(W+1) <= 2^24). Saves a third
+        # full pass over the (D, W, Q) match tensor — the sweep is the second-
+        # biggest device cost at 1M docs (ARCHITECTURE §3).
+        base_k = float(1 << w_slots.bit_length())  # smallest power of 2 >= W+1
+        hits = jnp.einsum("dwq,q->d", match, qexcl + jnp.float32(base_k) * qreq)
+        req_hits = jnp.floor(hits / base_k)
+        excl_hits = hits - jnp.float32(base_k) * req_hits
+    else:
+        excl_hits = jnp.einsum("dwq,q->d", match, qexcl)
+        req_hits = jnp.einsum("dwq,q->d", match, qreq)
     bm25 = jnp.where(excl_hits > 0, neg_inf, bm25)
     bm25 = jnp.where(req_hits < num_required, neg_inf, bm25)
 
@@ -181,14 +194,110 @@ def _fused_query_impl(
     rf = orig_weight * final + rerank_weight * rerank
     rf_max = jnp.max(rf)
     rf = jnp.where(rf_max > 0, rf / rf_max, rf)
+    return rf, top_vals, top_idx
+
+
+def _fused_query_impl(
+    matrix: jax.Array,        # (D, F) unit rows (D may include padding rows)
+    norms: jax.Array,         # (D,) pre-normalization norms
+    term_mat: jax.Array,      # (D, W) int32, padded with vocab_size sentinel
+    contrib_mat: jax.Array,   # (D, W) f32, padded with 0
+    packed: jax.Array,        # pack_query() buffer
+    bm25_weight: float,
+    doc2vec_weight: float,
+    orig_weight: float,
+    rerank_weight: float,
+    vocab_size: int,
+    num_docs: int,
+    topn: int,
+    k: int,
+    num_real: int = 0,        # 0 -> num_docs; < num_docs when rows are padding
+                              # (multi-chip sharding pads D to the mesh size)
+) -> jax.Array:
+    """Returns one f32 buffer:
+    [top10_scores(k) | top10_ids(k) | r_scores(kk) | r_ids(kk) | elbow info(3)].
+
+    The elbow cut is computed on the top-(k+kk+1) PREFIX of the result list
+    instead of a full corpus sort (the sort was the single biggest device cost at
+    1M docs). The host only ever truncates the <= k+kk assembled results, so the
+    cut position matters only when it lands inside that prefix — and every flag
+    position < k+kk is determined by the prefix alone. The one case the prefix
+    cannot decide (exactly ONE sub-threshold diff in the prefix and real docs
+    beyond it: a second flag in the unseen tail would move the cut from that
+    flag's position to "past the list") is reported via the packed flag info and
+    resolved by the engine re-dispatching ``fused_normal_query_exact`` — rare
+    real-tie data, never the common path. See SearchEngine._assemble_fused.
+
+    When the inputs carry NamedShardings (rows over the ``data`` mesh axis), GSPMD
+    partitions the matvecs/reductions per shard and inserts the top-k all-gather —
+    the single-chip and sharded paths run the same program.
+    """
+    rf, top_vals, top_idx = _query_rf(
+        matrix, norms, term_mat, contrib_mat, packed,
+        bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
+        num_docs, k, num_real)
+
+    kk = min(topn + k, num_docs)
+    # One top-k serves both the returned candidates (first kk) and the elbow
+    # prefix: the top P rf values contain >= kk+1 non-top10 docs (at most k of
+    # the P are top10 members), and those are exactly the kk+1 largest non-top10
+    # values, i.e. the head of the reference's full sorted tail.
+    p = min(k + kk + 1, num_docs)
+    vals, ids = jax.lax.top_k(rf, p)
+    r_vals, r_idx = vals[:kk], ids[:kk]
+
+    member = jnp.any(ids[:, None] == top_idx[None, :], axis=1)
+    order = jnp.argsort(member.astype(jnp.int32), stable=True)  # non-members first
+    ex_len = min(kk + 1, num_docs - k)
+    sorted_ex = vals[order][:ex_len]
+
+    # Elbow flags over the list prefix [k pinned 1.0 scores] ++ sorted tail head,
+    # with the reference's masking (webui.py:63-80): zero diffs -> inf, flag when
+    # diff < threshold. Positions/flags are identical to the full-list computation
+    # for every position < k+kk.
+    full = jnp.concatenate([jnp.ones((k,), jnp.float32), sorted_ex])
+    diffs = full[:-1] - full[1:]
+    diffs = jnp.where(diffs == 0, jnp.inf, diffs)
+    flags = diffs < DIFF_FILTER_THRESH
+    count = jnp.sum(flags).astype(jnp.float32)
+    first_two = jnp.nonzero(flags, size=2, fill_value=CUT_SENTINEL)[0]
+
+    return jnp.concatenate([
+        top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32),
+        first_two.astype(jnp.float32), count[None],
+    ])
+
+
+def _fused_query_exact_impl(
+    matrix: jax.Array,
+    norms: jax.Array,
+    term_mat: jax.Array,
+    contrib_mat: jax.Array,
+    packed: jax.Array,
+    bm25_weight: float,
+    doc2vec_weight: float,
+    orig_weight: float,
+    rerank_weight: float,
+    vocab_size: int,
+    num_docs: int,
+    topn: int,
+    k: int,
+    num_real: int = 0,
+) -> jax.Array:
+    """Full-sort elbow variant: [.. | cut(1)] trailing field instead of flag info.
+
+    The elbow cut here is computed over the FULL corpus-length sorted list — the
+    reference semantics verbatim (webui.py:63-80). O(D log D) on device; only
+    dispatched when the prefix program reports the one ambiguous flag pattern,
+    and kept as the equivalence oracle for tests."""
+    rf, top_vals, top_idx = _query_rf(
+        matrix, norms, term_mat, contrib_mat, packed,
+        bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
+        num_docs, k, num_real)
 
     kk = min(topn + k, num_docs)
     r_vals, r_idx = jax.lax.top_k(rf, kk)
 
-    # Elbow cut over the FULL result list, like the reference (webui.py:63-80 applied
-    # to the corpus-length list): list = [k pinned 1.0 scores] ++ (rf of non-top10
-    # docs, sorted desc). The first/second sub-threshold-diff position depends on the
-    # whole list, so it must be computed before any topn truncation.
     rf_excl = rf.at[top_idx].set(-jnp.inf)
     sorted_ex = -jnp.sort(-rf_excl)[: num_docs - k]   # drops k (-inf) placeholders
     full = jnp.concatenate([jnp.ones((k,), jnp.float32), sorted_ex])
@@ -202,6 +311,9 @@ def _fused_query_impl(
 
 fused_normal_query = partial(jax.jit, static_argnames=(
     "vocab_size", "num_docs", "topn", "k", "num_real"))(_fused_query_impl)
+
+fused_normal_query_exact = partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "topn", "k", "num_real"))(_fused_query_exact_impl)
 
 
 @partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k", "num_real"))
@@ -276,8 +388,25 @@ def fused_normal_query_serial(
 
 def unpack_result(
     out: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           Tuple[int, int, int]]:
+    """Split the fast program's packed output buffer into
+    (top_vals, top_idx, r_vals, r_idx, (first_flag, second_flag, flag_count)).
+
+    Flag positions are CUT_SENTINEL when absent. The engine resolves them to a
+    cut (or an exact re-dispatch) in SearchEngine._assemble_fused."""
+    top_vals = out[:k]
+    top_idx = out[k : 2 * k].astype(np.int64)
+    rest = out[2 * k : -3]
+    kk = len(rest) // 2
+    cut_info = (int(out[-3]), int(out[-2]), int(out[-1]))
+    return top_vals, top_idx, rest[:kk], rest[kk : 2 * kk].astype(np.int64), cut_info
+
+
+def unpack_result_exact(
+    out: np.ndarray, k: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
-    """Split the packed output buffer into (top_vals, top_idx, r_vals, r_idx, cut)."""
+    """Split the EXACT program's buffer: trailing field is the full-list cut."""
     top_vals = out[:k]
     top_idx = out[k : 2 * k].astype(np.int64)
     rest = out[2 * k : -1]

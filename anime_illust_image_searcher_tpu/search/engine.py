@@ -88,6 +88,9 @@ class SearchEngine:
             config.search.reference_prf
             or os.environ.get("AIIS_REFERENCE_PRF", "0") == "1"
         )
+        # How often the elbow prefix was ambiguous and the exact full-sort
+        # program had to run (should stay ~0 outside crafted tie data).
+        self.exact_cut_dispatches = 0
 
         def p(name: str) -> str:
             return os.path.join(directory, name)
@@ -300,33 +303,56 @@ class SearchEngine:
         return pack_query(vec, query.term_weights, self.bm25.vocab_size,
                           magic=s.require_tag_magic_number, max_terms=max_terms)
 
-    def _assemble_fused(self, out: np.ndarray, topn: int) -> List[Result]:
-        from ..ops.fused_query import unpack_result
+    def _assemble_fused(
+        self, out: np.ndarray, topn: int,
+        exact_fn: Optional[Callable[[], np.ndarray]] = None,
+    ) -> List[Result]:
+        """Reference elbow semantics (webui.py:63-80): the cut position is defined
+        over the FULL corpus-length sorted list, but the host only truncates the
+        <= k+kk assembled results, so the fast program computes the flags on the
+        top-(k+kk+1) prefix only (no 1M-row device sort). The prefix decides the
+        cut in every case but one: exactly ONE sub-threshold diff in the prefix
+        with unseen real docs beyond it (a tail flag would move the cut past the
+        list). That case re-dispatches ``exact_fn`` — the full-sort program."""
+        from ..ops.fused_query import unpack_result, unpack_result_exact
 
-        _, top_idx, r_vals, r_idx, cut = unpack_result(out, self.cfg.search.rerank_top_k)
+        k = self.cfg.search.rerank_top_k
+        _, top_idx, r_vals, r_idx, cut_info = unpack_result(out, k)
+        first_flag, second_flag, flag_count = cut_info
+        kk = len(r_vals)
+        cut: Optional[int]
+        if flag_count >= 2:
+            cut = second_flag
+        elif flag_count == 0:
+            cut = None  # any tail flags put the cut past the assembled list
+        elif (k + kk + 1) >= self._num_real:
+            cut = first_flag  # prefix covered every real doc: global count == 1
+        else:
+            self.exact_cut_dispatches += 1
+            assert exact_fn is not None
+            _, top_idx, r_vals, r_idx, cut = unpack_result_exact(
+                np.asarray(exact_fn()), k)
+
         top10_set = set(int(i) for i in top_idx)
         final_sims: List[Result] = [(int(d), 1.0) for d in top_idx]
         for d, v in zip(r_idx, r_vals):
             if int(d) not in top10_set:
                 final_sims.append((int(d), float(v)))
-        # Reference elbow semantics (webui.py:63-80): cut computed device-side over
-        # the FULL corpus-length list, normalize by the list max (the pinned 1.0),
-        # drop <= 0 scores, then truncate to topn.
-        final_sims = [(d, v) for d, v in final_sims[:cut] if v > 0]
+        if cut is not None:
+            final_sims = final_sims[:cut]
+        final_sims = [(d, v) for d, v in final_sims if v > 0]
         return final_sims[: min(topn, len(final_sims))]
 
-    def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
-        """Single-device-call query path (ops/fused_query.py): identical semantics to
-        the multi-call path; one H2D transfer, one execution, one D2H transfer."""
-        from ..ops.fused_query import fused_normal_query
+    def _dispatch_fused(self, packed: np.ndarray, topn: int, exact: bool = False):
+        from ..ops.fused_query import fused_normal_query, fused_normal_query_exact
 
         s = self.cfg.search
-        packed = self._pack_fused(new_doc)
         term_mat, contrib_mat = self._bm25_dense
+        fn = fused_normal_query_exact if exact else fused_normal_query
         # packed rides as a host array: jit replicates it onto the program's
         # devices, which also works when the mesh spans processes (each process
         # holds the same query bytes)
-        out = fused_normal_query(
+        return fn(
             self._matrix_dev, self._norms_dev,
             term_mat, contrib_mat,
             packed,
@@ -336,7 +362,15 @@ class SearchEngine:
             num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
             num_real=self._num_real,
         )
-        return self._assemble_fused(np.asarray(out), topn)
+
+    def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
+        """Single-device-call query path (ops/fused_query.py): identical semantics to
+        the multi-call path; one H2D transfer, one execution, one D2H transfer."""
+        packed = self._pack_fused(new_doc)
+        out = self._dispatch_fused(packed, topn)
+        return self._assemble_fused(
+            np.asarray(out), topn,
+            exact_fn=lambda: self._dispatch_fused(packed, topn, exact=True))
 
     # Micro-batch size buckets: each compiles once; a batch pads up to its bucket.
     QUERY_BATCH_BUCKETS = (2, 4, 8)
@@ -403,7 +437,10 @@ class SearchEngine:
             num_real=self._num_real,
         ))
         for j, i in enumerate(fused_pos):
-            results[i] = self._assemble_fused(out[j], topn)
+            p = batch[j]
+            results[i] = self._assemble_fused(
+                out[j], topn,
+                exact_fn=lambda p=p: self._dispatch_fused(p, topn, exact=True))
         return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------ rerank

@@ -93,7 +93,10 @@ def test_big_query_rides_fused_256_bucket(engine):
     assert engine.fused_path_available(big)
     dim = engine.model.vector_size
     assert engine._pack_fused(big).shape[0] == 4 * 256 + dim + 1
-    assert engine._pack_fused("1girl").shape[0] == 4 * 64 + dim + 1
+    # interactive-size queries ride the cheapest (8-slot) sweep bucket
+    assert engine._pack_fused("1girl").shape[0] == 4 * 8 + dim + 1
+    nine = " ".join(FILLER[:9])
+    assert engine._pack_fused(nine).shape[0] == 4 * 64 + dim + 1
 
     fused = engine.find_similar_documents(big, topn=800)
     engine._norms_known = False
@@ -162,3 +165,148 @@ def test_serial_scan_matches_per_query(engine):
     out = run_device_only_bench(engine, queries, repeats=1)
     assert out["n_queries"] == 4
     assert out["device_query_ms_measured"] > 0
+
+
+# ---------------------------------------------------------------- prefix elbow
+
+
+def _resolve_prefix_cut(full, k, kk, num_real):
+    """Host-side mirror of the fast program's prefix-elbow protocol: compute
+    flags on the top-(k+kk+1) prefix of the full list, then resolve exactly the
+    way SearchEngine._assemble_fused does (None = no truncation; 'exact' =
+    would re-dispatch the full-sort program)."""
+    from anime_illust_image_searcher_tpu.ops.fused_query import (
+        DIFF_FILTER_THRESH,
+    )
+
+    prefix = full[: k + kk + 1]
+    diffs = prefix[:-1] - prefix[1:]
+    with np.errstate(invalid="ignore"):
+        diffs = np.where(diffs == 0, np.inf, diffs)
+        flags = diffs < DIFF_FILTER_THRESH
+    positions = np.nonzero(flags)[0]
+    count = len(positions)
+    if count >= 2:
+        return int(positions[1])
+    if count == 0:
+        return None
+    if (k + kk + 1) >= num_real:
+        return int(positions[0])
+    return "exact"
+
+
+def _full_list(tail, k=10):
+    return np.concatenate([np.ones(k), np.asarray(tail, np.float64)])
+
+
+@pytest.mark.parametrize("name,tail,kk", [
+    # spaced tail: no flags anywhere -> no cut either way
+    ("no_flags", np.linspace(0.9, 0.1, 60), 15),
+    # two near-ties inside the prefix -> exact cut position from prefix alone
+    ("two_in_prefix", [0.9, 0.9 - 5e-7, 0.8, 0.8 - 5e-7] + list(
+        np.linspace(0.7, 0.1, 56)), 15),
+    # exact ties (diff == 0) are masked, not flags
+    ("zero_diffs_masked", [0.9, 0.9, 0.9] + list(np.linspace(0.8, 0.1, 57)), 15),
+    # flags only beyond the prefix -> cut lands past the assembled list
+    ("flags_beyond", list(np.linspace(0.9, 0.5, 30)) + [0.4, 0.4 - 5e-7,
+     0.3, 0.3 - 5e-7] + list(np.linspace(0.2, 0.1, 26)), 15),
+    # one flag in prefix + one beyond: the ambiguous case -> exact fallback
+    ("ambiguous", [0.9, 0.9 - 5e-7] + list(np.linspace(0.8, 0.5, 28)) + [
+        0.4, 0.4 - 5e-7] + list(np.linspace(0.3, 0.1, 28)), 15),
+])
+def test_prefix_elbow_protocol_matches_full_list(name, tail, kk):
+    """For every flag pattern, the prefix protocol's effective truncation of the
+    <= k+kk assembled results equals the reference full-list elbow's."""
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.ops.fused_query import elbow_cut_index
+
+    k = 10
+    full = _full_list(tail, k)
+    num_real = len(full)
+    exact_cut = int(np.asarray(elbow_cut_index(jnp.asarray(full, jnp.float32))))
+    resolved = _resolve_prefix_cut(full.astype(np.float32), k, kk, num_real)
+    if resolved == "exact":
+        assert name == "ambiguous"
+        resolved = exact_cut  # what the engine's re-dispatch would return
+    list_len = k + kk  # assembled results are at most this long
+    effective_fast = min(resolved if resolved is not None else list_len, list_len)
+    assert effective_fast == min(exact_cut, list_len), name
+
+
+def test_assemble_fused_branches(engine):
+    """The four cut-resolution branches of _assemble_fused, driven by crafted
+    output buffers (count>=2, count==0, count==1-covered, count==1-ambiguous)."""
+    from anime_illust_image_searcher_tpu.ops.fused_query import CUT_SENTINEL
+
+    k = engine.cfg.search.rerank_top_k
+    kk = 15
+    top_idx = np.arange(k, dtype=np.float32)
+    top_vals = np.linspace(1.0, 0.9, k).astype(np.float32)
+    r_idx = np.arange(5, 5 + kk, dtype=np.float32)  # overlaps top_idx in [5,10)
+    r_vals = np.linspace(0.8, 0.2, kk).astype(np.float32)
+
+    def buf(first, second, count):
+        return np.concatenate([
+            top_vals, top_idx, r_vals, r_idx,
+            np.asarray([first, second, count], np.float32)])
+
+    calls = {"n": 0}
+
+    def exact_fn():
+        calls["n"] += 1
+        # exact program's layout: trailing single cut = 12
+        return np.concatenate([top_vals, top_idx, r_vals, r_idx,
+                               np.asarray([12.0], np.float32)])
+
+    engine.exact_cut_dispatches = 0
+    # count >= 2: cut at second flag
+    got = engine._assemble_fused(buf(3, 12, 2), topn=800, exact_fn=exact_fn)
+    assert len(got) == 12 and calls["n"] == 0
+    # count == 0: no truncation (k + 10 non-dup tail rows)
+    got = engine._assemble_fused(buf(CUT_SENTINEL, CUT_SENTINEL, 0), 800,
+                                 exact_fn=exact_fn)
+    assert len(got) == k + 10 and calls["n"] == 0
+    # count == 1 with the prefix covering every real doc: cut at first flag
+    real_backup = engine._num_real
+    engine._num_real = k + kk  # covered
+    try:
+        got = engine._assemble_fused(buf(4, CUT_SENTINEL, 1), 800,
+                                     exact_fn=exact_fn)
+        assert len(got) == 4 and calls["n"] == 0
+        # count == 1 with unseen real docs beyond the prefix: exact re-dispatch
+        engine._num_real = 10_000
+        got = engine._assemble_fused(buf(4, CUT_SENTINEL, 1), 800,
+                                     exact_fn=exact_fn)
+        assert calls["n"] == 1 and engine.exact_cut_dispatches == 1
+        assert len(got) == 12  # the exact program's cut
+    finally:
+        engine._num_real = real_backup
+        engine.exact_cut_dispatches = 0
+
+
+def test_fast_vs_exact_program_results_match(engine):
+    """End-to-end: the fast (prefix-elbow) and exact (full-sort) programs yield
+    identical assembled results on real data, including small topn where the
+    prefix does NOT cover the corpus."""
+    from anime_illust_image_searcher_tpu.ops.fused_query import (
+        unpack_result_exact,
+    )
+
+    for topn in (5, 800):
+        for query in ("1girl", "sword black_hair", "1girl solo:-1"):
+            fast = engine._find_similar_fused(query, topn)
+            packed = engine._pack_fused(query)
+            out = np.asarray(engine._dispatch_fused(packed, topn, exact=True))
+            k = engine.cfg.search.rerank_top_k
+            _, top_idx, r_vals, r_idx, cut = unpack_result_exact(out, k)
+            top10_set = set(int(i) for i in top_idx)
+            sims = [(int(d), 1.0) for d in top_idx]
+            for d, v in zip(r_idx, r_vals):
+                if int(d) not in top10_set:
+                    sims.append((int(d), float(v)))
+            sims = [(d, v) for d, v in sims[:cut] if v > 0]
+            exact = sims[: min(topn, len(sims))]
+            assert [d for d, _ in fast] == [d for d, _ in exact], (topn, query)
+            np.testing.assert_allclose([s for _, s in fast],
+                                       [s for _, s in exact], rtol=1e-6)
