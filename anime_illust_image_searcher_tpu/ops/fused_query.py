@@ -45,6 +45,39 @@ DIFF_FILTER_THRESH = 1e-6  # webui.py:58
 CUT_SENTINEL = 2 ** 24 - 1
 
 
+# Two-level top-k: XLA's TopK custom call on TPU costs ~a full sort of the
+# operand regardless of k (measured: 4.7/4.2/4.4 ms for k=10/810/full-sort at
+# 1M rows), so chunk the row dim, take per-chunk top-k (cheap batched sorts of
+# CHUNK-sized rows), then reduce the g*k candidates. Exact, including
+# lowest-index tie-breaking (see exact_top_k). Applied when rows > threshold.
+TOPK_CHUNK = 16384
+TOPK_MIN_ROWS = 4 * TOPK_CHUNK
+
+
+def exact_top_k(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in ``lax.top_k`` with two-level chunking for large operands.
+
+    Tie-order is identical to ``lax.top_k`` (lowest index first): per-chunk
+    top-k preserves index order within a chunk, the flattened candidate array
+    orders chunks by ascending base offset, and the final top-k breaks value
+    ties by candidate position — i.e. by (chunk, within-chunk index) = global
+    index. The -inf padding rows (last chunk only) can never be returned: they
+    rank after every real row of their own chunk by index, after every other
+    chunk's candidates by position, and the >= 3 full chunks guaranteed by
+    TOPK_MIN_ROWS supply >= k real candidates ahead of them (k <= CHUNK/4)."""
+    d = x.shape[0]
+    if d < TOPK_MIN_ROWS or k > TOPK_CHUNK // 4 or x.ndim != 1:
+        return jax.lax.top_k(x, k)
+    g = (d + TOPK_CHUNK - 1) // TOPK_CHUNK
+    pad = g * TOPK_CHUNK - d
+    xr = jnp.concatenate(
+        [x, jnp.full((pad,), -jnp.inf, x.dtype)]).reshape(g, TOPK_CHUNK)
+    lv, li = jax.lax.top_k(xr, k)                       # (g, k) each
+    gi = (li + (jnp.arange(g, dtype=li.dtype) * TOPK_CHUNK)[:, None]).reshape(-1)
+    fv, fi = jax.lax.top_k(lv.reshape(-1), k)
+    return fv, gi[fi]
+
+
 def term_bucket(n_terms: int) -> int:
     """Smallest term bucket holding ``n_terms``; raises above the largest."""
     for b in QUERY_TERM_BUCKETS:
@@ -179,7 +212,7 @@ def _query_rf(
         row_ids = jnp.arange(num_docs)
         final = jnp.where(row_ids < num_real, final, neg_inf)
 
-    top_vals, top_idx = jax.lax.top_k(final, k)
+    top_vals, top_idx = exact_top_k(final, k)
 
     raw = matrix[top_idx] * norms[top_idx][:, None]          # (k, F) raw vectors
     wsum = jnp.sum(top_vals)
@@ -243,7 +276,7 @@ def _fused_query_impl(
     # the P are top10 members), and those are exactly the kk+1 largest non-top10
     # values, i.e. the head of the reference's full sorted tail.
     p = min(k + kk + 1, num_docs)
-    vals, ids = jax.lax.top_k(rf, p)
+    vals, ids = exact_top_k(rf, p)
     r_vals, r_idx = vals[:kk], ids[:kk]
 
     member = jnp.any(ids[:, None] == top_idx[None, :], axis=1)

@@ -128,7 +128,10 @@ def run_device_only_bench(engine, queries, repeats: int = 3) -> dict:
     k = s.rerank_top_k
     for i in (0, len(queries) // 2, len(queries) - 1):
         want = engine.find_similar_documents(queries[i], topn=topn)
-        got = engine._assemble_fused(outs[i], topn)
+        got = engine._assemble_fused(
+            outs[i], topn,
+            exact_fn=lambda i=i: engine._dispatch_fused(packed[i], topn,
+                                                        exact=True))
         if got == want:
             continue
         assert [d for d, _ in got[:k]] == [d for d, _ in want[:k]], (

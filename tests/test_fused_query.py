@@ -310,3 +310,34 @@ def test_fast_vs_exact_program_results_match(engine):
             assert [d for d, _ in fast] == [d for d, _ in exact], (topn, query)
             np.testing.assert_allclose([s for _, s in fast],
                                        [s for _, s in exact], rtol=1e-6)
+
+
+@pytest.mark.parametrize("d,k,style", [
+    (70_000, 821, "ties"),       # above threshold, heavy value ties
+    (70_000, 10, "ties"),
+    (65_536, 821, "uniform"),    # exactly chunk-divisible
+    (65_537, 821, "uniform"),    # pad = chunk-1
+    (100_000, 821, "neginf"),    # -inf blocks (masked docs) among ties
+    (4_096, 10, "ties"),         # below threshold: plain lax.top_k path
+])
+def test_exact_top_k_matches_lax_top_k(d, k, style):
+    """exact_top_k (two-level chunked) must equal lax.top_k bit-for-bit,
+    including lowest-index tie order."""
+    import jax
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.ops.fused_query import exact_top_k
+
+    rng = np.random.RandomState(d % 97)
+    if style == "ties":
+        x = rng.randint(0, 50, d).astype(np.float32)  # massive duplication
+    elif style == "neginf":
+        x = rng.randint(0, 50, d).astype(np.float32)
+        x[rng.rand(d) < 0.3] = -np.inf
+    else:
+        x = rng.standard_normal(d).astype(np.float32)
+    xj = jnp.asarray(x)
+    want_v, want_i = jax.lax.top_k(xj, k)
+    got_v, got_i = exact_top_k(xj, k)
+    np.testing.assert_array_equal(np.asarray(want_v), np.asarray(got_v))
+    np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
