@@ -179,40 +179,46 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
     contrib_mat = np.abs(rng.standard_normal(
         (n_docs, terms_per_doc))).astype(np.float32)
 
-    packed = np.stack([
-        pack_query(
-            rng.standard_normal(dim).astype(np.float32),
-            {int(t): 1.0 for t in rng.randint(0, 200, rng.randint(1, 4))},
-            vocab, magic=1000, max_terms=MAX_QUERY_TERMS,
-        )
-        for _ in range(n_queries)
-    ])
-
     import jax.numpy as jnp
 
-    args = [jnp.asarray(a) for a in (matrix, norms, term_mat, contrib_mat,
-                                     packed)]
+    index_args = [jnp.asarray(a) for a in (matrix, norms, term_mat,
+                                           contrib_mat)]
+    queries = [(rng.standard_normal(dim).astype(np.float32),
+                {int(t): 1.0 for t in rng.randint(0, 200, rng.randint(1, 4))})
+               for _ in range(n_queries)]
 
-    def dispatch():
-        return fused_normal_query_serial(
-            *args, 0.5, 0.5, 0.7, 0.3,
-            vocab_size=vocab, num_docs=n_docs, topn=800, k=10,
-        )
+    def measure(max_terms: int) -> float:
+        packed = jnp.asarray(np.stack([
+            pack_query(vec, tw, vocab, magic=1000, max_terms=max_terms)
+            for vec, tw in queries
+        ]))
 
-    np.asarray(dispatch())  # warm/compile
-    walls = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(dispatch())
-        walls.append((time.perf_counter() - t0) * 1000.0)
-    wall = float(np.median(walls))
+        def dispatch():
+            return fused_normal_query_serial(
+                *index_args, packed, 0.5, 0.5, 0.7, 0.3,
+                vocab_size=vocab, num_docs=n_docs, topn=800, k=10,
+            )
+
+        np.asarray(dispatch())  # warm/compile
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(dispatch())
+            walls.append((time.perf_counter() - t0) * 1000.0)
+        return float(np.median(walls))
+
+    # 64-slot bucket: comparable to earlier rounds' numbers. 8-slot bucket:
+    # what 1-5-term interactive queries actually ride since round 4.
+    wall = measure(MAX_QUERY_TERMS)
+    wall8 = measure(8)
     return {
         "metric": "query_device_ms_at_scale",
         "value": round(wall / n_queries, 3),
-        "unit": "ms/query @ %dk docs (serialized scan, synthetic arrays)"
-                % (n_docs // 1000),
+        "unit": "ms/query @ %dk docs (serialized scan, synthetic arrays, "
+                "64-term bucket)" % (n_docs // 1000),
         "n_queries": n_queries,
         "wall_ms_one_dispatch": round(wall, 2),
+        "interactive_bucket_ms_per_query": round(wall8 / n_queries, 3),
         "vs_baseline": None,
     }
 
