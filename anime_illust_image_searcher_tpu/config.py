@@ -22,9 +22,11 @@ class TaggerConfig:
     extensions: Tuple[str, ...] = (".png", ".jpg", ".jpeg", ".PNG", ".JPG", ".JPEG")
     # The reference uses BATCH_SIZE=10 sized for an M1 GPU (tagging.py:49); the TPU path
     # defaults much larger to keep the MXU fed (measured on v5e: 117.5 img/s at B=128
-    # vs 79.5 at B=64 with XLA attention). Padded to a fixed bucket so XLA compiles
-    # one program.
-    batch_size: int = 128
+    # vs 79.5 at B=64 with XLA attention; round-4 interleaved sweep: 141.5/143.3/146.1
+    # img/s at B=128/192/256, so 256 is the default). Padded to a fixed bucket so XLA
+    # compiles one program; tail batches pad, so tiny directories pay one 256-wide
+    # forward (~1.8 s) — use --batch-size for small one-off runs.
+    batch_size: int = 256
     progress_interval: int = 1000
     decode_workers: int = 8
     image_size: int = 448

@@ -18,7 +18,7 @@ import json
 import time
 
 REFERENCE_GPU_IMAGES_PER_SEC = 2.0  # reference README.md:37-43
-BATCH = 128
+BATCH = 256  # matches TaggerConfig.batch_size (round-4 sweep: +3% vs 128)
 WARMUP_STEPS = 2
 MEASURE_STEPS = 8
 # TPU v5e (jax reports "TPU v5 lite") public peak: 197 TFLOP/s bf16 per chip.
