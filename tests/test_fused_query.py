@@ -341,3 +341,15 @@ def test_exact_top_k_matches_lax_top_k(d, k, style):
     got_v, got_i = exact_top_k(xj, k)
     np.testing.assert_array_equal(np.asarray(want_v), np.asarray(got_v))
     np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
+
+
+def test_term_bucket_invariance(engine):
+    """The same query must return identical results from every term bucket
+    program that fits it — the bucket only changes the sweep's padded Q."""
+    for query in ("1girl", "1girl smile:2 sword"):
+        results = []
+        for mt in (8, 64, 256):
+            packed = engine._pack_fused(query, max_terms=mt)
+            out = np.asarray(engine._dispatch_fused(packed, 800))
+            results.append(engine._assemble_fused(out, 800))
+        assert results[0] == results[1] == results[2], query
