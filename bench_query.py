@@ -164,25 +164,37 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
     The fused program's cost depends only on array shapes, not data provenance,
     so this measures the serving scaling curve (e.g. 1M docs) without the
     multi-minute host-side artifact build. Same instrument as --device-only:
-    one serialized-scan dispatch of N queries, wall / N."""
+    one serialized-scan dispatch of N queries, wall / N.
+
+    The synthetic index arrays are generated ON DEVICE (jax.random) — at 1M
+    docs the host-side arrays are ~1.5 GB, which costs minutes of H2D through
+    the relay's ~20 MB/s link and nothing in measurement fidelity (the program
+    never branches on values; random normals never hit the elbow's crafted-tie
+    re-dispatch pattern)."""
     import numpy as np
+
+    import jax
+    import jax.numpy as jnp
 
     from anime_illust_image_searcher_tpu.ops.fused_query import (
         MAX_QUERY_TERMS, fused_normal_query_serial, pack_query,
     )
 
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+
+    @jax.jit
+    def gen_index():
+        matrix = jax.random.normal(k1, (n_docs, dim), jnp.float32)
+        matrix = matrix / jnp.linalg.norm(matrix, axis=1, keepdims=True)
+        norms = jnp.abs(jax.random.normal(k2, (n_docs,), jnp.float32)) + 0.5
+        term_mat = jax.random.randint(k3, (n_docs, terms_per_doc), 0, vocab,
+                                      jnp.int32)
+        contrib_mat = jnp.abs(jax.random.normal(
+            k4, (n_docs, terms_per_doc), jnp.float32))
+        return matrix, norms, term_mat, contrib_mat
+
+    index_args = list(jax.block_until_ready(gen_index()))
     rng = np.random.RandomState(0)
-    matrix = rng.standard_normal((n_docs, dim)).astype(np.float32)
-    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
-    norms = np.abs(rng.standard_normal(n_docs)).astype(np.float32) + 0.5
-    term_mat = rng.randint(0, vocab, (n_docs, terms_per_doc)).astype(np.int32)
-    contrib_mat = np.abs(rng.standard_normal(
-        (n_docs, terms_per_doc))).astype(np.float32)
-
-    import jax.numpy as jnp
-
-    index_args = [jnp.asarray(a) for a in (matrix, norms, term_mat,
-                                           contrib_mat)]
     queries = [(rng.standard_normal(dim).astype(np.float32),
                 {int(t): 1.0 for t in rng.randint(0, 200, rng.randint(1, 4))})
                for _ in range(n_queries)]
