@@ -39,6 +39,18 @@ from ..search.rerank_ccip import CCIPReranker
 
 _HTML_PATH = os.path.join(os.path.dirname(__file__), "webui_static", "index.html")
 
+
+def _index_html() -> bytes:
+    """SPA page bytes. Reads through importlib.resources when the package is
+    imported from a zipapp archive (no real file at _HTML_PATH)."""
+    if os.path.exists(_HTML_PATH):
+        with open(_HTML_PATH, "rb") as f:
+            return f.read()
+    from importlib import resources
+
+    return (resources.files("anime_illust_image_searcher_tpu.cli")
+            / "webui_static" / "index.html").read_bytes()
+
 # Everything except word chars, dot, dash, and the (escaped-)paren forms Danbooru
 # tags use becomes '_' — in particular '/' and '\\' so the name stays a basename.
 _EXPORT_NAME_UNSAFE = re.compile(r"[^A-Za-z0-9._()\-]")
@@ -286,8 +298,7 @@ def make_handler(server: WebUIServer):
         def do_GET(self) -> None:
             parsed = urllib.parse.urlparse(self.path)
             if parsed.path in ("/", "/index.html"):
-                with open(_HTML_PATH, "rb") as f:
-                    self._send(200, f.read(), "text/html; charset=utf-8")
+                self._send(200, _index_html(), "text/html; charset=utf-8")
             elif parsed.path == "/api/config":
                 self._send_json({
                     "character_mode_available": server.has_character_mode(),

@@ -31,6 +31,36 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
+def _materialize_runtime() -> None:
+    """Zipapp support: when the package is imported from an archive (zipimport),
+    the runtime sources are not on a real filesystem, so g++ cannot build the
+    decode pool in place. Extract ingest.cpp + build.sh into a per-ABI user
+    cache dir and repoint the build/load paths there. No-op for normal
+    (directory) installs."""
+    global _RUNTIME_DIR, _SO_PATH
+    if os.path.isdir(_RUNTIME_DIR):
+        return
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    cache = os.path.join(cache_root, "aiis_runtime", f"abi{_ABI_VERSION}")
+    try:
+        from importlib import resources
+
+        pkg = resources.files("anime_illust_image_searcher_tpu.runtime")
+        os.makedirs(cache, exist_ok=True)
+        for name in ("ingest.cpp", "build.sh"):
+            dst = os.path.join(cache, name)
+            if not os.path.exists(dst):
+                tmp = f"{dst}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write((pkg / name).read_bytes())
+                os.rename(tmp, dst)  # atomic vs concurrent extractors
+    except Exception as e:  # noqa: BLE001
+        print(f"native ingest: cannot materialize runtime sources: {e}")
+        return
+    _RUNTIME_DIR = cache
+    _SO_PATH = os.path.join(cache, "libaiis_ingest.so")
+
+
 def _build() -> bool:
     script = os.path.join(_RUNTIME_DIR, "build.sh")
     try:
@@ -52,6 +82,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if os.environ.get("AIIS_NATIVE_INGEST", "1") == "0":
         _load_failed = True
         return None
+    _materialize_runtime()
     if not os.path.exists(_SO_PATH) and not _build():
         _load_failed = True
         return None
