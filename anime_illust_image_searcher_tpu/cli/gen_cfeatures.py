@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import datetime
 import sys
+import time
 from typing import Optional
 
 import numpy as np
@@ -46,6 +47,12 @@ class Predictor(CCIPPredictor):
         self, dir_path: str, added_date: Optional[datetime.date] = None
     ) -> None:
         cfg = self.config
+        # Extraction stamp for every row THIS run adds: the CCIP reranker's
+        # row-gather path compares file mtimes against the per-row stamp (not
+        # the index save time, which postdates the extraction of every row)
+        # to decide whether a stored feature is fresh. Rows copied from an
+        # older revision keep their own stamps (SimilarityIndex.extend_from).
+        build_started = time.time()
         file_list = list_files_recursive(dir_path)
         print(f"{len(file_list)} files found")
 
@@ -67,7 +74,10 @@ class Predictor(CCIPPredictor):
             index_name = artifacts.cfeatures_index_name(max_number + 1)
             self.cindex = SimilarityIndex(index_name, num_features=cfg.feature_dim)
             if len(old_index):
-                self.cindex.add_documents([old_index.vector_by_id(i) for i in range(len(old_index))])
+                # verbatim copy (rows AND pre-normalization norms/stamps) —
+                # re-adding the unit rows would record norm 1.0 for every
+                # copied image and restamp it as extracted now
+                self.cindex.extend_from(old_index)
             print("copying index files to new index files done")
         elif SimilarityIndex.exists(index_name):
             # append mode on rev 0, like gensim Similarity reopened by name
@@ -96,7 +106,7 @@ class Predictor(CCIPPredictor):
             feats = np.asarray(dev)[: pbatch.valid]
             for path in pbatch.paths:
                 out.write(path + "\n")
-            self.cindex.add_documents(list(feats))
+            self.cindex.add_documents(list(feats), stamp=build_started)
             meter.add(pbatch.valid)
 
         try:
@@ -112,6 +122,10 @@ class Predictor(CCIPPredictor):
                 flush(pending)
         finally:
             out.close()
+        stamped = np.asarray(self.cindex.stamps)
+        stamped = stamped[stamped > 0]
+        self.cindex.meta["build_started"] = float(
+            min(stamped.min(), build_started)) if len(stamped) else build_started
         self.cindex.save(index_name)
         meter.report(final=True)
         if loader.failed_count:

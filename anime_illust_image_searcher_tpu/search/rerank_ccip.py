@@ -65,8 +65,8 @@ class CCIPReranker:
         # row-gather metadata; None until _lazy_load builds it (a caller that
         # injects cfeatures_idx directly just never takes the gather path)
         self._row_of: Optional[Dict[str, int]] = None
-        self._index_mtime: float = 0.0
-        self._norms_known: bool = False
+        self._row_stamps: Optional[np.ndarray] = None
+        self._all_norms_known: bool = False
 
     @property
     def image_files_name_tags_arr(self) -> List[str]:
@@ -101,29 +101,40 @@ class CCIPReranker:
             index_path = os.path.join(self.directory, name)
             self.cfeatures_idx = SimilarityIndex.load(index_path)
             # Row-gather fast-path metadata: path -> cfeature row (unique
-            # occurrences only — a duplicated path's rows could disagree), the
-            # index artifact's build time (a file modified AFTER it must be
-            # re-extracted live), and whether raw features are reconstructible
-            # (norms unknown on pre-v1.1 indexes).
+            # occurrences only — a duplicated path's rows could disagree),
+            # per-row extraction stamps (a file modified after ITS row's
+            # extraction began must be re-extracted live; unstamped rows fall
+            # back to the index-wide build-start estimate), and whether every
+            # row's raw feature is reconstructible (all-norms-known fast flag;
+            # pre-v1.1 indexes store 0.0 = unknown, checked per row below).
             row_of: Dict[str, int] = {}
             for i, p in enumerate(self.cfeature_filepath_idx):
                 row_of[p] = -1 if p in row_of else i
             self._row_of = row_of
-            mtimes = [os.path.getmtime(f) for f in
-                      (index_path, index_path + ".npy") if os.path.exists(f)]
-            self._index_mtime = min(mtimes) if mtimes else 0.0
+            stamps = np.asarray(self.cfeatures_idx.stamps, np.float64).copy()
+            fallback = self.cfeatures_idx.build_started()
+            stamps[stamps == 0.0] = fallback
+            self._row_stamps = stamps
             norms = self.cfeatures_idx.norms
-            self._norms_known = (
-                len(self.cfeatures_idx) == 0 or float(np.max(norms)) > 0
-                or not np.any(self.cfeatures_idx.matrix)
+            self._all_norms_known = (
+                len(self.cfeatures_idx) == 0 or float(np.min(norms)) > 0
             )
+
+    def _row_reconstructible(self, row: int) -> bool:
+        """A stored unit row reconstructs the raw feature (row * norm) iff its
+        pre-normalization norm is known — or the raw vector was exactly zero
+        (norm 0 AND an all-zero row, where 0 * anything is already right)."""
+        if float(self.cfeatures_idx.norms[row]) > 0:
+            return True
+        return not np.any(self.cfeatures_idx.matrix[row])
 
     def _gather_rows(self, top10_files: List[str]) -> Optional[List[int]]:
         """Row ids for the gather fast path, or None if ANY top-k file needs
-        live extraction (absent from the index, duplicated there, deleted, or
-        modified after the index build) — then the whole query takes the
-        reference-shaped live path so the mean never mixes sources."""
-        if (self._row_of is None or not self._norms_known
+        live extraction (absent from the index, duplicated there, deleted,
+        modified after the index build started, or stored without its raw
+        norm) — then the whole query takes the reference-shaped live path so
+        the mean never mixes sources."""
+        if (self._row_of is None
                 or os.environ.get("AIIS_RERANK_LIVE", "0") == "1"):
             return None
         rows: List[int] = []
@@ -131,8 +142,10 @@ class CCIPReranker:
             row = self._row_of.get(f, -1)
             if row < 0:
                 return None
+            if not self._all_norms_known and not self._row_reconstructible(row):
+                return None
             try:
-                if os.path.getmtime(f) > self._index_mtime:
+                if os.path.getmtime(f) > self._row_stamps[row]:
                     return None
             except OSError:
                 return None  # file gone: live path will skip it like the reference

@@ -107,6 +107,20 @@ def test_gen_cfeatures_after_creates_revision(tmp_cwd):
     idx = SimilarityIndex.load(artifacts.cfeatures_index_name(1))
     assert len(idx) == 3 + 5  # old rows + all files re-extracted today
 
+    # copied rows carry their ORIGINAL pre-normalization norms (not 1.0) so
+    # the reranker's row-gather path reconstructs the same raw features, and
+    # the freshness stamp stays at the old build's start for those rows
+    idx0 = SimilarityIndex.load(artifacts.cfeatures_index_name(0))
+    np.testing.assert_allclose(np.asarray(idx.norms[:3]), np.asarray(idx0.norms),
+                               rtol=1e-6)
+    assert float(np.min(np.asarray(idx.norms))) > 0
+    assert idx.build_started() <= idx0.build_started()
+    # copied rows keep the OLD build's extraction stamps; re-extracted rows
+    # get the new build's (so fresh files stay eligible for the gather path)
+    np.testing.assert_array_equal(np.asarray(idx.stamps[:3]),
+                                  np.asarray(idx0.stamps))
+    assert float(np.min(np.asarray(idx.stamps[3:]))) >= idx0.build_started()
+
 
 def test_ccip_reranker_end_to_end(tmp_cwd):
     """Character-mode rerank over a real (random-weight) feature index."""

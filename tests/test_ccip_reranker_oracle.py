@@ -160,16 +160,41 @@ def test_gather_falls_back_when_file_changes(setup):
     path = reranker.cfeature_filepath_idx[0]
     files = list(reranker.cfeature_filepath_idx[:10])
     assert reranker._gather_rows(files) is not None
-    future = reranker._index_mtime + 10
+    stamp = reranker._row_stamps[reranker._row_of[path]]
+    future = stamp + 10
     os.utime(path, (future, future))
     try:
         assert reranker._gather_rows(files) is None
     finally:
-        past = reranker._index_mtime - 10
+        past = stamp - 10
         os.utime(path, (past, past))
     assert reranker._gather_rows(files) is not None
     # a file absent from the cfeature index also forces the live path
     assert reranker._gather_rows(files[:9] + ["/nonexistent/x.png"]) is None
+
+
+def test_gather_falls_back_on_unknown_norm(setup):
+    """A row stored without its pre-normalization norm (0.0 = unknown, e.g. a
+    pre-v1.1 index appended to in place) cannot reconstruct the raw feature —
+    the query must take the live path rather than underweight that image."""
+    engine, reranker = setup
+    files = list(reranker.cfeature_filepath_idx[:10])
+    assert reranker._gather_rows(files) is not None
+    idx = reranker.cfeatures_idx
+    row = reranker._row_of[files[0]]
+    idx._norms = np.array(idx._norms)  # mmap'd read-only -> writable copy
+    saved = float(idx.norms[row])
+    try:
+        idx._norms[row] = 0.0
+        reranker._all_norms_known = False  # as _lazy_load would compute
+        assert np.any(idx.matrix[row])  # a real feature row, not a zero vector
+        assert reranker._gather_rows(files) is None
+        # ...but a genuinely zero raw vector (norm 0, all-zero row) is fine
+        idx._norms[row] = saved
+        assert reranker._gather_rows(files) is not None
+    finally:
+        idx._norms[row] = saved
+        reranker._all_norms_known = True
 
 
 def test_character_few_results_branch_matches_oracle(setup):

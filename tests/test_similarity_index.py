@@ -39,3 +39,35 @@ def test_zero_vector_is_kept_zero():
     idx = SimilarityIndex("x", num_features=4)
     idx.add_documents([np.zeros(4, np.float32)])
     assert np.all(idx.vector_by_id(0) == 0)
+
+
+def test_extend_from_preserves_norms_and_meta_roundtrip(tmp_path, rng):
+    """extend_from copies unit rows AND their original pre-normalization
+    norms verbatim — add_documents(unit rows) would re-derive 1.0 and break
+    raw-feature reconstruction (row * norm) in the CCIP reranker."""
+    src = SimilarityIndex("src", num_features=8)
+    raw = (rng.randn(4, 8) * 25.0).astype(np.float32)
+    src.add_documents(list(raw))
+
+    dst = SimilarityIndex(str(tmp_path / "dst"), num_features=8)
+    dst.extend_from(src)
+    dst.add_documents([raw[0] * 2])
+    assert len(dst) == 5
+    np.testing.assert_allclose(np.asarray(dst.norms[:4]), np.asarray(src.norms),
+                               rtol=1e-6)
+    recon = np.asarray(dst.matrix[:4]) * np.asarray(dst.norms[:4])[:, None]
+    np.testing.assert_allclose(recon, raw, rtol=1e-4, atol=1e-4)
+
+    # free-form meta (the build_started stamp) survives a save/load round-trip
+    dst.meta["build_started"] = 12345.5
+    dst.save()
+    back = SimilarityIndex.load(str(tmp_path / "dst"))
+    assert back.meta["build_started"] == 12345.5
+    assert back.build_started() == 12345.5
+    np.testing.assert_allclose(np.asarray(back.norms[:4]), np.asarray(src.norms),
+                               rtol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        SimilarityIndex("y", num_features=4).extend_from(src)
