@@ -41,18 +41,26 @@ def _materialize_runtime() -> None:
     if os.path.isdir(_RUNTIME_DIR):
         return
     cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
-    cache = os.path.join(cache_root, "aiis_runtime", f"abi{_ABI_VERSION}")
     try:
+        import hashlib
         from importlib import resources
 
         pkg = resources.files("anime_illust_image_searcher_tpu.runtime")
+        sources = {name: (pkg / name).read_bytes()
+                   for name in ("ingest.cpp", "build.sh")}
+        # Key the cache dir by source content, not just the ABI number: a new
+        # archive shipping changed sources under the same ABI must extract and
+        # build fresh, not keep executing last release's cached .so forever.
+        digest = hashlib.sha256(b"\0".join(sources[n] for n in sorted(sources)))
+        cache = os.path.join(cache_root, "aiis_runtime",
+                             f"abi{_ABI_VERSION}-{digest.hexdigest()[:12]}")
         os.makedirs(cache, exist_ok=True)
-        for name in ("ingest.cpp", "build.sh"):
+        for name, data in sources.items():
             dst = os.path.join(cache, name)
             if not os.path.exists(dst):
                 tmp = f"{dst}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
-                    f.write((pkg / name).read_bytes())
+                    f.write(data)
                 os.rename(tmp, dst)  # atomic vs concurrent extractors
     except Exception as e:  # noqa: BLE001
         print(f"native ingest: cannot materialize runtime sources: {e}")

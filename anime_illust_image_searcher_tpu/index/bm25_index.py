@@ -212,10 +212,11 @@ class BM25DeviceIndex:
 
         d = BM25DeviceIndex.cache_dir(directory)
         try:
-            with open(os.path.join(d, "manifest.json"), "r", encoding="utf-8") as f:
-                manifest = json.load(f)
-            if manifest.get("fp") != BM25DeviceIndex._cache_fingerprint(
-                    directory, vocab_size, cfg):
+            from ..utils.sidecar_cache import read_manifest
+
+            manifest = read_manifest(d)
+            if manifest is None or manifest.get("fp") != \
+                    BM25DeviceIndex._cache_fingerprint(directory, vocab_size, cfg):
                 return None
             arrs = {
                 name: np.load(os.path.join(d, name + ".npy"), mmap_mode="r")
@@ -229,32 +230,22 @@ class BM25DeviceIndex:
     def write_cache(self, directory: str, cfg: BM25Config = BM25Config()) -> None:
         """Persist the derived arrays. The manifest is written LAST (tmp+rename),
         so a matching manifest implies complete array files; a concurrent writer
-        of the same fingerprint produces identical bytes."""
-        import json
+        of the same fingerprint produces identical bytes
+        (utils/sidecar_cache.py protocol)."""
         import os
-        import tempfile
+
+        from ..utils.sidecar_cache import atomic_put, write_manifest
 
         d = BM25DeviceIndex.cache_dir(directory)
         os.makedirs(d, exist_ok=True)
         for name in self._CACHE_ARRAYS:
             arr = np.ascontiguousarray(getattr(self, name))
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-            try:
-                with os.fdopen(fd, "wb") as f:
-                    np.save(f, arr)
-                os.replace(tmp, os.path.join(d, name + ".npy"))
-            except BaseException:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-                raise
-        manifest = {
+            atomic_put(d, name + ".npy",
+                       lambda f, arr=arr: np.save(f, arr))
+        write_manifest(d, {
             "fp": self._cache_fingerprint(directory, self.vocab_size, cfg),
             "num_docs": int(self.num_docs),
-        }
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(d, "manifest.json"))
+        })
 
     @staticmethod
     def load_or_build(directory: str, vocab_size: int,

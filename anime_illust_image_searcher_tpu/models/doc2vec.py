@@ -828,30 +828,21 @@ class Doc2VecModel:
 
     def write_serve_cache(self, path: str) -> None:
         """Manifest written last (tmp+rename): matching manifest implies the
-        array files are complete."""
-        import json
+        array files are complete (utils/sidecar_cache.py protocol)."""
         import os
-        import tempfile
+
+        from ..utils.sidecar_cache import atomic_put, write_manifest
 
         d = Doc2VecModel.serve_cache_dir(path)
         os.makedirs(d, exist_ok=True)
-
-        def put(name: str, writer) -> None:
-            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-            try:
-                with os.fdopen(fd, "wb") as f:
-                    writer(f)
-                os.replace(tmp, os.path.join(d, name))
-            except BaseException:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-                raise
-
-        put("syn1neg.npy", lambda f: np.save(f, np.ascontiguousarray(self.syn1neg)))
-        put("docvecs.npy", lambda f: np.save(f, np.ascontiguousarray(self.docvecs)))
+        atomic_put(d, "syn1neg.npy",
+                   lambda f: np.save(f, np.ascontiguousarray(self.syn1neg)))
+        atomic_put(d, "docvecs.npy",
+                   lambda f: np.save(f, np.ascontiguousarray(self.docvecs)))
         tv = self._infer_cache.get("tag_vectors")
         if tv is not None:
-            put("tag_vectors.npy", lambda f: np.save(f, np.ascontiguousarray(tv)))
+            atomic_put(d, "tag_vectors.npy",
+                       lambda f: np.save(f, np.ascontiguousarray(tv)))
         meta = {
             "cfg": self.cfg,
             "tokens": self.vocab.tokens,
@@ -859,11 +850,8 @@ class Doc2VecModel:
             "corpus_count": int(self.corpus_count),
             "has_tag_vectors": tv is not None,
         }
-        put("meta.pkl", lambda f: pickle.dump(meta, f))
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump({"fp": Doc2VecModel._serve_cache_fp(path)}, f)
-        os.replace(tmp, os.path.join(d, "manifest.json"))
+        atomic_put(d, "meta.pkl", lambda f: pickle.dump(meta, f))
+        write_manifest(d, {"fp": Doc2VecModel._serve_cache_fp(path)})
 
     @staticmethod
     def load_for_serving(path: str) -> "Doc2VecModel":
@@ -872,11 +860,13 @@ class Doc2VecModel:
         import json
         import os
 
+        from ..utils.sidecar_cache import read_manifest
+
         d = Doc2VecModel.serve_cache_dir(path)
         try:
-            with open(os.path.join(d, "manifest.json"), "r", encoding="utf-8") as f:
-                manifest = json.load(f)
-            if manifest.get("fp") != Doc2VecModel._serve_cache_fp(path):
+            manifest = read_manifest(d)
+            if (manifest is None
+                    or manifest.get("fp") != Doc2VecModel._serve_cache_fp(path)):
                 raise ValueError("stale serve cache")
             with open(os.path.join(d, "meta.pkl"), "rb") as f:
                 meta = pickle.load(f)

@@ -105,6 +105,11 @@ class SearchEngine:
         # first access (VERDICT r3 #3: serving cold start).
         self._file_tag_index_dict: Optional[Dict[str, Dict[str, bool]]] = None
         self._filepath_docid_dict: Optional[Dict[str, int]] = None
+        import threading
+
+        # serializes the lazy build: concurrent first-touch requests under
+        # ThreadingHTTPServer must not each run the ~80 s 1M-doc dict build
+        self._tag_dict_lock = threading.Lock()
 
         self.model = Doc2VecModel.load_for_serving(p(artifacts.DOC2VEC_MODEL))
         self.index = SimilarityIndex.load(p(artifacts.DOC2VEC_INDEX))
@@ -164,14 +169,17 @@ class SearchEngine:
     # ---------------------------------------------------------- lazy tag dicts
 
     def _build_tag_dicts(self) -> None:
-        file_tag_index: Dict[str, Dict[str, bool]] = {}
-        filepath_docid: Dict[str, int] = {}
-        for idx, line in enumerate(self.image_files_name_tags_arr):
-            splited = line.split(",")
-            filepath_docid[splited[0]] = idx
-            file_tag_index[splited[0]] = {t: True for t in splited[1:]}
-        self._file_tag_index_dict = file_tag_index
-        self._filepath_docid_dict = filepath_docid
+        with self._tag_dict_lock:
+            if self._file_tag_index_dict is not None:
+                return  # another thread built them while we waited
+            file_tag_index: Dict[str, Dict[str, bool]] = {}
+            filepath_docid: Dict[str, int] = {}
+            for idx, line in enumerate(self.image_files_name_tags_arr):
+                splited = line.split(",")
+                filepath_docid[splited[0]] = idx
+                file_tag_index[splited[0]] = {t: True for t in splited[1:]}
+            self._file_tag_index_dict = file_tag_index
+            self._filepath_docid_dict = filepath_docid
 
     @property
     def file_tag_index_dict(self) -> Dict[str, Dict[str, bool]]:

@@ -97,6 +97,8 @@ def main(argv) -> int:
         metric_graph = onnx_pb.load_model(args.metrics).graph
         try:
             verdict = analyze_metric_graph(metric_graph, cfg.feature_dim)
+            # drop the carried jitted callable before any print/serialization
+            verdict.pop("_converted_fn", None)
             print(f"metric analysis: {verdict}")
             if not verdict["is_one_minus_cosine"]:
                 if verdict.get("convertible"):
