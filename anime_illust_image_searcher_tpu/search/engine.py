@@ -122,13 +122,20 @@ class SearchEngine:
         import jax.numpy as jnp
 
         norms = self.index.norms
-        # Indexes built before norms were stored have all-zero norms with nonzero
-        # rows; the fused single-call query path needs them, so fall back to the
-        # re-inference rerank in that case.
-        self._norms_known = (
-            len(self.index) == 0 or float(np.max(norms)) > 0
-            or not np.any(self.index.matrix)
-        )
+        # Indexes built before norms were stored have zero norms with nonzero
+        # rows; the fused single-call query path reconstructs raw vectors as
+        # row*norm, so EVERY row must be reconstructible (norm known, or a
+        # genuinely zero vector) — else fall back to the re-inference rerank.
+        # max(norms)>0 would be fooled by a pre-v1.1 index --update-appended
+        # with new (normed) rows: old rows would silently reconstruct as zero.
+        # Exact check touches only the zero-norm rows, keeping mmap'd loads
+        # cheap when all norms are present (the common case).
+        norms_np = np.asarray(norms)
+        if len(self.index) == 0 or (len(norms_np) and float(norms_np.min()) > 0):
+            self._norms_known = True
+        else:
+            zero_rows = np.flatnonzero(norms_np == 0)
+            self._norms_known = not np.any(self.index.matrix[zero_rows])
         self._num_real = len(self.index)
 
         if mesh is None:

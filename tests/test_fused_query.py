@@ -353,3 +353,35 @@ def test_term_bucket_invariance(engine):
             out = np.asarray(engine._dispatch_fused(packed, 800))
             results.append(engine._assemble_fused(out, 800))
         assert results[0] == results[1] == results[2], query
+
+
+def test_mixed_unknown_norms_disable_fused_path(engine, tmp_path):
+    """A pre-v1.1 index --update-appended with normed rows has SOME zero norms
+    on nonzero rows; max(norms)>0 would wrongly enable the fused path and
+    reconstruct those rows as zero vectors in the PRF stage. The eligibility
+    check must be per-row."""
+    from anime_illust_image_searcher_tpu.index.similarity import SimilarityIndex
+
+    src = engine.index
+    p = str(tmp_path / "doc2vec_index")
+    mixed = SimilarityIndex(p, num_features=src.num_features)
+    mixed.extend_from(src)
+    mixed._norms = np.array(mixed._norms)
+    mixed._norms[0] = 0.0  # row 0: norm unknown, row is nonzero
+    mixed.save()
+
+    import shutil
+
+    base = os.path.dirname(engine.index.path) or "."
+    dst_dir = str(tmp_path)
+    for name in os.listdir(base):
+        full = os.path.join(base, name)
+        if os.path.isfile(full) and not name.startswith("doc2vec_index"):
+            shutil.copy(full, dst_dir)
+        elif os.path.isdir(full) and name.endswith("servecache"):
+            shutil.copytree(full, os.path.join(dst_dir, name))
+    eng2 = SearchEngine(dst_dir)
+    assert not eng2._norms_known  # falls back to the re-inference path
+
+    # all-known norms (the common case) stay eligible
+    assert engine._norms_known
