@@ -122,11 +122,36 @@ def run_e2e_bench(n: int = E2E_IMAGES) -> dict:
     return results
 
 
+def _probe_device(timeout_s: float = 240.0) -> None:
+    """Fail fast with a diagnosable JSON line when the device backend can't
+    initialize (e.g. the axon TPU relay is down) instead of hanging forever
+    inside PJRT client init. The probe is a subprocess so the timeout actually
+    bounds the blocking C++ connect."""
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s)
+        if out.returncode == 0:
+            return
+        detail = (out.stderr or out.stdout).strip().splitlines()[-1:]
+        detail = detail[0] if detail else f"rc={out.returncode}"
+    except subprocess.TimeoutExpired:
+        detail = f"device backend init exceeded {timeout_s:.0f}s (relay down?)"
+    print(json.dumps({"metric": "wd_vit_tagging_throughput", "value": 0.0,
+                      "unit": "images/sec/chip", "vs_baseline": 0.0,
+                      "error": f"device unavailable: {detail}"}))
+    sys.exit(1)
+
+
 def main() -> None:
     from anime_illust_image_searcher_tpu.utils.jax_setup import (
         enable_persistent_compile_cache,
     )
 
+    _probe_device()
     enable_persistent_compile_cache()
 
     import jax
