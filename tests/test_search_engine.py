@@ -129,3 +129,40 @@ def test_prf_rerank_with_neg_inf_scores_is_warning_free(engine):
     assert all(s == pytest.approx(1.0) for _, s in results)
     # the finite docs rank first inside the pinned block (lax.top_k order)
     assert [d for d, _ in results[:3]] == [0, 1, 2]
+
+
+def test_lazy_tag_dicts_built_once_under_concurrency(engine):
+    """Concurrent first-touch requests (ThreadingHTTPServer) must run the
+    ~80 s-at-1M tag-dict build exactly once, not once per thread."""
+    import threading
+
+    engine._file_tag_index_dict = None
+    engine._filepath_docid_dict = None
+    builds = []
+    orig = engine.image_files_name_tags_arr
+
+    class CountingList(list):
+        def __iter__(self):
+            builds.append(1)
+            return super().__iter__()
+
+    engine.image_files_name_tags_arr = CountingList(orig)
+    try:
+        results = []
+        barrier = threading.Barrier(4)
+
+        def touch():
+            barrier.wait()
+            results.append(engine.file_tag_index_dict)
+
+        threads = [threading.Thread(target=touch) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 4
+        assert all(r is results[0] for r in results)
+        assert sum(builds) == 1  # built exactly once
+        assert engine._filepath_docid_dict is not None
+    finally:
+        engine.image_files_name_tags_arr = orig
