@@ -67,12 +67,11 @@ class QueryBatcher:
     queries cost ~one device round trip instead of B serialized ones (the
     relay round trip alone is ~33 ms; see ARCHITECTURE.md §3)."""
 
-    def __init__(self, engine, window_s: float = 0.004, max_batch: int = 8) -> None:
+    def __init__(self, engine, window_s: float = 0.004) -> None:
         import threading
 
         self.engine = engine
         self.window_s = window_s
-        self.max_batch = max_batch
         self._lock = threading.Lock()
         self._pending: list = []          # [(query, topn, event, box)]
         self._leader_active = False
@@ -108,13 +107,23 @@ class QueryBatcher:
             outs = self.engine.find_similar_documents_batch(
                 [q for q, _, _, _ in batch], topn=topn_max)
             for (q, t, ev, bx), out in zip(batch, outs):
-                bx["result"] = out[: min(t, len(out))]
+                # errors are per query (an unknown tag fails ITS query, not
+                # everyone coalesced into the window)
+                if isinstance(out, Exception):
+                    bx["error"] = out
+                else:
+                    bx["result"] = out[: min(t, len(out))]
                 ev.set()
-            return batch[0][3]["result"]
+            box0 = batch[0][3]
+            if "error" in box0:
+                raise box0["error"]
+            return box0["result"]
         except Exception as e:
+            # batch-wide failure (device error): deliver to every still-unset box
             for _, _, ev, bx in batch:
-                bx["error"] = e
-                ev.set()
+                if not ev.is_set():
+                    bx["error"] = e
+                    ev.set()
             raise
 
 
@@ -174,16 +183,34 @@ class WebUIServer:
         topn = engine.cfg.search.topn
 
         def work():
-            for b in engine.QUERY_BATCH_BUCKETS:
-                try:
-                    engine.find_similar_documents_batch([some_tag] * b, topn=topn)
-                except Exception as e:  # noqa: BLE001 — warmup must never crash
-                    print(f"batch-bucket warmup skipped (b={b}): {e}")
-                    return
-            print("batched query programs warm")
             from ..ops.fused_query import QUERY_TERM_BUCKETS
 
             tags = list(engine.dictionary.token2id)
+            # batched programs compile per (batch bucket, term bucket) shape:
+            # warm every batch bucket at BOTH interactive term buckets (8 and
+            # 64) — a first concurrent burst of 9+-term queries is normal use
+            # and must not stall on a cold compile either
+            warm_queries = [some_tag]
+            if len(tags) > QUERY_TERM_BUCKETS[0]:
+                warm_queries.append(
+                    " ".join(tags[: QUERY_TERM_BUCKETS[0] + 1]))
+            for wq in warm_queries:
+                for b in engine.QUERY_BATCH_BUCKETS:
+                    try:
+                        engine.find_similar_documents_batch([wq] * b, topn=topn)
+                    except Exception as e:  # noqa: BLE001 — never crash warmup
+                        print(f"batch-bucket warmup skipped (b={b}): {e}")
+                        return
+            print("batched query programs warm")
+            # the exact-top-k re-dispatch (rare ambiguous single-flag elbows)
+            try:
+                for wq in warm_queries:
+                    engine._dispatch_fused(engine._pack_fused(wq), topn,
+                                           exact=True)
+                print("exact-elbow query program warm")
+            except Exception as e:  # noqa: BLE001
+                print(f"exact-elbow warmup skipped: {e}")
+                return
             for bucket in QUERY_TERM_BUCKETS[1:]:
                 prev = QUERY_TERM_BUCKETS[QUERY_TERM_BUCKETS.index(bucket) - 1]
                 if len(tags) <= prev:
@@ -264,20 +291,22 @@ class WebUIServer:
         write location nor arbitrary content.
         """
         encoding = "shift_jis" if sys.platform == "win32" else "utf-8"
-        name = query.replace(" ", "_").replace(":", "_")
+        name = str(query).replace(" ", "_").replace(":", "_")
         name = _EXPORT_NAME_UNSAFE.sub("_", name).lstrip(".") or "query"
         out_name = f"{name[:128]}_{int(time.time())}.txt"
         assert os.path.basename(out_name) == out_name
         self.load()
         exported = [p for p in paths if isinstance(p, str) and p in self._allowed_images]
+        written = 0
         with open(out_name, "w", encoding=encoding) as f:
             for p in exported:
                 try:
                     f.write(f"{p}\n")
+                    written += 1  # count lines that actually reached the file
                 except Exception as e:  # noqa: BLE001
                     print(f"Error: {e}")
                     continue
-        return {"file": out_name, "count": len(exported)}
+        return {"file": out_name, "count": written}
 
 
 def make_handler(server: WebUIServer):
@@ -339,9 +368,13 @@ def make_handler(server: WebUIServer):
                     )
                 )
             elif self.path == "/api/export":
-                self._send_json(
-                    server.api_export(body.get("query", ""), body.get("paths", []))
-                )
+                try:
+                    out = server.api_export(body.get("query", ""),
+                                            body.get("paths", []))
+                except Exception as e:  # noqa: BLE001 — never drop the connection
+                    print(f"export error: {type(e).__name__}: {e}")
+                    out = {"error": f"{type(e).__name__}: {e}", "count": 0}
+                self._send_json(out)
             else:
                 self._send_json({"error": "not found"}, 404)
 

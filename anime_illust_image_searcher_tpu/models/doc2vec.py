@@ -68,8 +68,17 @@ class Vocab:
         items.sort(key=lambda tc: (-tc[1], order[tc[0]]))
         tokens = [t for t, _ in items]
         counts = np.array([c for _, c in items], dtype=np.int64)
-        token2id = {t: i for i, t in enumerate(tokens)}
+        return Vocab.from_counts(tokens, counts, cfg)
 
+    @staticmethod
+    def from_counts(tokens: List[str], counts: np.ndarray,
+                    cfg: Doc2VecConfig) -> "Vocab":
+        """Derive keep_prob/cum_table from token counts. The single home of the
+        gensim downsampling and noise-distribution formulas: ``build`` (training
+        time) and ``Doc2VecModel._from_state`` (pickle load) both come through
+        here, so a trained model and its reloaded pickle can never disagree on
+        inference behavior."""
+        token2id = {t: i for i, t in enumerate(tokens)}
         total = float(counts.sum()) if len(counts) else 1.0
         freq = counts / total
         if cfg.sample > 0:
@@ -767,21 +776,7 @@ class Doc2VecModel:
     def _from_state(cfg: "Doc2VecConfig", tokens: List[str], counts: np.ndarray,
                     syn1neg: np.ndarray, docvecs: np.ndarray, corpus_count: int,
                     tag_vectors: Optional[np.ndarray]) -> "Doc2VecModel":
-        vocab = Vocab.build([], cfg)
-        vocab.tokens = tokens
-        vocab.token2id = {t: i for i, t in enumerate(tokens)}
-        vocab.counts = counts
-        total = float(counts.sum()) if len(counts) else 1.0
-        freq = counts / total
-        if cfg.sample > 0:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                kp = (np.sqrt(freq / cfg.sample) + 1) * (cfg.sample / freq)
-            vocab.keep_prob = np.minimum(kp, 1.0).astype(np.float32)
-        else:
-            vocab.keep_prob = np.ones(len(tokens), dtype=np.float32)
-        noise = counts.astype(np.float64) ** cfg.ns_exponent
-        cum = np.cumsum(noise)
-        vocab.cum_table = (cum / cum[-1]).astype(np.float32) if len(cum) else np.zeros(0, np.float32)
+        vocab = Vocab.from_counts(tokens, counts, cfg)
         model = Doc2VecModel(
             cfg, vocab, syn1neg, docvecs, corpus_count=corpus_count,
         )

@@ -13,7 +13,7 @@ import logging
 import math
 import os
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -118,7 +118,10 @@ class SearchEngine:
         # (the canonical reference-named artifacts) otherwise.
         self.bm25 = BM25DeviceIndex.load_or_build(
             directory, vocab_size=len(self.dictionary), cfg=config.bm25)
-        self._bm25_dev = self.bm25.to_device()
+        # COO form uploaded lazily (see _bm25_dev): it serves only the
+        # non-fused fallback path, and at 1M docs it's hundreds of MB of HBM
+        # + startup H2D the fused path never reads.
+        self._bm25_dev_cache = None
         import jax.numpy as jnp
 
         norms = self.index.norms
@@ -223,6 +226,12 @@ class SearchEngine:
             norm = 1.0
         return (got_vector / norm).astype(np.float32)
 
+    @property
+    def _bm25_dev(self):
+        if self._bm25_dev_cache is None:
+            self._bm25_dev_cache = self.bm25.to_device()
+        return self._bm25_dev_cache
+
     def compute_bm25_scores(self, query: BM25Query) -> np.ndarray:
         import jax.numpy as jnp
 
@@ -245,16 +254,7 @@ class SearchEngine:
         from ..ops.fused_query import QUERY_TERM_BUCKETS
 
         max_terms = QUERY_TERM_BUCKETS[-1]
-        k = self.cfg.search.rerank_top_k
-        if (
-            search_mode != "character oriented"
-            and not self._reference_prf  # fused program implements the intended PRF
-            and self._norms_known
-            and len(self.index) > k
-            # truly enormous queries (> largest term bucket) take the multi-call
-            # path rather than failing; they're outside any interactive use
-            and len(new_doc.split(" ")) <= max_terms
-        ):
+        if self.fused_path_available(new_doc, search_mode):
             return self._find_similar_fused(new_doc, topn)
 
         if search_mode != "character oriented" and not getattr(
@@ -395,67 +395,84 @@ class SearchEngine:
 
         return (
             search_mode != "character oriented"
-            and not self._reference_prf
+            and not self._reference_prf  # fused program implements the intended PRF
             and self._norms_known
             and len(self.index) > self.cfg.search.rerank_top_k
+            # truly enormous queries (> largest term bucket) take the multi-call
+            # path rather than failing; they're outside any interactive use
             and len(new_doc.split(" ")) <= QUERY_TERM_BUCKETS[-1]
         )
 
     def find_similar_documents_batch(
         self, new_docs: Sequence[str], topn: int = 50, search_mode: str = "normal"
-    ) -> List[List[Result]]:
+    ) -> List[Union[List[Result], Exception]]:
         """Serve B concurrent queries in ONE device call (the webui micro-batcher's
-        backend). Queries that can't ride the fused path fall back individually."""
+        backend). Queries that can't ride the fused path fall back individually.
+
+        Errors are isolated per query: a bad query (e.g. an unknown tag) gets
+        its own Exception as its result entry instead of poisoning every query
+        coalesced into the same micro-batch — callers must check each entry."""
         from ..ops.fused_query import fused_normal_query_batch
 
-        results: List[Optional[List[Result]]] = [None] * len(new_docs)
-        fused_pos = [i for i, d in enumerate(new_docs)
-                     if self.fused_path_available(d, search_mode)]
+        results: List[Optional[Union[List[Result], Exception]]] = \
+            [None] * len(new_docs)
+        fused_pos = []
+        packed = []
         for i, doc in enumerate(new_docs):
-            if i not in fused_pos:
-                results[i] = self.find_similar_documents(doc, topn, search_mode)
-        if not fused_pos:
-            return results  # type: ignore[return-value]
-        if len(fused_pos) == 1:
-            i = fused_pos[0]
-            results[i] = self._find_similar_fused(new_docs[i], topn)
-            return results  # type: ignore[return-value]
-
-        packed = [self._pack_fused(new_docs[i]) for i in fused_pos]
-        buflen = max(p.shape[0] for p in packed)
-        if any(p.shape[0] != buflen for p in packed):
-            # mixed term buckets — repack everything at the batch's largest so one
-            # program serves the whole stack
-            mt = (buflen - self.model.vector_size - 1) // 4
-            packed = [self._pack_fused(new_docs[i], max_terms=mt) for i in fused_pos]
-        bucket = next((b for b in self.QUERY_BATCH_BUCKETS if len(packed) <= b),
-                      self.QUERY_BATCH_BUCKETS[-1])
-        while len(packed) > bucket:  # more than the largest bucket: chunk
-            chunk = [new_docs[i] for i in fused_pos[:bucket]]
-            for i, r in zip(fused_pos, self.find_similar_documents_batch(
-                    chunk, topn, search_mode)):
-                results[i] = r
-            fused_pos = fused_pos[bucket:]
-            packed = packed[bucket:]
-        pad = bucket - len(packed)
-        batch = np.stack(packed + [packed[0]] * pad)
+            try:
+                if self.fused_path_available(doc, search_mode):
+                    # pack here (not below): an unknown tag raises during
+                    # parse/inference, and must fail only ITS query
+                    buf = self._pack_fused(doc)
+                    fused_pos.append(i)
+                    packed.append(buf)
+                else:
+                    results[i] = self.find_similar_documents(doc, topn, search_mode)
+            except Exception as e:  # noqa: BLE001 — per-query isolation
+                results[i] = e
+        if packed:
+            buflen = max(p.shape[0] for p in packed)
+            if any(p.shape[0] != buflen for p in packed):
+                # mixed term buckets — repack everything at the batch's largest
+                # so one program serves the whole stack (repack can't fail: the
+                # queries already packed once at a smaller bucket)
+                mt = (buflen - self.model.vector_size - 1) // 4
+                packed = [self._pack_fused(new_docs[i], max_terms=mt)
+                          for i in fused_pos]
 
         s = self.cfg.search
-        term_mat, contrib_mat = self._bm25_dense
-        out = np.asarray(fused_normal_query_batch(
-            self._matrix_dev, self._norms_dev, term_mat, contrib_mat,
-            batch,
-            s.bm25_weight, s.doc2vec_weight,
-            s.original_score_weight, s.reranked_score_weight,
-            vocab_size=self.bm25.vocab_size,
-            num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
-            num_real=self._num_real,
-        ))
-        for j, i in enumerate(fused_pos):
-            p = batch[j]
-            results[i] = self._assemble_fused(
-                out[j], topn,
-                exact_fn=lambda p=p: self._dispatch_fused(p, topn, exact=True))
+        while packed:
+            take = min(len(packed), self.QUERY_BATCH_BUCKETS[-1])
+            chunk_pos, chunk_packed = fused_pos[:take], packed[:take]
+            fused_pos, packed = fused_pos[take:], packed[take:]
+            if take == 1:
+                # a lone query (or lone chunk remainder) rides the warm
+                # single-query program, not an 8-wide batch of padding
+                p = chunk_packed[0]
+                out = self._dispatch_fused(p, topn)
+                results[chunk_pos[0]] = self._assemble_fused(
+                    np.asarray(out), topn,
+                    exact_fn=lambda p=p: self._dispatch_fused(p, topn, exact=True))
+                continue
+            # each chunk picks the smallest batch bucket that fits it — a
+            # 9-query burst runs as 8 + 1, not 8 + an 8-wide padded remainder
+            bucket = next(b for b in self.QUERY_BATCH_BUCKETS if take <= b)
+            batch = np.stack(chunk_packed + [chunk_packed[0]] * (bucket - take))
+            term_mat, contrib_mat = self._bm25_dense
+            out = np.asarray(fused_normal_query_batch(
+                self._matrix_dev, self._norms_dev, term_mat, contrib_mat,
+                batch,
+                s.bm25_weight, s.doc2vec_weight,
+                s.original_score_weight, s.reranked_score_weight,
+                vocab_size=self.bm25.vocab_size,
+                num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
+                num_real=self._num_real,
+            ))
+            for j, i in enumerate(chunk_pos):
+                p = batch[j]
+                results[i] = self._assemble_fused(
+                    out[j], topn,
+                    exact_fn=lambda p=p: self._dispatch_fused(p, topn, exact=True))
         return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------ rerank

@@ -144,3 +144,36 @@ def test_query_batcher_propagates_errors(engine):
     batcher = QueryBatcher(engine, window_s=0.0)
     with pytest.raises(KeyError):
         batcher.search("definitely_not_a_tag_xyz", 10, "normal")
+
+
+def test_unknown_tag_fails_only_its_own_query(engine):
+    """One bad query coalesced into a micro-batch must not poison the others:
+    the batch returns per-query Exception entries, and the QueryBatcher routes
+    each to its own requester (the valid query still gets results)."""
+    from anime_illust_image_searcher_tpu.cli.webui import QueryBatcher
+
+    good, bad = "1girl smile", "definitely_not_a_tag_xyz"
+
+    outs = engine.find_similar_documents_batch([good, bad, "sword"], topn=10)
+    assert isinstance(outs[1], KeyError)
+    assert_same_results([outs[0], outs[2]],
+                        [engine.find_similar_documents(good, topn=10),
+                         engine.find_similar_documents("sword", topn=10)])
+
+    batcher = QueryBatcher(engine, window_s=0.15)
+    results, errors = {}, {}
+
+    def worker(q):
+        try:
+            results[q] = batcher.search(q, 10, "normal")
+        except Exception as e:  # noqa: BLE001
+            errors[q] = e
+
+    threads = [threading.Thread(target=worker, args=(q,)) for q in (good, bad)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert isinstance(errors[bad], KeyError)
+    assert_same_results([results[good]],
+                        [engine.find_similar_documents(good, topn=10)])
