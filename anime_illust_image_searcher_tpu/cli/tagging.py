@@ -128,7 +128,9 @@ def main(arg_str: list) -> None:
         _os.environ["AIIS_SCALED_DECODE"] = "1"
 
     cfg = DEFAULT_CONFIG.tagger
-    if args.batch_size:
+    if args.batch_size is not None:
+        if args.batch_size < 1:
+            parser.error(f"--batch-size must be >= 1, got {args.batch_size}")
         import dataclasses
 
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)

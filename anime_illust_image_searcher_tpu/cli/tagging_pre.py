@@ -91,6 +91,8 @@ def main(arg_str: List[str]) -> None:
     parser.add_argument("--model-dir", default=None, help="local converted checkpoint dir")
     parser.add_argument("--batch-size", type=int, default=DEFAULT_BATCH)
     args = parser.parse_args(arg_str)
+    if args.batch_size < 1:
+        parser.error(f"--batch-size must be >= 1, got {args.batch_size}")
 
     import dataclasses
 

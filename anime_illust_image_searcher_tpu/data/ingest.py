@@ -54,17 +54,21 @@ def filter_files_by_date(file_list: Sequence[str], added_date: datetime.date) ->
     return filtered
 
 
-def prepare_image(image: Image.Image) -> Image.Image:
-    """Flatten alpha onto white and center-pad to square on a white canvas
-    (reference: tagging.py:100-120)."""
+def flatten_to_rgb(image: Image.Image) -> Image.Image:
+    """Alpha → white-background composite, else plain RGB conversion. The one
+    home of the flatten used by BOTH the tagger path (prepare_image) and the
+    CCIP path (load_rgb_square's pad_to_square=False branch)."""
     if image.mode in ("RGBA", "LA"):
         background = Image.new("RGB", image.size, (255, 255, 255))
         background.paste(image, mask=image.split()[-1])
-        image = background
-    else:
-        image = image.copy()
-        image = image.convert("RGB")
+        return background
+    return image.convert("RGB") if image.mode != "RGB" else image
 
+
+def prepare_image(image: Image.Image) -> Image.Image:
+    """Flatten alpha onto white and center-pad to square on a white canvas
+    (reference: tagging.py:100-120)."""
+    image = flatten_to_rgb(image)
     w, h = image.size
     max_dim = max(w, h)
     pad_left = (max_dim - w) // 2
@@ -89,15 +93,11 @@ def load_rgb_square(file_path: str, size: int, resample: int = Image.BICUBIC,
         img.load()
         if pad_to_square:
             prepared = prepare_image(img)
-        elif img.mode in ("RGBA", "LA"):
-            # CCIP path: flatten alpha onto white WITHOUT padding (the reference's
-            # imgutils loader composites on white and resizes directly,
-            # gen_cfeatures.py:285-295)
-            background = Image.new("RGB", img.size, (255, 255, 255))
-            background.paste(img, mask=img.split()[-1])
-            prepared = background
         else:
-            prepared = img.copy().convert("RGB") if img.mode != "RGB" else img
+            # CCIP path: flatten alpha onto white WITHOUT padding (the
+            # reference's imgutils loader composites on white and resizes
+            # directly, gen_cfeatures.py:285-295)
+            prepared = flatten_to_rgb(img)
         resized = prepared.resize((size, size), resample=resample)
         return np.asarray(resized, dtype=np.uint8)
     except Exception as e:  # noqa: BLE001 — skip-and-continue is the contract
@@ -156,7 +156,7 @@ class PrefetchLoader:
             use_native = decode_fn is None
         self.use_native = bool(use_native) and decode_fn is None
 
-    def _native_producer(self, out_q: "queue.Queue[Optional[Batch]]", decoder) -> None:
+    def _native_producer(self, put: Callable[[Batch], bool], decoder) -> None:
         bilinear = self.resample == Image.BILINEAR
         for start in range(0, len(self.file_list), self.batch_size):
             chunk = self.file_list[start : start + self.batch_size]
@@ -169,39 +169,70 @@ class PrefetchLoader:
                 continue
             paths = [chunk[i] for i in good]
             if len(good) == self.batch_size:
-                out_q.put(Batch(images, paths, self.batch_size))
+                batch = Batch(images, paths, self.batch_size)
             else:
                 packed = np.zeros(
                     (self.batch_size, self.size, self.size, 3), dtype=np.uint8
                 )
                 packed[: len(good)] = images[good]
-                out_q.put(Batch(packed, paths, len(good)))
+                batch = Batch(packed, paths, len(good))
+            if not put(batch):
+                return  # consumer gone
 
-    def _python_producer(self, out_q: "queue.Queue[Optional[Batch]]") -> None:
+    def _python_producer(self, put: Callable[[Batch], bool],
+                         stop: threading.Event) -> None:
+        from collections import deque
+
         images: List[np.ndarray] = []
         paths: List[str] = []
+        # Bounded decode window: in-flight futures are capped so decoded
+        # frames can't pile up unboundedly ahead of a slow consumer (the
+        # queue only bounds PACKED batches; each pending future holds a full
+        # decoded frame). Order stays deterministic (FIFO), and refilling
+        # after each result keeps the pool busy with no window-boundary
+        # bubble.
+        window = self.workers + 2 * self.batch_size
+        files = iter(self.file_list)
+        inflight: "deque[Tuple[str, concurrent.futures.Future]]" = deque()
         with concurrent.futures.ThreadPoolExecutor(max_workers=self.workers) as ex:
-            # map() preserves input order so output file lines follow listing
-            # order deterministically (the reference's as_completed ordering is
-            # nondeterministic; see QUIRKS.md).
-            for path, arr in zip(self.file_list, ex.map(self.decode_fn, self.file_list)):
-                if arr is None:
-                    self.failed_count += 1
-                    continue
-                images.append(arr)
-                paths.append(path)
-                if len(images) == self.batch_size:
-                    out_q.put(Batch(np.stack(images), paths, len(paths)))
-                    images, paths = [], []
-            if images:
-                # Pad the tail batch to the fixed shape: one compiled program.
-                valid = len(images)
-                pad = self.batch_size - valid
-                tail = np.stack(images + [np.zeros_like(images[0])] * pad)
-                out_q.put(Batch(tail, paths, valid))
+            def refill() -> None:
+                while len(inflight) < window:
+                    try:
+                        p = next(files)
+                    except StopIteration:
+                        return
+                    inflight.append((p, ex.submit(self.decode_fn, p)))
+
+            try:
+                refill()
+                while inflight:
+                    if stop.is_set():
+                        return
+                    path, fut = inflight.popleft()
+                    arr = fut.result()
+                    refill()
+                    if arr is None:
+                        self.failed_count += 1
+                        continue
+                    images.append(arr)
+                    paths.append(path)
+                    if len(images) == self.batch_size:
+                        if not put(Batch(np.stack(images), paths, len(paths))):
+                            return  # consumer gone
+                        images, paths = [], []
+                if images:
+                    # Pad the tail batch to the fixed shape: one compiled program.
+                    valid = len(images)
+                    pad = self.batch_size - valid
+                    tail = np.stack(images + [np.zeros_like(images[0])] * pad)
+                    put(Batch(tail, paths, valid))
+            finally:
+                for _, fut in inflight:
+                    fut.cancel()  # don't decode the window's tail after a stop
 
     def __iter__(self) -> Iterator[Batch]:
-        out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=self.queue_depth)
+        out_q: "queue.Queue[object]" = queue.Queue(maxsize=self.queue_depth)
+        stop = threading.Event()
 
         decoder = None
         if self.use_native:
@@ -213,14 +244,29 @@ class PrefetchLoader:
                 except Exception:  # noqa: BLE001 — fall back to PIL
                     decoder = None
 
+        def put(item: object) -> bool:
+            """Enqueue unless the consumer is gone; never block forever."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 if decoder is not None:
-                    self._native_producer(out_q, decoder)
+                    self._native_producer(put, decoder)
                 else:
-                    self._python_producer(out_q)
-            finally:
-                out_q.put(None)
+                    self._python_producer(put, stop)
+            except BaseException as e:  # noqa: BLE001
+                # surface the failure to the consumer — a swallowed producer
+                # crash would end the stream early and the run would report
+                # success over silently truncated output
+                put(e)
+            else:
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -229,9 +275,16 @@ class PrefetchLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
-            t.join()
         finally:
+            # Orderly teardown even when the CONSUMER dies mid-iteration: tell
+            # the producer to stop, wait for any in-flight decode_batch call to
+            # return, and only then destroy the native pool — closing it under
+            # an in-flight ctypes call would free the pool out from under it.
+            stop.set()
+            t.join()
             if decoder is not None:
                 decoder.close()
 

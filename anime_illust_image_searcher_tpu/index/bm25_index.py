@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pickle
 from dataclasses import dataclass
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -227,25 +227,33 @@ class BM25DeviceIndex:
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             return None
 
-    def write_cache(self, directory: str, cfg: BM25Config = BM25Config()) -> None:
+    def write_cache(self, directory: str, cfg: BM25Config = BM25Config(),
+                    fp: Optional[dict] = None) -> None:
         """Persist the derived arrays. The manifest is written LAST (tmp+rename),
         so a matching manifest implies complete array files; a concurrent writer
         of the same fingerprint produces identical bytes
-        (utils/sidecar_cache.py protocol)."""
+        (utils/sidecar_cache.py protocol).
+
+        ``fp``: the fingerprint captured BEFORE the pickles were read. If the
+        pickles changed while the arrays were being derived (a genmodel rebuild
+        racing a serving cold start), the manifest is not written — stamping
+        the NEW pickles' fingerprint over arrays derived from the OLD ones
+        would poison every future start."""
         import os
 
         from ..utils.sidecar_cache import atomic_put, write_manifest
 
+        if fp is None:
+            fp = self._cache_fingerprint(directory, self.vocab_size, cfg)
         d = BM25DeviceIndex.cache_dir(directory)
         os.makedirs(d, exist_ok=True)
         for name in self._CACHE_ARRAYS:
             arr = np.ascontiguousarray(getattr(self, name))
             atomic_put(d, name + ".npy",
                        lambda f, arr=arr: np.save(f, arr))
-        write_manifest(d, {
-            "fp": self._cache_fingerprint(directory, self.vocab_size, cfg),
-            "num_docs": int(self.num_docs),
-        })
+        if self._cache_fingerprint(directory, self.vocab_size, cfg) != fp:
+            return  # source pickles changed mid-derivation: leave cache stale
+        write_manifest(d, {"fp": fp, "num_docs": int(self.num_docs)})
 
     @staticmethod
     def load_or_build(directory: str, vocab_size: int,
@@ -256,11 +264,15 @@ class BM25DeviceIndex:
         cached = BM25DeviceIndex.load_cached(directory, vocab_size, cfg)
         if cached is not None:
             return cached
+        try:
+            fp = BM25DeviceIndex._cache_fingerprint(directory, vocab_size, cfg)
+        except OSError:
+            fp = None  # artifacts racing; write_cache re-derives and re-checks
         stats = load_bm25_artifacts(directory)
         built = BM25DeviceIndex.from_stats(stats, vocab_size=vocab_size, cfg=cfg)
         if write_cache:
             try:
-                built.write_cache(directory, cfg=cfg)
+                built.write_cache(directory, cfg=cfg, fp=fp)
             except OSError:
                 pass  # read-only artifact dir: serve without the cache
         return built

@@ -821,13 +821,21 @@ class Doc2VecModel:
     def serve_cache_dir(path: str) -> str:
         return path + ".servecache"
 
-    def write_serve_cache(self, path: str) -> None:
+    def write_serve_cache(self, path: str,
+                          fp: Optional[dict] = None) -> None:
         """Manifest written last (tmp+rename): matching manifest implies the
-        array files are complete (utils/sidecar_cache.py protocol)."""
+        array files are complete (utils/sidecar_cache.py protocol).
+
+        ``fp``: fingerprint captured BEFORE the model pickle was read; if the
+        pickle changed while this cache was being written (a rebuild racing a
+        cold start) the manifest is skipped rather than stamping the new
+        pickle's fingerprint over the old pickle's arrays."""
         import os
 
         from ..utils.sidecar_cache import atomic_put, write_manifest
 
+        if fp is None:
+            fp = Doc2VecModel._serve_cache_fp(path)
         d = Doc2VecModel.serve_cache_dir(path)
         os.makedirs(d, exist_ok=True)
         atomic_put(d, "syn1neg.npy",
@@ -846,7 +854,9 @@ class Doc2VecModel:
             "has_tag_vectors": tv is not None,
         }
         atomic_put(d, "meta.pkl", lambda f: pickle.dump(meta, f))
-        write_manifest(d, {"fp": Doc2VecModel._serve_cache_fp(path)})
+        if Doc2VecModel._serve_cache_fp(path) != fp:
+            return  # model pickle changed mid-write: leave the cache stale
+        write_manifest(d, {"fp": fp})
 
     @staticmethod
     def load_for_serving(path: str) -> "Doc2VecModel":
@@ -875,9 +885,13 @@ class Doc2VecModel:
                 syn1neg, docvecs, meta["corpus_count"], tv,
             )
         except (OSError, ValueError, KeyError, json.JSONDecodeError, pickle.UnpicklingError):
+            try:
+                fp = Doc2VecModel._serve_cache_fp(path)  # BEFORE the read
+            except OSError:
+                fp = None
             model = Doc2VecModel.load(path)
             try:
-                model.write_serve_cache(path)
+                model.write_serve_cache(path, fp=fp)
             except OSError:
                 pass
             return model

@@ -27,7 +27,20 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_model < 1:
+        raise ValueError(
+            f"mesh needs n_data>=1 and n_model>=1, got n_data={n_data}, "
+            f"n_model={n_model} over {len(devices)} devices")
     wanted = n_data * n_model
+    if wanted > len(devices):
+        raise ValueError(
+            f"mesh wants {n_data}x{n_model}={wanted} devices, "
+            f"only {len(devices)} available")
+    if wanted < len(devices):
+        # an indivisible split idles hardware — that's a silent throughput
+        # loss the operator should see, not discover in a profile
+        print(f"make_mesh: using {wanted} of {len(devices)} devices "
+              f"({len(devices) - wanted} idle; pick n_model dividing the count)")
     grid = np.array(devices[:wanted]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

@@ -9,7 +9,6 @@ equivalent"). This is the serving path for 100k+ image corpora.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -20,7 +19,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS, pad_to_multiple, put_global
 
 
-@partial(jax.jit, static_argnames=("k",))
 def _scores_and_topk(matrix: jax.Array, query: jax.Array, k: int):
     scores = jnp.dot(matrix, query, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
@@ -43,10 +41,18 @@ class ShardedSimilarityIndex:
         sharding = NamedSharding(mesh, P(DATA_AXIS, None))
         self.matrix = put_global(padded, sharding)  # multi-host meshes supported
         self.query_sharding = NamedSharding(mesh, P())
+        # Outputs are pinned fully replicated: on a process-spanning mesh a
+        # data-sharded output would span non-addressable devices and
+        # np.asarray on it raises — GSPMD inserts the all-gather on device
+        # (over ICI/DCN) so every process can read the result directly.
+        rep = NamedSharding(mesh, P())
+        self._scores_and_topk = jax.jit(
+            _scores_and_topk, static_argnames=("k",),
+            out_shardings=(rep, rep, rep))
 
     def scores(self, query: np.ndarray) -> np.ndarray:
         q = put_global(query.astype(np.float32), self.query_sharding)
-        scores, _, _ = _scores_and_topk(self.matrix, q, 1)
+        scores, _, _ = self._scores_and_topk(self.matrix, q, 1)
         return np.asarray(scores)[: self.num_docs]
 
     def top_k(self, query: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -56,7 +62,7 @@ class ShardedSimilarityIndex:
         pad = self.matrix.shape[0] - self.num_docs
         k_eff = min(k + pad, self.matrix.shape[0])
         q = put_global(query.astype(np.float32), self.query_sharding)
-        _, vals, idx = _scores_and_topk(self.matrix, q, k_eff)
+        _, vals, idx = self._scores_and_topk(self.matrix, q, k_eff)
         vals, idx = np.asarray(vals), np.asarray(idx)
         keep = idx < self.num_docs
         return vals[keep][:k], idx[keep][:k]

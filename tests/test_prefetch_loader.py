@@ -65,3 +65,76 @@ def test_native_and_pil_paths_agree_on_counts(tmp_path):
 def test_empty_file_list():
     loader = PrefetchLoader([], size=16, batch_size=4, workers=2)
     assert list(loader) == []
+
+
+def test_producer_crash_raises_not_truncates(tmp_path):
+    """A decode_fn crash must surface to the consumer — the old pipeline put
+    the end-of-stream sentinel in a finally, so the run 'succeeded' with
+    silently truncated output."""
+    paths = make_images(tmp_path / "i", 6)
+
+    def decode_fn(p):
+        if p == paths[3]:
+            raise RuntimeError("decoder exploded")
+        import numpy as np
+
+        return np.zeros((16, 16, 3), np.uint8)
+
+    loader = PrefetchLoader(paths, size=16, batch_size=2, workers=2,
+                            decode_fn=decode_fn)
+    with pytest.raises(RuntimeError, match="decoder exploded"):
+        list(loader)
+
+
+def test_consumer_abandon_stops_producer(tmp_path):
+    """Breaking out of iteration must stop the producer thread promptly (the
+    native decoder pool is destroyed only after the producer exits)."""
+    import threading
+
+    paths = make_images(tmp_path / "i", 12)
+    loader = PrefetchLoader(paths, size=16, batch_size=2, workers=2,
+                            queue_depth=1, use_native=False)
+    before = set(threading.enumerate())
+    it = iter(loader)
+    next(it)
+    it.close()  # consumer abandons mid-stream (GeneratorExit -> finally)
+    import time
+
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer threads still alive: {leaked}"
+
+
+def test_decode_window_is_bounded(tmp_path):
+    """In-flight decodes are capped: a slow consumer must not let decoded
+    frames pile up without bound ahead of it."""
+    import threading
+    import time
+
+    paths = make_images(tmp_path / "i", 64)
+    live = []
+    peak = [0]
+    lock = threading.Lock()
+
+    def decode_fn(p):
+        import numpy as np
+
+        with lock:
+            live.append(p)
+            peak[0] = max(peak[0], len(live))
+        return np.zeros((16, 16, 3), np.uint8)
+
+    loader = PrefetchLoader(paths, size=16, batch_size=4, workers=2,
+                            queue_depth=1, decode_fn=decode_fn)
+    it = iter(loader)
+    next(it)
+    time.sleep(1.0)  # consumer stalls; producer must throttle
+    # window = workers + 2*batch_size = 10 submitted-but-unconsumed decodes,
+    # plus queue_depth+1 packed batches (4 each) the producer already drained
+    assert peak[0] <= 2 + 2 * 4 + (1 + 1 + 1) * 4, peak[0]
+    for _ in it:
+        pass
