@@ -151,8 +151,9 @@ def _build(args, cfg, mesh, processed_docs) -> None:
         if index is None:
             index = SimilarityIndex(artifacts.DOC2VEC_INDEX, num_features=cfg.vector_size)
         index.add_documents(list(vectors))
-    if index is None:
-        index = SimilarityIndex(artifacts.DOC2VEC_INDEX, num_features=cfg.vector_size)
+    # new_docs is never empty here (main() exits on an empty corpus; --update
+    # loads an existing index), so index is always set by this point
+    assert index is not None
     index.save(artifacts.DOC2VEC_INDEX)
 
     # BM25 is always regenerated from the full corpus (genmodel.py:134,177).

@@ -49,10 +49,19 @@ def _category_thresholds(
     character_gather: jax.Array, # (K,) int32
     character_floor: float,
 ) -> Tuple[jax.Array, jax.Array]:
-    general = probs[:, general_gather]
-    character = probs[:, character_gather]
-    g_thresh = mcut_threshold_batch(general)
-    c_thresh = jnp.maximum(character_floor, mcut_threshold_batch(character))
+    def mcut_or_none(cat: jax.Array) -> jax.Array:
+        # MCut needs >= 2 probabilities (it thresholds at the largest GAP).
+        # A checkpoint with 0/1 tags in a category must still run with mcut
+        # DISABLED (the reference only evaluates mcut when enabled); the
+        # placeholder 1.0 selects nothing if such a category's mcut flag is
+        # ever turned on. Shapes are static, so this branch is trace-time.
+        if cat.shape[1] < 2:
+            return jnp.ones((cat.shape[0],), jnp.float32)
+        return mcut_threshold_batch(cat)
+
+    g_thresh = mcut_or_none(probs[:, general_gather])
+    c_thresh = jnp.maximum(character_floor,
+                           mcut_or_none(probs[:, character_gather]))
     return g_thresh, c_thresh
 
 
@@ -97,7 +106,8 @@ class TaggerPredictor:
         if self.params is not None:
             return
         if self.model_dir:
-            self.params, self.model_cfg, self.labels = load_tagger_checkpoint(self.model_dir)
+            self.params, self.model_cfg, self.labels = load_tagger_checkpoint(
+                self.model_dir, base=self._model_cfg)
             if self.config.quant != "none":
                 import dataclasses
 
@@ -105,11 +115,21 @@ class TaggerPredictor:
                 self.model_cfg = dataclasses.replace(self.model_cfg,
                                                      quant=self.config.quant)
         else:
-            self.model_cfg = self._model_cfg or Eva02Config(
-                img_size=self.config.image_size,
-                dtype=jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32,
-                quant=self.config.quant,
-            )
+            if self._model_cfg is not None:
+                self.model_cfg = self._model_cfg
+                if self.config.quant != "none" and self.model_cfg.quant == "none":
+                    import dataclasses
+
+                    # an explicit model_cfg must not silently discard a quant
+                    # request (config.quant / AIIS_INT8=1)
+                    self.model_cfg = dataclasses.replace(
+                        self.model_cfg, quant=self.config.quant)
+            else:
+                self.model_cfg = Eva02Config(
+                    img_size=self.config.image_size,
+                    dtype=jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32,
+                    quant=self.config.quant,
+                )
             print(
                 "WARNING: no --model-dir given; using seeded RANDOM weights and "
                 "synthetic labels. Output format is real, tag semantics are not."
@@ -146,6 +166,10 @@ class TaggerPredictor:
         self._std = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
         self._general_names = [self.labels.names[i] for i in self.labels.general_index]
         self._character_names = [self.labels.names[i] for i in self.labels.character_index]
+        # host-side gather indices, built once (finalize runs per batch on the
+        # CSV-assembly path that overlaps device compute)
+        self._general_idx_np = np.asarray(self.labels.general_index, np.int64)
+        self._character_idx_np = np.asarray(self.labels.character_index, np.int64)
 
     # ------------------------------------------------------------------ predict
 
@@ -207,8 +231,8 @@ class TaggerPredictor:
         g_mcut = np.asarray(g_thresh_dev)
         c_mcut = np.asarray(c_thresh_dev)
 
-        general = probs[:, np.asarray(self.labels.general_index)]
-        character = probs[:, np.asarray(self.labels.character_index)]
+        general = probs[:, self._general_idx_np]
+        character = probs[:, self._character_idx_np]
 
         ret_strings: List[str] = []
         for idx in range(probs.shape[0]):

@@ -9,8 +9,12 @@ converter takes a *local* checkpoint directory:
       selected_tags.csv     (tag_id,name,category — category 9=rating, 0=general, 4=character)
 
 ``convert_timm_eva02`` maps timm parameter names onto models/eva02.py's module tree
-with hard shape checks, auto-detecting optional pieces (attention sub-LN, layer scale,
-fused-vs-split qkv naming, SwiGLU naming variants). When no checkpoint is given the
+with hard shape checks, auto-detecting optional pieces (attention sub-LN, layer
+scale, SwiGLU naming variants). Only split q/k/v projections are supported — the
+layout every published EVA02 tagger checkpoint uses; a fused-qkv checkpoint is
+rejected with a clear error rather than guessed at (timm has several fused-bias
+variants and a wrong guess converts cleanly but scrambles attention). When no
+checkpoint is given the
 tagger falls back to seeded random weights + synthetic labels so the full pipeline
 still runs end-to-end (format parity, benchmarks); a loud warning marks the output as
 non-semantic.
@@ -91,29 +95,64 @@ def load_timm_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
     return dict(safetensors.numpy.load_file(path))
 
 
+# Published timm EVA02 geometries (S/B/L all use head_dim 64). Head count is
+# NOT stored in a timm state dict, and every q/k/v kernel is (D, D) regardless
+# of head count — a wrong value passes all shape checks while the rope
+# permutation and head splits silently scramble channels across heads. So the
+# converter only accepts embed_dims whose head count it knows (or a caller-
+# supplied base config carrying an explicit num_heads).
+_EVA02_NUM_HEADS = {384: 6, 768: 12, 1024: 16}
+
+
 def detect_config_from_state_dict(sd: Dict[str, np.ndarray],
                                   base: Optional[Eva02Config] = None) -> Eva02Config:
     """Infer depth/dims/options from checkpoint shapes."""
     base = base or Eva02Config()
     embed_dim = sd["cls_token"].shape[-1]
+    if embed_dim == base.embed_dim:
+        num_heads = base.num_heads  # caller's (or default) geometry
+    elif embed_dim in _EVA02_NUM_HEADS:
+        num_heads = _EVA02_NUM_HEADS[embed_dim]  # published geometry
+    elif embed_dim % base.num_heads == 0:
+        # non-published geometry: keep the base head count, but say so — if
+        # it's wrong the converted model is numerically garbage yet passes
+        # every shape check
+        num_heads = base.num_heads
+        print(f"weights: embed_dim={embed_dim} is not a published EVA02 size; "
+              f"assuming num_heads={num_heads} from the base config — pass an "
+              "explicit Eva02Config(num_heads=...) if that is wrong")
+    else:
+        raise ValueError(
+            f"cannot infer num_heads for embed_dim={embed_dim}: pass a "
+            "base Eva02Config with explicit num_heads (a wrong head count "
+            "passes every shape check but scrambles attention heads)")
     depth = 1 + max(
         int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
     )
     num_classes = sd["head.weight"].shape[0]
     patch_w = sd["patch_embed.proj.weight"]
     patch_size = patch_w.shape[-1]
-    num_patches = sd["pos_embed"].shape[1] - 1
-    grid = int(round(num_patches ** 0.5))
+    use_abs_pos_emb = "pos_embed" in sd
+    if use_abs_pos_emb:
+        num_patches = sd["pos_embed"].shape[1] - 1
+        grid = int(round(num_patches ** 0.5))
+        img_size = grid * patch_size
+    else:
+        # rope-only checkpoint (timm use_abs_pos_emb=False): the input size is
+        # not recoverable from the weights; keep the base config's
+        img_size = base.img_size
     mlp_key = "blocks.0.mlp.w1.weight" if "blocks.0.mlp.w1.weight" in sd else "blocks.0.mlp.fc1_g.weight"
     mlp_hidden = sd[mlp_key].shape[0]
     return dataclasses.replace(
         base,
-        img_size=grid * patch_size,
+        img_size=img_size,
         patch_size=patch_size,
         embed_dim=embed_dim,
+        num_heads=num_heads,
         depth=depth,
         mlp_hidden_dim=mlp_hidden,
         num_classes=num_classes,
+        use_abs_pos_emb=use_abs_pos_emb,
         scale_attn_inner="blocks.0.attn.norm.weight" in sd,
         use_layer_scale="blocks.0.gamma_1" in sd,
         # timm Eva: 'avg' pooling ships fc_norm weights; 'token' ships a final norm
@@ -164,6 +203,12 @@ def convert_timm_eva02(sd: Dict[str, np.ndarray], cfg: Eva02Config) -> dict:
         full = np.concatenate(
             [h * head_dim + perm for h in range(cfg.num_heads)])
         return np.ascontiguousarray(arr[..., full])
+
+    if "blocks.0.attn.qkv.weight" in sd:
+        raise ValueError(
+            "fused-qkv Eva checkpoint: only split q_proj/k_proj/v_proj layouts "
+            "are supported (all published EVA02 tagger checkpoints); convert "
+            "the checkpoint to split projections first")
 
     for i in range(cfg.depth):
         blk: dict = {
@@ -220,10 +265,16 @@ def _validate_shapes(p: dict, cfg: Eva02Config) -> None:
             raise ValueError(f"shape mismatch: got {got}, want {want}")
 
 
-def load_tagger_checkpoint(model_dir: str) -> Tuple[dict, Eva02Config, LabelSet]:
-    """Load params + config + labels from a local checkpoint directory."""
+def load_tagger_checkpoint(
+    model_dir: str, base: Optional[Eva02Config] = None,
+) -> Tuple[dict, Eva02Config, LabelSet]:
+    """Load params + config + labels from a local checkpoint directory.
+
+    ``base``: optional config whose num_heads/img_size seed detection — needed
+    for geometries outside the published EVA02 sizes (detection refuses to
+    guess a head count; see detect_config_from_state_dict)."""
     sd = load_timm_state_dict(model_dir)
-    cfg = detect_config_from_state_dict(sd)
+    cfg = detect_config_from_state_dict(sd, base=base)
     params = convert_timm_eva02(sd, cfg)
     labels_csv = os.path.join(model_dir, "selected_tags.csv")
     labels = LabelSet.from_csv(labels_csv)

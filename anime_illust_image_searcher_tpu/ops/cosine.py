@@ -37,7 +37,7 @@ def top_k_scores(scores: jax.Array, k: int):
 
 
 @jax.jit
-def l2_normalize(v: jax.Array, eps: float = 0.0) -> jax.Array:
+def l2_normalize(v: jax.Array) -> jax.Array:
     """Unit-normalize; zero/inf norms pass the vector through unchanged
     (matches webui.py:110-115 guard semantics)."""
     norm = jnp.linalg.norm(v)

@@ -262,7 +262,9 @@ def test_checkpoint_dir_roundtrip(tmp_path, tiny):
         f.write("90,char_a,4,3\n")
         f.write("91,char_b,4,2\n")
 
-    pred = TaggerPredictor(model_dir=str(tmp_path))
+    # model_cfg seeds detection with the tiny geometry's num_heads — detection
+    # refuses to guess head counts outside the published EVA02 sizes
+    pred = TaggerPredictor(model_dir=str(tmp_path), model_cfg=cfg)
     pred.load_model()
     # rope permutation applied to the q kernel (per-head half-split column order)
     head_dim = pred.model_cfg.head_dim
@@ -285,3 +287,71 @@ def test_head_weight_transposed_correctly(tiny):
     w = np.arange(6, dtype=np.float32).reshape(2, 3)  # (out=2, in=3)
     assert _t(w).shape == (3, 2)
     np.testing.assert_array_equal(_t(w)[0], [0.0, 3.0])
+
+
+def _fake_sd(embed_dim=128, depth=1, heads_dim_ok=True, pos_embed=True,
+             num_classes=7, patch=14, grid=4):
+    """Minimal timm-shaped state dict for config detection tests."""
+    sd = {
+        "cls_token": np.zeros((1, 1, embed_dim), np.float32),
+        "head.weight": np.zeros((num_classes, embed_dim), np.float32),
+        "head.bias": np.zeros((num_classes,), np.float32),
+        "patch_embed.proj.weight": np.zeros((embed_dim, 3, patch, patch), np.float32),
+        "blocks.0.mlp.w1.weight": np.zeros((embed_dim * 2, embed_dim), np.float32),
+    }
+    for i in range(depth):
+        sd[f"blocks.{i}.norm1.weight"] = np.zeros((embed_dim,), np.float32)
+    if pos_embed:
+        sd["pos_embed"] = np.zeros((1, grid * grid + 1, embed_dim), np.float32)
+    return sd
+
+
+def test_detect_config_rejects_unknown_head_geometry():
+    """num_heads is not stored in a timm state dict and a wrong value passes
+    every shape check while scrambling heads — unknown embed_dims must be
+    rejected, not guessed."""
+    from anime_illust_image_searcher_tpu.models.weights import (
+        detect_config_from_state_dict,
+    )
+
+    with pytest.raises(ValueError, match="num_heads"):
+        # indivisible by the base head count and not a published size
+        detect_config_from_state_dict(_fake_sd(embed_dim=136),
+                                      base=Eva02Config(num_heads=16))
+
+    # known published geometry resolves (EVA02-B: 768 -> 12 heads)
+    cfg = detect_config_from_state_dict(_fake_sd(embed_dim=768))
+    assert cfg.num_heads == 12
+
+    # an explicit base config with matching embed_dim wins
+    base = Eva02Config(embed_dim=136, num_heads=8)
+    cfg = detect_config_from_state_dict(_fake_sd(embed_dim=136), base=base)
+    assert cfg.num_heads == 8
+
+
+def test_detect_config_rope_only_checkpoint():
+    """A checkpoint without pos_embed (timm use_abs_pos_emb=False) must detect
+    cleanly instead of raising KeyError, with the flag flipped off."""
+    from anime_illust_image_searcher_tpu.models.weights import (
+        detect_config_from_state_dict,
+    )
+
+    base = Eva02Config(embed_dim=128, num_heads=4, img_size=56)
+    cfg = detect_config_from_state_dict(_fake_sd(pos_embed=False), base=base)
+    assert not cfg.use_abs_pos_emb
+    assert cfg.img_size == 56  # not recoverable from weights: base wins
+
+
+def test_category_thresholds_tolerates_tiny_categories():
+    """<2 tags in a category must not crash the device program when mcut is
+    disabled (the reference only evaluates mcut when enabled)."""
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.models.tagger import _category_thresholds
+
+    probs = jnp.asarray(np.random.RandomState(0).rand(3, 5).astype(np.float32))
+    g = jnp.asarray(np.asarray([0, 1, 2], np.int32))
+    c = jnp.asarray(np.asarray([3], np.int32))  # single character tag
+    g_t, c_t = _category_thresholds(probs, g, c, 0.15)
+    assert g_t.shape == (3,) and c_t.shape == (3,)
+    assert np.all(np.asarray(c_t) == 1.0)  # placeholder: selects nothing
