@@ -290,8 +290,10 @@ def ccip_rerank_diffs_op(
     feats = CAFormer(cfg, use_pallas=use_pallas).apply(params, x)  # (k, F) f32
     w = valid.astype(jnp.float32)
     mean_feat = jnp.sum(w[:, None] * feats, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    # index rows are unit by construction (SimilarityIndex stores unitvec rows;
+    # zero rows stay zero and correctly score diff 1.0) — renormalizing them
+    # here would add two full (D, F) HBM passes to every character query
     m = index_matrix.astype(jnp.float32)
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
     q = mean_feat / jnp.maximum(jnp.linalg.norm(mean_feat), 1e-12)
     return 1.0 - jnp.dot(m, q, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
@@ -314,8 +316,8 @@ def ccip_rerank_diffs_from_rows_op(
     raw = index_matrix[row_ids] * norms[row_ids][:, None]  # (k, F)
     w = valid.astype(jnp.float32)
     mean_feat = jnp.sum(w[:, None] * raw, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    # rows are unit by construction (see ccip_rerank_diffs_op note)
     m = index_matrix.astype(jnp.float32)
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
     q = mean_feat / jnp.maximum(jnp.linalg.norm(mean_feat), 1e-12)
     return 1.0 - jnp.dot(m, q, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
@@ -348,9 +350,9 @@ def ccip_batch_differences_op(feats: jax.Array) -> jax.Array:
 @jax.jit
 def ccip_differences_vs_index_op(index_matrix: jax.Array, query: jax.Array) -> jax.Array:
     """Differences of ONE query feature vs every indexed row — a single matvec
-    (replaces the reference's per-row ONNX loop, webui.py:306-309)."""
+    (replaces the reference's per-row ONNX loop, webui.py:306-309). Index rows
+    must be unit (SimilarityIndex invariant; see ccip_rerank_diffs_op note)."""
     m = index_matrix.astype(jnp.float32)
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
     q = query.astype(jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
     return 1.0 - jnp.dot(m, q, preferred_element_type=jnp.float32,

@@ -56,7 +56,14 @@ class CCIPPredictor:
         self.mesh = mesh
         self._batch_sharding = None
         self.params = None
+        # Working threshold, mutable like the reference Predictor's attribute
+        # (get_image_feature's lazy default/1.5 write, gen_cfeatures.py:299).
         self.threshold: float = -1.0
+        # The checkpoint's own metrics.json threshold — the DEFAULT the
+        # reference re-reads each time. Kept separate so the lazy /1.5 write
+        # to self.threshold can't contaminate ccip_default_threshold() (which
+        # would compound to default/2.25 in the reranker).
+        self._checkpoint_threshold: Optional[float] = None
         self._mean = jnp.asarray(config.mean, jnp.float32)
         self._std = jnp.asarray(config.std, jnp.float32)
         # learned-metric path (VERDICT r2 #3): set lazily when the checkpoint
@@ -103,10 +110,23 @@ class CCIPPredictor:
             if os.path.exists(cfg_path):
                 with open(cfg_path, encoding="utf-8") as f:
                     feature_dim = json.load(f).get("feature_dim", feature_dim)
-        verdict = analyze_metric_graph(graph, feature_dim)
+        try:
+            verdict = analyze_metric_graph(graph, feature_dim)
+        except Exception as e:  # noqa: BLE001 — a weird metric graph must not
+            # brick feature extraction; the fused 1-cos ops keep working
+            print(
+                "WARNING: model_metrics.onnx analysis failed; falling back to "
+                f"the fused 1-cosine metric. {type(e).__name__}: {e}"
+            )
+            return
         if verdict["is_one_minus_cosine"]:
             return  # the fused 1-cos ops are exact; keep the one-dispatch paths
         jitted = verdict.pop("_converted_fn", None)
+        if not verdict.get("pairwise", False):
+            # the batched ops (and metric_vs_index_fn's [0,1]-cell read) assume
+            # a pairwise (N, N) metric matrix; any other output layout would be
+            # silently misread — keep the fused 1-cos paths instead
+            jitted = None
         if not verdict.get("convertible", False) or jitted is None:
             # A hand-placed metric file outside the converter's subset must not
             # brick feature extraction (convert_ccip's inconclusive branch warns
@@ -129,9 +149,19 @@ class CCIPPredictor:
         if self.model_dir:
             from .ccip_weights import load_ccip_checkpoint
 
+            explicit_cfg = self.model_cfg
             self.model_cfg, self.params, thr = load_ccip_checkpoint(self.model_dir)
+            if explicit_cfg is not None and explicit_cfg.dtype != self.model_cfg.dtype:
+                import dataclasses
+
+                # the checkpoint's geometry is authoritative, but an explicit
+                # compute-dtype request must not be silently discarded
+                self.model_cfg = dataclasses.replace(
+                    self.model_cfg, dtype=explicit_cfg.dtype)
             if thr is not None:
-                self.threshold = thr
+                self._checkpoint_threshold = thr
+                if self.threshold <= 0:
+                    self.threshold = thr
             self._ensure_metric()
         else:
             print(
@@ -162,9 +192,13 @@ class CCIPPredictor:
 
     def ccip_default_threshold(self) -> float:
         """Published metrics.json threshold of ccip-caformer-24-randaug-pruned
-        (gen_cfeatures.py:183-202); a converted checkpoint carries its own."""
+        (gen_cfeatures.py:183-202); a converted checkpoint carries its own.
+        Reads the checkpoint constant, never the mutable working
+        ``self.threshold`` — the reference re-reads metrics.json each call."""
         self.load_model()
-        return self.threshold if self.threshold > 0 else self.config.default_threshold
+        if self._checkpoint_threshold is not None and self._checkpoint_threshold > 0:
+            return self._checkpoint_threshold
+        return self.config.default_threshold
 
     # ---- features ------------------------------------------------------------
 

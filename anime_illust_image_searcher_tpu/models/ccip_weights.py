@@ -258,6 +258,18 @@ def _set(tree: dict, path: str, value: np.ndarray) -> None:
 def convert_feat_graph(graph: GraphP) -> Tuple[CAFormerConfig, dict, ConversionReport]:
     """ONNX feature-model graph -> (config, flax params, audit report)."""
     cfg = derive_config(graph)
+    # The conversion maps weights by name onto the CAFormer architecture, so a
+    # Conv attribute the architecture doesn't model (dilation, auto_pad) would
+    # convert cleanly and diverge numerically — refuse up front.
+    for node in graph.nodes:
+        if node.op_type == "Conv":
+            dil = node.attr("dilations", [1, 1])
+            if any(int(d) != 1 for d in np.ravel(dil)):
+                raise NotImplementedError(
+                    f"Conv dilations={list(np.ravel(dil))} not supported")
+            ap = node.attr("auto_pad", b"NOTSET")
+            if ap not in (b"NOTSET", "NOTSET"):
+                raise NotImplementedError(f"Conv auto_pad={ap!r} not supported")
     inits = {canon_name(k): v for k, v in graph.initializers.items()}
     claimed = set()
     report = ConversionReport()
@@ -542,6 +554,17 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
             stride = node.attr("strides", [1, 1])
             pads = node.attr("pads", [0, 0, 0, 0])
             groups = node.attr("group", 1)
+            dil = node.attr("dilations", [1, 1])
+            auto_pad = node.attr("auto_pad", b"NOTSET")
+            # a dilated/auto-padded conv would convert AND cross-validate
+            # cleanly (both sides compute dilation 1) while diverging from
+            # onnxruntime — refuse rather than silently agree on wrong math
+            if any(int(d) != 1 for d in np.ravel(dil)):
+                raise NotImplementedError(
+                    f"Conv dilations={list(np.ravel(dil))} not supported")
+            if auto_pad not in (b"NOTSET", "NOTSET"):
+                raise NotImplementedError(
+                    f"Conv auto_pad={auto_pad!r} not supported (explicit pads only)")
             x = pad_conv(x, pads)
             n_, c_, h_, w_ = x.shape
             o, ig, kh, kw = w.shape
@@ -663,8 +686,12 @@ def execute_graph(graph: GraphP, feeds: Dict[str, np.ndarray]) -> List[np.ndarra
                 axes = [int(a) for a in np.ravel(i[1])]
             env[node.outputs[0]] = np.squeeze(i[0], axis=tuple(axes) if axes else None)
         elif op == "Expand":
-            env[node.outputs[0]] = np.broadcast_to(
-                i[0], [int(s) for s in np.ravel(i[1])]).copy()
+            # ONNX Expand broadcasts bidirectionally (same rule as the jnp
+            # interpreter in metric_fn_from_graph — keep the two in lockstep)
+            shape = np.broadcast_shapes(
+                tuple(i[0].shape),
+                tuple(int(s) for s in np.ravel(i[1])))
+            env[node.outputs[0]] = np.broadcast_to(i[0], shape).copy()
         elif op == "Gather":
             env[node.outputs[0]] = np.take(i[0], i[1].astype(np.int64),
                                            axis=node.attr("axis", 0))
@@ -787,6 +814,11 @@ def analyze_metric_graph(graph: GraphP, feature_dim: int = 768,
             verdict["convertible"] = True
             verdict["converted_max_diff"] = float(
                 np.max(np.abs(converted - got)))
+            # metric_vs_index_fn reads cell [0, 1] of a pairwise (N, N)
+            # metric matrix — record whether the graph actually has that
+            # output contract so callers don't install a vs-index fn that
+            # silently reads the wrong cell of some other layout
+            verdict["pairwise"] = got.shape == (n_probe, n_probe)
             # hand the already-jitted (and now traced/compiled) fn to callers so
             # checkpoint load doesn't pay a second trace+compile (underscore key:
             # not part of the printable/serializable verdict)

@@ -175,13 +175,15 @@ class TensorP:
         return t
 
     def to_numpy(self) -> np.ndarray:
+        if self.data_type == BFLOAT16:  # raw only; view as uint16 -> f32
+            # checked BEFORE the dtype-table lookup: bf16 has no numpy dtype,
+            # so the table miss used to make this branch unreachable
+            raw = np.frombuffer(self._raw, "<u2").astype(np.uint32) << 16
+            return raw.view(np.float32).reshape(self.dims)
         np_dtype = _DTYPE_TO_NP.get(self.data_type)
         if np_dtype is None:
             raise ValueError(f"unsupported tensor data_type {self.data_type}"
                              f" for initializer {self.name!r}")
-        if self.data_type == BFLOAT16:  # raw only; view as uint16 -> f32
-            raw = np.frombuffer(self._raw, "<u2").astype(np.uint32) << 16
-            return raw.view(np.float32).reshape(self.dims)
         if self._raw:
             return np.frombuffer(self._raw, np.dtype(np_dtype).newbyteorder("<")
                                  ).reshape(self.dims).astype(np_dtype)
@@ -189,6 +191,15 @@ class TensorP:
             return np.asarray(self._float_data, np.float32).reshape(self.dims)
         if self._int_data:
             return np.asarray(self._int_data, np_dtype).reshape(self.dims)
+        if int(np.prod(self.dims)) != 0:
+            # No payload but a non-empty shape: the initializer's data lives
+            # elsewhere (ONNX external data, data_location=EXTERNAL). Zeros
+            # here would convert cleanly AND self-validate (the numpy-executor
+            # cross-check reads the same zeros) — fail loudly instead.
+            raise ValueError(
+                f"initializer {self.name!r} has shape {self.dims} but no "
+                "inline payload — ONNX external data is not supported; "
+                "re-save the model with save_as_external_data=False")
         return np.zeros(self.dims, np_dtype)
 
     @classmethod

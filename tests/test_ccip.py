@@ -52,10 +52,13 @@ def test_difference_is_one_minus_cosine(rng):
 
 
 def test_vs_index_matches_pairwise(rng):
-    index = rng.randn(8, 16).astype(np.float32)
+    raw = rng.randn(8, 16).astype(np.float32)
+    # the op's contract: index rows are UNIT (SimilarityIndex invariant) —
+    # the renormalization was hoisted off the per-query hot path
+    index = raw / np.linalg.norm(raw, axis=1, keepdims=True)
     q = rng.randn(16).astype(np.float32)
     got = np.asarray(ccip_differences_vs_index_op(index, q))
-    full = np.asarray(ccip_batch_differences_op(np.vstack([q[None], index])))
+    full = np.asarray(ccip_batch_differences_op(np.vstack([q[None], raw])))
     np.testing.assert_allclose(got, full[0, 1:], atol=1e-5)
 
 

@@ -298,3 +298,55 @@ def test_rerank_diffs_learned_metric_on_mesh(tmp_path):
                            mesh=make_mesh(n_data=8))
     got = meshed.rerank_diffs(imgs, 4, StubIndex(index_rows))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_np_and_jnp_interpreters_stay_in_lockstep(rng):
+    """The numpy executor (analysis probe) and the jnp interpreter (shipped
+    metric) are two implementations of the same op semantics; any divergence
+    means 'probe says crash, converter says fine' inconsistencies. Exercise
+    the shared-op surface, including bidirectional Expand broadcast (a past
+    drift: fixed in the jnp copy only)."""
+    feats = rng.randn(3, F).astype(np.float32)
+
+    def lockstep(graph):
+        got_np = execute_graph(graph, {"feats": feats})[0]
+        got_jnp = np.asarray(metric_fn_from_graph(graph)(feats))
+        np.testing.assert_allclose(got_np, got_jnp, rtol=1e-5, atol=1e-6)
+        return got_np
+
+    # bidirectional Expand: input (3,1) vs target (2,1,F) -> (2,3,F)
+    g = opb.GraphP(name="model_metrics")
+    g.inputs = [("feats", (3, F))]
+    g.initializers = {
+        "ax1": np.asarray([1], np.int64),
+        "target": np.asarray([2, 1, F], np.int64),
+        "axes_all": np.asarray([0, 1, 2], np.int64),
+    }
+    g.nodes = [
+        opb.NodeP(op_type="ReduceSum", inputs=["feats"], outputs=["s"],
+                  attributes={"axes": opb.AttrP.make("axes", [1]), "keepdims": opb.AttrP.make("keepdims", 1)}),            # (3, 1)
+        opb.NodeP(op_type="Expand", inputs=["s", "target"], outputs=["e"]),
+        opb.NodeP(op_type="Tanh", inputs=["e"], outputs=["t"]),
+        opb.NodeP(op_type="ReduceSum", inputs=["t"], outputs=["out"],
+                  attributes={"axes": opb.AttrP.make("axes", [0, 2]), "keepdims": opb.AttrP.make("keepdims", 0)}),
+    ]
+    g.outputs = [("out", ())]
+    out = lockstep(g)
+    assert out.shape == (3,)
+
+    # elementwise / Gemm / transpose mix
+    g2 = opb.GraphP(name="model_metrics")
+    g2.inputs = [("feats", (3, F))]
+    W = _w(rng, F, F)
+    g2.initializers = {"W": W, "b": _w(rng, F)}
+    g2.nodes = [
+        opb.NodeP(op_type="Gemm", inputs=["feats", "W", "b"], outputs=["h"],
+                  attributes={"alpha": opb.AttrP.make("alpha", 1.0), "beta": opb.AttrP.make("beta", 1.0)}),
+        opb.NodeP(op_type="Sigmoid", inputs=["h"], outputs=["s"]),
+        opb.NodeP(op_type="Transpose", inputs=["s"], outputs=["st"],
+                  attributes={"perm": opb.AttrP.make("perm", [1, 0])}),
+        opb.NodeP(op_type="MatMul", inputs=["s", "st"], outputs=["out"]),
+    ]
+    g2.outputs = [("out", ())]
+    out2 = lockstep(g2)
+    assert out2.shape == (3, 3)
