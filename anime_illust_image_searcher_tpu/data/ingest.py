@@ -163,6 +163,16 @@ class PrefetchLoader:
             images, ok = decoder.decode_batch(
                 chunk, self.size, pad_to_square=self.pad_to_square, bilinear=bilinear
             )
+            for i in np.where(~ok)[0]:
+                # the native decoder handles baseline JPEG/PNG; anything it
+                # can't (CMYK/YCCK JPEGs, progressive edge cases, odd formats)
+                # retries through PIL like the reference path — only genuine
+                # failures are skipped, so switching loaders never silently
+                # drops corpus images the reference would index
+                arr = self.decode_fn(chunk[i])
+                if arr is not None:
+                    images[i] = arr
+                    ok[i] = True
             self.failed_count += int((~ok).sum())
             good = np.where(ok)[0]
             if len(good) == 0:

@@ -91,6 +91,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _load_failed = True
         return None
     _materialize_runtime()
+    src = os.path.join(_RUNTIME_DIR, "ingest.cpp")
+    stale = (os.path.exists(_SO_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    if stale:
+        # source changed since the .so was linked (the ABI guard below only
+        # catches signature changes, not behavior fixes) — rebuild; on failure
+        # keep the old build rather than dropping to PIL
+        _build()
     if not os.path.exists(_SO_PATH) and not _build():
         _load_failed = True
         return None

@@ -83,9 +83,16 @@ def fetch_ccip_repo(repo_id: str = DEFAULT_CCIP_REPO,
                 metrics_json = None
             threshold = None
             if metrics_json:
-                with open(metrics_json, encoding="utf-8") as f:
-                    m = json.load(f)
-                threshold = float(m.get("threshold", m.get("val_threshold", -1)))
+                # local parse failures are NOT download failures — don't let
+                # them fall into the offline/zero-egress wrap below
+                try:
+                    with open(metrics_json, encoding="utf-8") as f:
+                        m = json.load(f)
+                    threshold = float(m.get("threshold",
+                                            m.get("val_threshold", -1)))
+                except (OSError, ValueError, TypeError) as e:
+                    raise RuntimeError(
+                        f"downloaded {repo_id} metrics.json is unreadable: {e}")
             from .ccip_weights import convert_feat_file, save_ccip_checkpoint
 
             cfg, params, report = convert_feat_file(feat)

@@ -91,6 +91,12 @@ def mha_attention(
             if m % d == 0 and LANE * d <= budget_rows:
                 block_q = LANE * d
                 break
+    elif s_pad % block_q:
+        # a non-dividing explicit block_q would truncate the grid and leave
+        # the tail query rows of the output unwritten (garbage, not an error)
+        raise ValueError(
+            f"block_q={block_q} must divide the padded sequence {s_pad} "
+            f"(s={s} rounded up to {LANE}); pass block_q=0 to auto-pick")
 
     if s_pad != s:
         pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]

@@ -35,7 +35,23 @@ def initialize(
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     if not coordinator_address and num_processes in (None, 1):
-        return False
+        # No explicit coordinator config. On a multi-host TPU pod slice the
+        # runtime sets TPU_WORKER_HOSTNAMES to the host list (this project's
+        # JAX_* names are never set there) — let jax.distributed's own
+        # cluster auto-detection take over, else every host would silently
+        # run as an independent single-process job on a fraction of the
+        # slice. Single-host markers (no comma) stay single-process.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if "," not in hostnames:
+            return False
+        import jax
+
+        try:
+            jax.distributed.initialize()  # TPU metadata auto-detection
+            return True
+        except Exception as e:  # noqa: BLE001 — degrade, don't crash the CLI
+            print(f"distributed auto-init failed ({e}); running single-process")
+            return False
 
     import jax
 

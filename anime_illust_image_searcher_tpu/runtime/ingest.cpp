@@ -38,6 +38,12 @@ struct ImageU8 {
   std::vector<uint8_t> data;       // row-major, interleaved
 };
 
+// Decompression-bomb guard, mirroring PIL's MAX_IMAGE_PIXELS error threshold
+// (2x 89,478,485): a malformed header claiming absurd dimensions must fail the
+// image, not attempt a multi-GB allocation that aborts or OOM-kills the
+// process mid-run.
+constexpr uint64_t kMaxPixels = 178956970ull;
+
 // ---------------------------------------------------------------------------
 // JPEG decode
 // ---------------------------------------------------------------------------
@@ -80,6 +86,10 @@ bool decode_jpeg(FILE* f, ImageU8* out, int min_dim) {
     cinfo.scale_denom = 8;
   }
   jpeg_start_decompress(&cinfo);
+  if (uint64_t(cinfo.output_width) * cinfo.output_height > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
   out->channels = 3;
@@ -105,6 +115,10 @@ bool decode_png(FILE* f, ImageU8* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // Declared BEFORE setjmp: a libpng error longjmps back here, and jumping
+  // over the construction of an object with a non-trivial destructor is UB
+  // (and in practice leaked the row-pointer array on every corrupt PNG).
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
@@ -115,6 +129,10 @@ bool decode_png(FILE* f, ImageU8* out) {
   png_uint_32 w, h;
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr, nullptr);
+  if (uint64_t(w) * h > kMaxPixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
 
   if (bit_depth == 16) png_set_strip_16(png);
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
@@ -129,7 +147,7 @@ bool decode_png(FILE* f, ImageU8* out) {
   out->h = int(h);
   out->channels = channels;
   out->data.resize(size_t(w) * h * channels);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = out->data.data() + size_t(y) * w * channels;
   png_read_image(png, rows.data());
@@ -158,15 +176,17 @@ bool decode_file(const char* path, ImageU8* out, int min_dim) {
 // (tagging.py:100-120 semantics)
 // ---------------------------------------------------------------------------
 
-ImageU8 flatten_and_pad(const ImageU8& img, bool pad_to_square) {
+ImageU8 flatten_and_pad(ImageU8&& img, bool pad_to_square) {
   ImageU8 rgb;
   rgb.channels = 3;
   rgb.w = img.w;
   rgb.h = img.h;
-  rgb.data.resize(size_t(img.w) * img.h * 3);
   if (img.channels == 3) {
-    rgb.data = img.data;
+    // already RGB: steal the buffer — a resize + copy here cost two extra
+    // full-frame passes per image on the hot path
+    rgb.data = std::move(img.data);
   } else {
+    rgb.data.resize(size_t(img.w) * img.h * 3);
     const uint8_t* src = img.data.data();
     uint8_t* dst = rgb.data.data();
     size_t n = size_t(img.w) * img.h;
@@ -353,12 +373,19 @@ class Pool {
 
 int decode_one(const char* path, int size, int pad_to_square, int bilinear,
                int scaled_decode, uint8_t* out) {
-  ImageU8 raw;
-  if (!decode_file(path, &raw, scaled_decode ? size : 0) || raw.w <= 0 || raw.h <= 0)
+  // noexcept to the caller: an exception escaping a pool worker (or the C
+  // ABI into ctypes) would std::terminate the whole Python process; the
+  // pipeline's contract is per-image skip-and-continue.
+  try {
+    ImageU8 raw;
+    if (!decode_file(path, &raw, scaled_decode ? size : 0) || raw.w <= 0 || raw.h <= 0)
+      return 0;
+    ImageU8 prepared = flatten_and_pad(std::move(raw), pad_to_square != 0);
+    resize_rgb(prepared, size, bilinear != 0, out);
+    return 1;
+  } catch (...) {
     return 0;
-  ImageU8 prepared = flatten_and_pad(raw, pad_to_square != 0);
-  resize_rgb(prepared, size, bilinear != 0, out);
-  return 1;
+  }
 }
 
 }  // namespace
@@ -377,7 +404,10 @@ int aiis_decode_resize(const char* path, int size, int pad_to_square, int biline
   return decode_one(path, size, pad_to_square, bilinear, scaled_decode, out);
 }
 
-void* aiis_pool_create(int workers) { return new Pool(workers); }
+void* aiis_pool_create(int workers) {
+  // a zero-thread pool would hang decode_batch forever on its completion wait
+  return new Pool(std::max(1, workers));
+}
 
 void aiis_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 

@@ -139,6 +139,16 @@ class SearchEngine:
         else:
             zero_rows = np.flatnonzero(norms_np == 0)
             self._norms_known = not np.any(self.index.matrix[zero_rows])
+        # The fused program encodes doc indices and term ids in f32 (exact
+        # only below 2^24) — beyond that the one-dispatch path would return
+        # silently wrong ids, so it degrades to the multi-call path instead.
+        self._fused_ids_exact = (
+            len(self.index) < 2 ** 24 and self.bm25.vocab_size < 2 ** 24)
+        if not self._fused_ids_exact:
+            logger.warning(
+                "corpus/vocab at or beyond 2^24: fused one-dispatch queries "
+                "disabled (f32 id encoding would round); using the multi-call "
+                "path — shard the index over a mesh for latency at this scale")
         self._num_real = len(self.index)
 
         if mesh is None:
@@ -268,6 +278,8 @@ class SearchEngine:
                 if self._reference_prf
                 else "index stores no doc-vector norms (rebuild with genmodel to fix)"
                 if not self._norms_known
+                else "corpus/vocab beyond the fused program's 2^24 f32-id range"
+                if not self._fused_ids_exact
                 else f"query has more than {max_terms} terms"
                 if len(new_doc.split(" ")) > max_terms
                 else "index too small for the fused PRF program"
@@ -397,6 +409,7 @@ class SearchEngine:
             search_mode != "character oriented"
             and not self._reference_prf  # fused program implements the intended PRF
             and self._norms_known
+            and self._fused_ids_exact
             and len(self.index) > self.cfg.search.rerank_top_k
             # truly enormous queries (> largest term bucket) take the multi-call
             # path rather than failing; they're outside any interactive use

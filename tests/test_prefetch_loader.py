@@ -138,3 +138,22 @@ def test_decode_window_is_bounded(tmp_path):
     assert peak[0] <= 2 + 2 * 4 + (1 + 1 + 1) * 4, peak[0]
     for _ in it:
         pass
+
+
+def test_cmyk_jpeg_falls_back_to_pil(tmp_path):
+    """The native decoder handles baseline RGB/gray JPEGs; a CMYK JPEG (which
+    PIL — the reference path — decodes fine) must retry through PIL instead of
+    being silently dropped from the corpus."""
+    if not native_ingest.available():
+        pytest.skip("native runtime unavailable")
+    paths = make_images(tmp_path / "i", 3)
+    cmyk = str(tmp_path / "i" / "cmyk.jpg")
+    Image.new("CMYK", (32, 24), (10, 200, 30, 5)).save(cmyk)
+    # native alone fails it...
+    assert native_ingest.decode_resize(cmyk, 16) is None
+    # ...but the loader indexes it via the PIL retry
+    loader = PrefetchLoader([cmyk] + paths, size=16, batch_size=2, workers=2,
+                            use_native=True)
+    got = [p for b in loader for p in b.paths[: b.valid]]
+    assert got == [cmyk] + paths
+    assert loader.failed_count == 0
