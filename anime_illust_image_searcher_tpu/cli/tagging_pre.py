@@ -31,7 +31,10 @@ from ..data.ingest import PrefetchLoader
 from ..models.tagger import TaggerPredictor
 from ..utils.progress import ProgressMeter
 
-DEFAULT_BATCH = 128  # v5e sweet spot (colab variant used 200, colab_env/tagging.py:48)
+# Track the tagging CLI's batch size so this variant reuses its already-
+# compiled (persistent-cached) program instead of paying its own compile for
+# a different static shape. (colab variant used 200, colab_env/tagging.py:48)
+DEFAULT_BATCH = DEFAULT_CONFIG.tagger.batch_size
 
 
 # The reference's make_tensor_files keeps the IMAGE path name for its torch
@@ -138,6 +141,8 @@ def main(arg_str: List[str]) -> None:
         if pending is not None:
             flush(pending)
     meter.report(final=True)
+    if loader.failed_count:
+        print(f"{loader.failed_count} files failed to decode and were skipped")
 
 
 if __name__ == "__main__":

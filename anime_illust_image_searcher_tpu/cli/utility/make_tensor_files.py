@@ -36,24 +36,26 @@ class Predictor:
         self.args: Optional[argparse.Namespace] = None
         self.size = DEFAULT_CONFIG.tagger.image_size
 
-    def save_array(self, arr: np.ndarray, file_path: str) -> None:
+    def save_array(self, arr: np.ndarray, file_path: str) -> bool:
         save_path = file_path.replace(self.args.dirbase[0], self.args.dest[0]) + ".npy"
         try:
             path_dir = os.path.dirname(save_path)
             if not os.path.exists(path_dir):
                 os.makedirs(path_dir, exist_ok=True)
             np.save(save_path, arr)
-        except Exception as e:  # noqa: BLE001
+            return True
+        except Exception as e:  # noqa: BLE001 — disk full / permissions: the
+            # file must count as FAILED, not converted
             print(format_error(e))
             print_traceback()
+            return False
 
     def convert_one(self, file_path: str) -> bool:
         try:
             arr = load_rgb_square(file_path, self.size, pad_to_square=True)
             if arr is None:
                 return False
-            self.save_array(arr, file_path)
-            return True
+            return self.save_array(arr, file_path)
         except Exception as e:  # noqa: BLE001
             print(f"Failed to convert image to tensor: {file_path}")
             print(e)

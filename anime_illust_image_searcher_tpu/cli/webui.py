@@ -136,6 +136,17 @@ class WebUIServer:
         self.batch_queries = batch_queries
         self.batcher: Optional[QueryBatcher] = None
         self.engine: Optional[SearchEngine] = None
+        self._warmup_thread = None
+        self._warmup_stop = None
+
+    def close(self, timeout: float = 60.0) -> None:
+        """Stop the background warmup and wait for it. Tests (and any embedder
+        tearing the server down) must call this: exiting the interpreter while
+        the daemon warmup thread is inside an XLA compile crashes teardown."""
+        if self._warmup_stop is not None:
+            self._warmup_stop.set()
+        if self._warmup_thread is not None:
+            self._warmup_thread.join(timeout)
 
     def load(self) -> SearchEngine:
         if self.engine is None:
@@ -159,19 +170,26 @@ class WebUIServer:
             self._allowed_images = allowed
             self._warmup(engine)
             if self.batch_queries:
+                import threading
+
                 self.batcher = QueryBatcher(engine)
-                self._warmup_batch_buckets(engine)
+                self._warmup_stop = threading.Event()
+                self._warmup_thread = self._warmup_batch_buckets(
+                    engine, self._warmup_stop)
             self.engine = engine
         return self.engine
 
     @staticmethod
-    def _warmup_batch_buckets(engine: SearchEngine) -> None:
+    def _warmup_batch_buckets(engine: SearchEngine, stop=None):
         """Compile the batched query programs AND the large-term-bucket program in
         the background so neither a first concurrent burst nor a first >64-term
         query pays a cold compile (minutes on a remote-compile relay). The server
-        stays responsive on the warm single-query program meanwhile."""
+        stays responsive on the warm single-query program meanwhile.
+        ``stop``: optional threading.Event checked between compiles (close())."""
         import threading
 
+        if stop is None:
+            stop = threading.Event()
         try:
             some_tag = next(iter(engine.dictionary.token2id))
         except StopIteration:
@@ -196,6 +214,8 @@ class WebUIServer:
                     " ".join(tags[: QUERY_TERM_BUCKETS[0] + 1]))
             for wq in warm_queries:
                 for b in engine.QUERY_BATCH_BUCKETS:
+                    if stop.is_set():
+                        return
                     try:
                         engine.find_similar_documents_batch([wq] * b, topn=topn)
                     except Exception as e:  # noqa: BLE001 — never crash warmup
@@ -205,6 +225,8 @@ class WebUIServer:
             # the exact-top-k re-dispatch (rare ambiguous single-flag elbows)
             try:
                 for wq in warm_queries:
+                    if stop.is_set():
+                        return
                     engine._dispatch_fused(engine._pack_fused(wq), topn,
                                            exact=True)
                 print("exact-elbow query program warm")
@@ -215,6 +237,8 @@ class WebUIServer:
                 prev = QUERY_TERM_BUCKETS[QUERY_TERM_BUCKETS.index(bucket) - 1]
                 if len(tags) <= prev:
                     break  # vocabulary can't produce a query this large
+                if stop.is_set():
+                    return
                 try:
                     big = " ".join(tags[: min(len(tags), prev + 1)])
                     if engine.fused_path_available(big):
@@ -226,7 +250,7 @@ class WebUIServer:
 
         thread = threading.Thread(target=work, daemon=True)
         thread.start()
-        return thread  # callers (tests) may join; the server never needs to
+        return thread  # join via WebUIServer.close(); the server never needs to
 
     def image_allowed(self, fpath: str) -> bool:
         self.load()
@@ -419,7 +443,12 @@ def main(arg_str: Optional[List[str]] = None) -> None:
         print("run the pipeline first: tagging --dir D, then genmodel")
         sys.exit(1)
     print("ready")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ui.close()  # join the warmup thread: exiting mid-compile crashes teardown
 
 
 def _console() -> None:

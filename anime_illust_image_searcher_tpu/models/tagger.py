@@ -136,6 +136,20 @@ class TaggerPredictor:
             )
             self.params = init_params(self.model_cfg, seed=0, use_pallas=self.use_pallas)
             self.labels = LabelSet.synthetic(self.model_cfg.num_classes)
+        self._finalize_load()
+
+    def adopt_weights(self, other: "TaggerPredictor") -> None:
+        """Share another predictor's loaded param tree and labels (e.g. the
+        int8 A/B gate comparing two compute paths over ONE set of weights)
+        without a second checkpoint read. The adopting predictor keeps its own
+        model_cfg when one was passed explicitly (quant/dtype overrides)."""
+        other.load_model()
+        self.params = other.params
+        self.labels = other.labels
+        self.model_cfg = self._model_cfg or other.model_cfg
+        self._finalize_load()
+
+    def _finalize_load(self) -> None:
         if self.mesh is not None:
             # dp layout: params replicated across the mesh, batches row-sharded
             import jax

@@ -25,5 +25,13 @@ def enable_persistent_compile_cache(cache_dir: str = "") -> None:
     os.makedirs(cache_dir, exist_ok=True)
     import jax
 
+    # An explicit JAX_PLATFORMS env request is authoritative: some PJRT plugin
+    # hooks (e.g. the axon TPU relay's get_backend override) initialize their
+    # backend regardless of the env var and hang forever when unreachable;
+    # only the config value stops them. No-op when they already agree.
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats and jax.config.jax_platforms != plats:
+        jax.config.update("jax_platforms", plats)
+
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

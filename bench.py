@@ -187,7 +187,8 @@ def main() -> None:
         return probs, g, c
 
     for _ in range(WARMUP_STEPS):
-        jax.block_until_ready(step(images))
+        # one dispatch per iteration; np.asarray both syncs and exercises the
+        # D2H path the measured loop uses
         _ = [np.asarray(x) for x in step(images)]
 
     # FLOPs per image, derived analytically from the model config (VERDICT r3
@@ -303,6 +304,7 @@ if __name__ == "__main__":
             enable_persistent_compile_cache,
         )
 
+        _probe_device()  # fail fast on a dead relay here too
         enable_persistent_compile_cache()
         print(json.dumps({"metric": "tagging_e2e", **run_e2e_bench()}))
     else:

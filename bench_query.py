@@ -84,7 +84,15 @@ def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int =
     print("building bm25 ...")
     stats = build_bm25_stats(docs, dictionary)
     save_bm25_artifacts(stats, directory)
+    # completion marker written LAST: an interrupted build must not be
+    # mistaken for a reusable artifact dir on the next run
+    with open(os.path.join(directory, ".bench_build_complete"), "w") as f:
+        f.write("ok\n")
     return tag_names
+
+
+def artifacts_complete(directory: str) -> bool:
+    return os.path.exists(os.path.join(directory, ".bench_build_complete"))
 
 
 def run_device_only_bench(engine, queries, repeats: int = 3) -> dict:
@@ -312,7 +320,7 @@ def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
 
     directory = directory or tempfile.mkdtemp(prefix="aiis_bench_")
     os.makedirs(directory, exist_ok=True)
-    if not os.path.exists(os.path.join(directory, art.DOC2VEC_MODEL)):
+    if not artifacts_complete(directory):
         tag_names = build_artifacts(directory, n_docs, vocab)
     else:
         tag_names = [f"tag_{i:05d}" for i in range(vocab)]
@@ -431,7 +439,7 @@ def main() -> None:
 
         directory = args.dir or tempfile.mkdtemp(prefix="aiis_bench_")
         os.makedirs(directory, exist_ok=True)
-        if not os.path.exists(os.path.join(directory, art.DOC2VEC_MODEL)):
+        if not artifacts_complete(directory):
             tag_names = build_artifacts(directory, args.docs, args.vocab)
         else:
             tag_names = [f"tag_{i:05d}" for i in range(args.vocab)]

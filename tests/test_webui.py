@@ -47,6 +47,7 @@ def server_url(tmp_path_factory):
         t.start()
         yield f"http://127.0.0.1:{port}", tmp
         httpd.shutdown()
+        ui.close()  # join the warmup thread — exiting mid-compile crashes teardown
     finally:
         os.chdir(cwd)
 

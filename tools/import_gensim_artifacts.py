@@ -90,26 +90,9 @@ def doc2vec_from_arrays(
         raise ValueError("token list and syn1neg row count differ")
 
     counts = np.asarray(counts, np.int64)
-    # same formulas as Vocab.build, applied in gensim's existing index order
-    total = float(counts.sum()) if len(counts) else 1.0
-    freq = counts / total
-    if cfg.sample > 0:
-        with np.errstate(divide="ignore", invalid="ignore"):
-            kp = (np.sqrt(freq / cfg.sample) + 1) * (cfg.sample / freq)
-        keep_prob = np.minimum(kp, 1.0).astype(np.float32)
-    else:
-        keep_prob = np.ones(len(counts), np.float32)
-    noise = counts.astype(np.float64) ** cfg.ns_exponent
-    cum = np.cumsum(noise)
-    cum_table = (cum / cum[-1]).astype(np.float32) if len(cum) else np.zeros(0, np.float32)
-
-    vocab = Vocab(
-        token2id={t: i for i, t in enumerate(tokens_in_index_order)},
-        tokens=list(tokens_in_index_order),
-        counts=counts,
-        keep_prob=keep_prob,
-        cum_table=cum_table,
-    )
+    # Vocab.from_counts is the single home of the gensim keep_prob/cum_table
+    # formulas — applied here in gensim's existing index order
+    vocab = Vocab.from_counts(list(tokens_in_index_order), counts, cfg)
     return Doc2VecModel(cfg, vocab, syn1neg, docvecs, corpus_count=len(docvecs))
 
 
@@ -190,6 +173,10 @@ def run(src: str, dest: str) -> Dict[str, str]:
         d = TagDictionary(docs)
         d.save(os.path.join(dest, artifacts.DOC2VEC_DICTIONARY))
         status[artifacts.DOC2VEC_DICTIONARY] = "rebuilt from idx csv (no gensim)"
+    elif os.path.exists(dict_src):
+        # the file IS there — only the unpickler is missing; 'absent' would
+        # send the user hunting for a file that exists
+        status[artifacts.DOC2VEC_DICTIONARY] = "SKIPPED: needs gensim"
     else:
         status[artifacts.DOC2VEC_DICTIONARY] = "absent"
 

@@ -44,9 +44,9 @@ def main(argv) -> int:
     pred_q = TaggerPredictor(config=TaggerConfig(quant="int8"),
                              model_dir=args.model_dir, use_pallas=False,
                              model_cfg=dataclasses.replace(cfg, quant="int8"))
-    pred_q.load_model()
     # identical param tree serves both paths; share the weights exactly
-    pred_q.params, pred_q.labels = pred_f.params, pred_f.labels
+    # (no second full checkpoint read / transient second param tree)
+    pred_q.adopt_weights(pred_f)
 
     if args.dir:
         from anime_illust_image_searcher_tpu.data.ingest import (

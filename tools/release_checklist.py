@@ -248,7 +248,13 @@ def main(argv) -> int:
     state_path = os.path.join(args.workdir, "release_state.json")
     state = json.load(open(state_path)) if os.path.exists(state_path) else {}
 
-    started = args.from_step is None
+    if args.only and args.from_step and args.only != args.from_step:
+        # the two filters would intersect to zero steps and still print the
+        # success banner — refuse the contradictory combination instead
+        print(f"--only {args.only} conflicts with --from {args.from_step}: "
+              "pass one or the other")
+        return 2
+    started = args.from_step is None or args.only is not None
     for s in steps:
         if args.only and s.name != args.only:
             continue
