@@ -128,8 +128,7 @@ class Predictor(CCIPPredictor):
             min(stamped.min(), build_started)) if len(stamped) else build_started
         self.cindex.save(index_name)
         meter.report(final=True)
-        if loader.failed_count:
-            print(f"{loader.failed_count} files failed to decode and were skipped")
+        loader.report_failures()
 
 
 def main(arg_str: list) -> None:

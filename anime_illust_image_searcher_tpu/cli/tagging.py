@@ -86,8 +86,7 @@ class Predictor(TaggerPredictor):
         finally:
             out.close()
         meter.report(final=True)
-        if loader.failed_count:
-            print(f"{loader.failed_count} files failed to decode and were skipped")
+        loader.report_failures()
 
 
 def main(arg_str: list) -> None:

@@ -10,11 +10,12 @@ reading ``.npy`` arrays produced by ``cli.utility.make_tensor_files``:
 Parity notes: output opens in 'w' mode — the colab variant truncates instead of
 appending (colab_env/tagging.py:278, QUIRKS.md #2 contrast); output lines carry the
 .npy path with the suffix stripped, matching the reference's convention that tensor
-files mirror the original image paths. The batch size defaults to 128 — the measured
-v5e sweet spot, sharing the tagging CLI's already-compiled program — instead of the
-colab variant's 200 (colab_env/tagging.py:48, a T4 memory choice, not an
-output-affecting semantic; a distinct batch shape costs its own multi-minute
-remote compile). ``--batch-size`` restores any value.
+files mirror the original image paths. The batch size defaults to the tagging CLI's
+configured size (config.py tagger.batch_size, currently 256) so this variant reuses
+that CLI's already-compiled program — instead of the colab variant's 200
+(colab_env/tagging.py:48, a T4 memory choice, not an output-affecting semantic; a
+distinct batch shape costs its own multi-minute remote compile). ``--batch-size``
+restores any value.
 """
 
 from __future__ import annotations
@@ -141,8 +142,7 @@ def main(arg_str: List[str]) -> None:
         if pending is not None:
             flush(pending)
     meter.report(final=True)
-    if loader.failed_count:
-        print(f"{loader.failed_count} files failed to decode and were skipped")
+    loader.report_failures()
 
 
 if __name__ == "__main__":

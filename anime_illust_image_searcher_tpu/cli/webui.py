@@ -139,14 +139,25 @@ class WebUIServer:
         self._warmup_thread = None
         self._warmup_stop = None
 
-    def close(self, timeout: float = 60.0) -> None:
+    def close(self, timeout: Optional[float] = None) -> None:
         """Stop the background warmup and wait for it. Tests (and any embedder
         tearing the server down) must call this: exiting the interpreter while
-        the daemon warmup thread is inside an XLA compile crashes teardown."""
+        the daemon warmup thread is inside an XLA compile crashes teardown.
+
+        The stop event is only observed BETWEEN compiles, so one in-flight
+        compile must finish before the thread exits; the default waits for it
+        (minutes on a remote-compile relay — announced so the exit doesn't
+        look hung). A finite ``timeout`` returns earlier but then exiting the
+        interpreter risks exactly the mid-compile crash this prevents."""
         if self._warmup_stop is not None:
             self._warmup_stop.set()
         if self._warmup_thread is not None:
+            if self._warmup_thread.is_alive():
+                print("waiting for the in-flight warmup compile to finish ...")
             self._warmup_thread.join(timeout)
+            if self._warmup_thread.is_alive():
+                print("WARNING: warmup thread still compiling after "
+                      f"{timeout:.0f}s; exiting now may crash teardown")
 
     def load(self) -> SearchEngine:
         if self.engine is None:

@@ -156,6 +156,11 @@ class PrefetchLoader:
             use_native = decode_fn is None
         self.use_native = bool(use_native) and decode_fn is None
 
+    def report_failures(self) -> None:
+        """One-line skip summary, shared by every CLI that drains a loader."""
+        if self.failed_count:
+            print(f"{self.failed_count} files failed to decode and were skipped")
+
     def _native_producer(self, put: Callable[[Batch], bool], decoder) -> None:
         bilinear = self.resample == Image.BILINEAR
         for start in range(0, len(self.file_list), self.batch_size):

@@ -147,6 +147,13 @@ class TaggerPredictor:
         self.params = other.params
         self.labels = other.labels
         self.model_cfg = self._model_cfg or other.model_cfg
+        if self.config.quant != "none" and self.model_cfg.quant == "none":
+            import dataclasses
+
+            # same invariant as load_model: a quant request (config.quant /
+            # AIIS_INT8=1) must not be silently discarded by adoption
+            self.model_cfg = dataclasses.replace(self.model_cfg,
+                                                 quant=self.config.quant)
         self._finalize_load()
 
     def _finalize_load(self) -> None:

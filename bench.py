@@ -122,7 +122,9 @@ def run_e2e_bench(n: int = E2E_IMAGES) -> dict:
     return results
 
 
-def _probe_device(timeout_s: float = 240.0) -> None:
+def _probe_device(timeout_s: float = 240.0,
+                  metric: str = "wd_vit_tagging_throughput",
+                  unit: str = "images/sec/chip") -> None:
     """Fail fast with a diagnosable JSON line when the device backend can't
     initialize (e.g. the axon TPU relay is down) instead of hanging forever
     inside PJRT client init. The probe is a subprocess so the timeout actually
@@ -130,7 +132,19 @@ def _probe_device(timeout_s: float = 240.0) -> None:
     import subprocess
     import sys
 
-    cmd = [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"]
+    # The probe must honor an explicit JAX_PLATFORMS env the same way
+    # jax_setup.enable_persistent_compile_cache does: some PJRT plugin hooks
+    # ignore the env var and hang on an unreachable backend unless the config
+    # value is pinned. Otherwise `JAX_PLATFORMS=cpu bench.py` would time out
+    # here probing a backend the measured process never uses.
+    probe_src = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p and jax.config.jax_platforms != p:\n"
+        "    jax.config.update('jax_platforms', p)\n"
+        "print(jax.devices()[0].platform)\n"
+    )
+    cmd = [sys.executable, "-c", probe_src]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=timeout_s)
@@ -140,8 +154,8 @@ def _probe_device(timeout_s: float = 240.0) -> None:
         detail = detail[0] if detail else f"rc={out.returncode}"
     except subprocess.TimeoutExpired:
         detail = f"device backend init exceeded {timeout_s:.0f}s (relay down?)"
-    print(json.dumps({"metric": "wd_vit_tagging_throughput", "value": 0.0,
-                      "unit": "images/sec/chip", "vs_baseline": 0.0,
+    print(json.dumps({"metric": metric, "value": 0.0,
+                      "unit": unit, "vs_baseline": 0.0,
                       "error": f"device unavailable: {detail}"}))
     sys.exit(1)
 
@@ -304,7 +318,8 @@ if __name__ == "__main__":
             enable_persistent_compile_cache,
         )
 
-        _probe_device()  # fail fast on a dead relay here too
+        # fail fast on a dead relay here too
+        _probe_device(metric="tagging_e2e", unit="images/sec")
         enable_persistent_compile_cache()
         print(json.dumps({"metric": "tagging_e2e", **run_e2e_bench()}))
     else:

@@ -95,6 +95,24 @@ def artifacts_complete(directory: str) -> bool:
     return os.path.exists(os.path.join(directory, ".bench_build_complete"))
 
 
+def ensure_artifacts(directory: str, n_docs: int, vocab: int) -> list:
+    """Reuse a completed synthetic-artifact dir, build into an empty one, and
+    REFUSE anything in between: a dir holding a doc2vec model but no
+    completion marker may be a real genmodel artifact chain (or a bench dir
+    from before the marker existed) — overwriting it would destroy user data."""
+    from anime_illust_image_searcher_tpu.index import artifacts as art
+
+    if artifacts_complete(directory):
+        return [f"tag_{i:05d}" for i in range(vocab)]
+    if os.path.exists(os.path.join(directory, art.DOC2VEC_MODEL)):
+        raise SystemExit(
+            f"{directory} contains {art.DOC2VEC_MODEL} but no "
+            ".bench_build_complete marker — refusing to overwrite what may be "
+            "a real artifact directory. Pass a fresh --dir, or create an "
+            "empty .bench_build_complete file there to reuse it as-is.")
+    return build_artifacts(directory, n_docs, vocab)
+
+
 def run_device_only_bench(engine, queries, repeats: int = 3) -> dict:
     """Direct device-latency measurement (VERDICT r2 weak #1): pack N real queries,
     run them through ONE ``fused_normal_query_serial`` dispatch (a lax.scan — the
@@ -320,10 +338,7 @@ def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
 
     directory = directory or tempfile.mkdtemp(prefix="aiis_bench_")
     os.makedirs(directory, exist_ok=True)
-    if not artifacts_complete(directory):
-        tag_names = build_artifacts(directory, n_docs, vocab)
-    else:
-        tag_names = [f"tag_{i:05d}" for i in range(vocab)]
+    tag_names = ensure_artifacts(directory, n_docs, vocab)
     print(f"artifacts in {directory}")
 
     t0 = time.perf_counter()
@@ -439,10 +454,7 @@ def main() -> None:
 
         directory = args.dir or tempfile.mkdtemp(prefix="aiis_bench_")
         os.makedirs(directory, exist_ok=True)
-        if not artifacts_complete(directory):
-            tag_names = build_artifacts(directory, args.docs, args.vocab)
-        else:
-            tag_names = [f"tag_{i:05d}" for i in range(args.vocab)]
+        tag_names = ensure_artifacts(directory, args.docs, args.vocab)
         engine = SearchEngine(directory)
         rng = np.random.RandomState(1)
         queries = [" ".join(tag_names[rng.randint(200)]

@@ -21,6 +21,7 @@ def server_url(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("webui")
     cwd = os.getcwd()
     os.chdir(tmp)
+    ui = None
     try:
         rng = np.random.RandomState(0)
         img_dir = tmp / "imgs"
@@ -47,8 +48,11 @@ def server_url(tmp_path_factory):
         t.start()
         yield f"http://127.0.0.1:{port}", tmp
         httpd.shutdown()
-        ui.close()  # join the warmup thread — exiting mid-compile crashes teardown
     finally:
+        # in finally: a failure during fixture setup (after load() started the
+        # warmup thread) must still join it — exiting mid-compile crashes teardown
+        if ui is not None:
+            ui.close()
         os.chdir(cwd)
 
 

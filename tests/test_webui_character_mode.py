@@ -29,6 +29,7 @@ def server_url(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("webui_char")
     cwd = os.getcwd()
     os.chdir(tmp)
+    ui = None
     try:
         rng = np.random.RandomState(0)
         img_dir = tmp / "imgs"
@@ -71,8 +72,11 @@ def server_url(tmp_path_factory):
         t.start()
         yield f"http://127.0.0.1:{port}"
         server.shutdown()
-        ui.close()  # join the warmup thread — exiting mid-compile crashes teardown
     finally:
+        # in finally: a failure during fixture setup (after load() started the
+        # warmup thread) must still join it — exiting mid-compile crashes teardown
+        if ui is not None:
+            ui.close()
         os.chdir(cwd)
 
 

@@ -248,9 +248,16 @@ def main(argv) -> int:
     state_path = os.path.join(args.workdir, "release_state.json")
     state = json.load(open(state_path)) if os.path.exists(state_path) else {}
 
+    # A filter that selects zero steps (unknown/mistyped step name, or
+    # contradictory --only/--from) would run nothing and still print the
+    # success banner — refuse it up front instead.
+    step_names = {s.name for s in steps}
+    for flag, value in (("--only", args.only), ("--from", args.from_step)):
+        if value and value not in step_names:
+            print(f"{flag} {value}: unknown step "
+                  f"(steps: {', '.join(s.name for s in steps)})")
+            return 2
     if args.only and args.from_step and args.only != args.from_step:
-        # the two filters would intersect to zero steps and still print the
-        # success banner — refuse the contradictory combination instead
         print(f"--only {args.only} conflicts with --from {args.from_step}: "
               "pass one or the other")
         return 2
