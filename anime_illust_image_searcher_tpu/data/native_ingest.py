@@ -8,8 +8,14 @@ becomes the bottleneck the reference never faced").
 Selection:
   - built automatically on first use if g++ and libjpeg/libpng are present
     (set AIIS_NATIVE_INGEST=0 to force the PIL path)
-  - falls back silently to the PIL loader otherwise (bit-parity default for the
-    tagger's golden tests stays PIL — resampling differs in rounding only)
+  - falls back silently to the PIL loader otherwise
+  - full-decode output is BIT-IDENTICAL to the PIL loader (the C++ replicates
+    Pillow's fixed-point Resample.c and paste-mask blend exactly, and both
+    link the same libjpeg62/libpng16 families; pinned by
+    tests/test_native_ingest.py), so either loader serves golden runs. Images
+    the native path can't reproduce exactly (CMYK JPEG, 16-bit gray PNG) are
+    declined per-image and decoded through PIL. Only the opt-in
+    AIIS_SCALED_DECODE=1 DCT-domain path changes pixels.
 """
 
 from __future__ import annotations

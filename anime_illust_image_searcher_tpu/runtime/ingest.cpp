@@ -8,10 +8,18 @@
 // (data/native_ingest.py); built by runtime/build.sh with g++ against the system
 // libjpeg/libpng.
 //
-// Resampling follows the same structure as PIL's convolution resampling (separable
-// kernel, support scaled by the downscale ratio for antialiasing): bilinear =
-// triangle filter, bicubic = Keys cubic a=-0.5. Outputs match PIL within rounding on
-// natural images; the Python loader stays the default for bit-parity runs (QUIRKS.md).
+// Resampling replicates PIL's convolution resampling EXACTLY (Pillow
+// src/libImaging/Resample.c, 8-bit path): the same coefficient windows,
+// the same int32 fixed-point quantization (PRECISION_BITS = 32-8-2), the
+// same uint8 horizontal-pass intermediate, and the same clip8 rounding;
+// alpha flatten replicates Pillow's paste-with-mask BLEND/MULDIV255. With
+// both libraries on libjpeg62/libpng16, the full-decode output is
+// bit-identical to data/ingest.load_rgb_square (pinned by
+// tests/test_native_ingest.py), so the native pool is safe for golden runs.
+// The white pad border is never materialized: pad rows/columns enter the
+// convolution as virtual 255-samples, which is arithmetically identical to
+// Pillow resizing the padded canvas but skips the canvas allocation and the
+// horizontal pass over pad rows.
 
 #include <algorithm>
 #include <atomic>
@@ -134,10 +142,20 @@ bool decode_png(FILE* f, ImageU8* out) {
     return false;
   }
 
-  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth == 16) {
+    // PIL decodes 16-bit gray PNG to mode "I" and convert("RGB") CLAMPS the
+    // 16-bit value to 0..255 instead of taking the high byte — a quirk not
+    // worth replicating natively. Decline; the PIL fallback keeps parity.
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  if (bit_depth == 16) png_set_strip_16(png);  // high byte, = PIL's ;16B unpack
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  // NOTE: tRNS chunks are deliberately NOT expanded to alpha. PIL opens
+  // P/L/RGB+tRNS images in their base mode and flatten_to_rgb's
+  // convert("RGB") drops the transparency info, so the pipeline (and the
+  // reference, tagging.py:100-113) never composites tRNS pixels onto white.
   if (color_type == PNG_COLOR_TYPE_GRAY || color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
   png_read_update_info(png, info);
@@ -172,66 +190,64 @@ bool decode_file(const char* path, ImageU8* out, int min_dim) {
 }
 
 // ---------------------------------------------------------------------------
-// Flatten alpha onto white + center pad-to-square with white
-// (tagging.py:100-120 semantics)
+// Flatten alpha onto white (tagging.py:100-113 semantics, bit-exact to PIL's
+// Image.paste(img, mask=alpha): Pillow Paste.c fill_mask_L BLEND/MULDIV255)
 // ---------------------------------------------------------------------------
 
-ImageU8 flatten_and_pad(ImageU8&& img, bool pad_to_square) {
+inline uint32_t muldiv255(uint32_t a, uint32_t b) {
+  uint32_t t = a * b + 128u;
+  return (t + (t >> 8)) >> 8;
+}
+
+ImageU8 flatten_to_rgb(ImageU8&& img) {
+  if (img.channels == 3) return std::move(img);  // steal the buffer
   ImageU8 rgb;
   rgb.channels = 3;
   rgb.w = img.w;
   rgb.h = img.h;
-  if (img.channels == 3) {
-    // already RGB: steal the buffer — a resize + copy here cost two extra
-    // full-frame passes per image on the hot path
-    rgb.data = std::move(img.data);
-  } else {
-    rgb.data.resize(size_t(img.w) * img.h * 3);
-    const uint8_t* src = img.data.data();
-    uint8_t* dst = rgb.data.data();
-    size_t n = size_t(img.w) * img.h;
-    for (size_t i = 0; i < n; ++i) {
-      uint32_t a = src[4 * i + 3];
-      // composite over white: c*a + 255*(1-a), in 0..255 fixed point
-      for (int c = 0; c < 3; ++c) {
-        uint32_t v = src[4 * i + c] * a + 255u * (255u - a);
-        dst[3 * i + c] = uint8_t((v + 127) / 255);
-      }
-    }
+  rgb.data.resize(size_t(img.w) * img.h * 3);
+  const uint8_t* src = img.data.data();
+  uint8_t* dst = rgb.data.data();
+  size_t n = size_t(img.w) * img.h;
+  for (size_t i = 0; i < n; ++i) {
+    uint32_t a = src[4 * i + 3];
+    uint32_t bg = muldiv255(255u, 255u - a);  // white background share
+    for (int c = 0; c < 3; ++c)
+      dst[3 * i + c] = uint8_t(bg + muldiv255(src[4 * i + c], a));
   }
-  if (!pad_to_square || img.w == img.h) return rgb;
-
-  int dim = std::max(img.w, img.h);
-  ImageU8 padded;
-  padded.channels = 3;
-  padded.w = dim;
-  padded.h = dim;
-  padded.data.assign(size_t(dim) * dim * 3, 255);  // white canvas
-  int pad_left = (dim - img.w) / 2;
-  int pad_top = (dim - img.h) / 2;
-  for (int y = 0; y < img.h; ++y) {
-    std::memcpy(
-        padded.data.data() + (size_t(y + pad_top) * dim + pad_left) * 3,
-        rgb.data.data() + size_t(y) * img.w * 3, size_t(img.w) * 3);
-  }
-  return padded;
+  return rgb;
 }
 
 // ---------------------------------------------------------------------------
-// Separable antialiased resize (PIL-style convolution resampling)
+// Separable antialiased resize, bit-exact to Pillow's Resample.c 8-bit path:
+// identical coefficient windows, int32 fixed-point coefficients
+// (PRECISION_BITS), a uint8 intermediate between the passes, and clip8.
+// The center pad-to-square is folded in virtually: out-of-content taps read
+// the constant 255 instead of a materialized white canvas — integer
+// arithmetic distributes, so the result is bit-identical to resizing the
+// padded image while skipping the canvas and the pad-row horizontal pass.
 // ---------------------------------------------------------------------------
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow Resample.c PRECISION_BITS
+constexpr int kHalf = 1 << (kPrecisionBits - 1);
+
+inline uint8_t clip8(int in) {  // Pillow's clip8, including its rounding
+  if (in >= (1 << kPrecisionBits << 8)) return 255;
+  if (in <= 0) return 0;
+  return uint8_t(in >> kPrecisionBits);
+}
 
 struct Filter {
   double support;
   double (*fn)(double);
 };
 
-double triangle(double x) {
+double triangle(double x) {  // Pillow bilinear_filter
   x = std::fabs(x);
   return x < 1.0 ? 1.0 - x : 0.0;
 }
 
-double keys_cubic(double x) {  // a = -0.5 (PIL BICUBIC)
+double keys_cubic(double x) {  // Pillow bicubic_filter, a = -0.5
   constexpr double a = -0.5;
   x = std::fabs(x);
   if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
@@ -239,11 +255,12 @@ double keys_cubic(double x) {  // a = -0.5 (PIL BICUBIC)
   return 0.0;
 }
 
-// Precomputed 1-D resampling plan for one axis.
+// Precomputed 1-D resampling plan for one axis (Pillow precompute_coeffs +
+// normalize_coeffs_8bpc, including the C-cast truncations).
 struct Plan {
-  std::vector<int> starts;
-  std::vector<int> sizes;
-  std::vector<double> weights;  // row-major, padded to ksize
+  std::vector<int> bounds;    // per out px: start, count
+  std::vector<int32_t> k;     // row-major fixed-point weights, padded to ksize
+  std::vector<int32_t> ksum;  // per out px: sum of its weights (white taps)
   int ksize;
 };
 
@@ -253,73 +270,133 @@ Plan make_plan(int in_size, int out_size, const Filter& filt) {
   double filterscale = std::max(scale, 1.0);
   double support = filt.support * filterscale;
   plan.ksize = int(std::ceil(support)) * 2 + 1;
-  plan.starts.resize(out_size);
-  plan.sizes.resize(out_size);
-  plan.weights.assign(size_t(out_size) * plan.ksize, 0.0);
+  plan.bounds.resize(size_t(out_size) * 2);
+  std::vector<double> prek(size_t(out_size) * plan.ksize, 0.0);
+  double ss = 1.0 / filterscale;
   for (int xx = 0; xx < out_size; ++xx) {
     double center = (xx + 0.5) * scale;
-    int xmin = std::max(0, int(center - support + 0.5));
-    int xmax = std::min(in_size, int(center + support + 0.5));
-    double wsum = 0.0;
-    double* w = plan.weights.data() + size_t(xx) * plan.ksize;
-    for (int x = xmin; x < xmax; ++x) {
-      w[x - xmin] = filt.fn((x - center + 0.5) / filterscale);
-      wsum += w[x - xmin];
+    int xmin = int(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = int(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* kd = prek.data() + size_t(xx) * plan.ksize;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      double wv = filt.fn((x + xmin - center + 0.5) * ss);
+      kd[x] = wv;
+      ww += wv;
     }
-    if (wsum != 0.0)
-      for (int i = 0; i < xmax - xmin; ++i) w[i] /= wsum;
-    plan.starts[xx] = xmin;
-    plan.sizes[xx] = xmax - xmin;
+    if (ww != 0.0)
+      for (int x = 0; x < xmax; ++x) kd[x] /= ww;
+    plan.bounds[2 * xx] = xmin;
+    plan.bounds[2 * xx + 1] = xmax;
+  }
+  plan.k.resize(prek.size());
+  for (size_t i = 0; i < prek.size(); ++i)
+    plan.k[i] = prek[i] < 0 ? int32_t(-0.5 + prek[i] * (1 << kPrecisionBits))
+                            : int32_t(0.5 + prek[i] * (1 << kPrecisionBits));
+  plan.ksum.resize(out_size);
+  for (int xx = 0; xx < out_size; ++xx) {
+    int32_t s = 0;
+    for (int i = 0; i < plan.bounds[2 * xx + 1]; ++i)
+      s += plan.k[size_t(xx) * plan.ksize + i];
+    plan.ksum[xx] = s;
   }
   return plan;
 }
 
-uint8_t clip8(double v) {
-  return uint8_t(std::min(255.0, std::max(0.0, v + 0.5)));
-}
-
-// Resize RGB uint8 (h_in, w_in) -> (size, size).
-void resize_rgb(const ImageU8& img, int size, bool bilinear, uint8_t* out) {
+// Resize a virtual (canvas_w, canvas_h) white canvas holding `img` at offset
+// (off_x, off_y) down/up to (size, size) RGB uint8. canvas == img for the
+// no-pad path; canvas = max(w,h) square for the tagger's pad-to-square path.
+void resize_canvas_rgb(const ImageU8& img, int canvas_w, int canvas_h,
+                       int off_x, int off_y, int size, bool bilinear,
+                       uint8_t* out) {
+  const int w = img.w, h = img.h;
+  if (canvas_w == size && canvas_h == size) {
+    // identity resize: PIL returns a plain copy of the padded canvas
+    std::memset(out, 255, size_t(size) * size * 3);
+    for (int y = 0; y < h; ++y)
+      std::memcpy(out + (size_t(y + off_y) * size + off_x) * 3,
+                  img.data.data() + size_t(y) * w * 3, size_t(w) * 3);
+    return;
+  }
   Filter filt = bilinear ? Filter{1.0, triangle} : Filter{2.0, keys_cubic};
-  Plan px = make_plan(img.w, size, filt);
-  Plan py = make_plan(img.h, size, filt);
+  Plan px = make_plan(canvas_w, size, filt);
+  Plan py = make_plan(canvas_h, size, filt);
 
-  // horizontal pass into double buffer (h_in, size, 3)
-  std::vector<double> tmp(size_t(img.h) * size * 3);
-  for (int y = 0; y < img.h; ++y) {
-    const uint8_t* row = img.data.data() + size_t(y) * img.w * 3;
-    double* trow = tmp.data() + size_t(y) * size * 3;
+  // Horizontal pass over content rows only -> uint8 intermediate (h, size, 3).
+  std::vector<uint8_t> tmp(size_t(h) * size * 3);
+  // What an all-white canvas row resolves to through this pass (used for the
+  // virtual pad rows in the vertical pass). All channels equal.
+  std::vector<uint8_t> white_row(size);
+  if (off_y > 0 || off_y + h < canvas_h)
+    for (int xx = 0; xx < size; ++xx)
+      white_row[xx] = clip8(kHalf + 255 * px.ksum[xx]);
+
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img.data.data() + size_t(y) * w * 3;
+    uint8_t* trow = tmp.data() + size_t(y) * size * 3;
     for (int xx = 0; xx < size; ++xx) {
-      const double* w = px.weights.data() + size_t(xx) * px.ksize;
-      int start = px.starts[xx], n = px.sizes[xx];
-      double acc[3] = {0, 0, 0};
-      for (int i = 0; i < n; ++i) {
-        const uint8_t* p = row + size_t(start + i) * 3;
-        acc[0] += w[i] * p[0];
-        acc[1] += w[i] * p[1];
-        acc[2] += w[i] * p[2];
+      const int32_t* k = px.k.data() + size_t(xx) * px.ksize;
+      int xmin = px.bounds[2 * xx], n = px.bounds[2 * xx + 1];
+      int ss0 = kHalf, ss1 = kHalf, ss2 = kHalf;
+      if (xmin >= off_x && xmin + n <= off_x + w) {
+        // fast path: the whole window lies inside the content
+        const uint8_t* p = row + size_t(xmin - off_x) * 3;
+        for (int i = 0; i < n; ++i, p += 3) {
+          ss0 += p[0] * k[i];
+          ss1 += p[1] * k[i];
+          ss2 += p[2] * k[i];
+        }
+      } else {
+        // window crosses the virtual white border
+        for (int i = 0; i < n; ++i) {
+          int x = xmin + i - off_x;
+          if (x >= 0 && x < w) {
+            const uint8_t* p = row + size_t(x) * 3;
+            ss0 += p[0] * k[i];
+            ss1 += p[1] * k[i];
+            ss2 += p[2] * k[i];
+          } else {
+            int add = 255 * k[i];
+            ss0 += add;
+            ss1 += add;
+            ss2 += add;
+          }
+        }
       }
-      trow[3 * xx] = acc[0];
-      trow[3 * xx + 1] = acc[1];
-      trow[3 * xx + 2] = acc[2];
+      trow[3 * xx] = clip8(ss0);
+      trow[3 * xx + 1] = clip8(ss1);
+      trow[3 * xx + 2] = clip8(ss2);
     }
   }
-  // vertical pass
+
+  // Vertical pass: taps on virtual pad rows read white_row[xx].
   for (int yy = 0; yy < size; ++yy) {
-    const double* w = py.weights.data() + size_t(yy) * py.ksize;
-    int start = py.starts[yy], n = py.sizes[yy];
+    const int32_t* k = py.k.data() + size_t(yy) * py.ksize;
+    int ymin = py.bounds[2 * yy], n = py.bounds[2 * yy + 1];
     uint8_t* orow = out + size_t(yy) * size * 3;
+    int32_t kwhite = 0;  // total weight of taps outside the content rows
+    for (int i = 0; i < n; ++i) {
+      int y = ymin + i;
+      if (y < off_y || y >= off_y + h) kwhite += k[i];
+    }
+    int c0 = std::max(ymin, off_y), c1 = std::min(ymin + n, off_y + h);
     for (int xx = 0; xx < size; ++xx) {
-      double acc[3] = {0, 0, 0};
-      for (int i = 0; i < n; ++i) {
-        const double* p = tmp.data() + (size_t(start + i) * size + xx) * 3;
-        acc[0] += w[i] * p[0];
-        acc[1] += w[i] * p[1];
-        acc[2] += w[i] * p[2];
+      int base = kHalf;
+      if (kwhite) base += int(white_row[xx]) * kwhite;
+      int ss0 = base, ss1 = base, ss2 = base;
+      for (int y = c0; y < c1; ++y) {
+        const uint8_t* p = tmp.data() + (size_t(y - off_y) * size + xx) * 3;
+        int32_t kv = k[y - ymin];
+        ss0 += p[0] * kv;
+        ss1 += p[1] * kv;
+        ss2 += p[2] * kv;
       }
-      orow[3 * xx] = clip8(acc[0]);
-      orow[3 * xx + 1] = clip8(acc[1]);
-      orow[3 * xx + 2] = clip8(acc[2]);
+      orow[3 * xx] = clip8(ss0);
+      orow[3 * xx + 1] = clip8(ss1);
+      orow[3 * xx + 2] = clip8(ss2);
     }
   }
 }
@@ -380,8 +457,14 @@ int decode_one(const char* path, int size, int pad_to_square, int bilinear,
     ImageU8 raw;
     if (!decode_file(path, &raw, scaled_decode ? size : 0) || raw.w <= 0 || raw.h <= 0)
       return 0;
-    ImageU8 prepared = flatten_and_pad(std::move(raw), pad_to_square != 0);
-    resize_rgb(prepared, size, bilinear != 0, out);
+    ImageU8 rgb = flatten_to_rgb(std::move(raw));
+    if (pad_to_square) {
+      int dim = std::max(rgb.w, rgb.h);
+      resize_canvas_rgb(rgb, dim, dim, (dim - rgb.w) / 2, (dim - rgb.h) / 2,
+                        size, bilinear != 0, out);
+    } else {
+      resize_canvas_rgb(rgb, rgb.w, rgb.h, 0, 0, size, bilinear != 0, out);
+    }
     return 1;
   } catch (...) {
     return 0;

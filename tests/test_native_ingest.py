@@ -18,16 +18,76 @@ def save(tmp_path, name, arr, mode="RGB"):
     return p
 
 
-def test_decode_jpeg_close_to_pil(tmp_path, rng):
+def test_decode_jpeg_bitexact_vs_pil(tmp_path, rng):
     arr = rng.randint(0, 255, (90, 70, 3), dtype=np.uint8)
     p = str(tmp_path / "x.jpg")
     Image.fromarray(arr).save(p, quality=95)
     native = native_ingest.decode_resize(p, 64, pad_to_square=True, bilinear=False)
     pil = load_rgb_square(p, 64, pad_to_square=True)
     assert native is not None
-    diff = np.abs(native.astype(int) - pil.astype(int))
-    # same decode lib underneath; resampling differs in rounding only
-    assert diff.mean() < 3.0, diff.mean()
+    # same decode lib underneath, and the C++ replicates Pillow's fixed-point
+    # Resample.c + paste-mask blend exactly: full decode is bit-identical
+    np.testing.assert_array_equal(native, pil)
+
+
+def _mode_images(rng):
+    """One image per PIL mode family the native decoder accepts."""
+    out = {}
+    out["rgb.jpg"] = (Image.fromarray(rng.randint(0, 255, (101, 67, 3), np.uint8)),
+                      dict(quality=92))
+    out["gray.jpg"] = (Image.fromarray(rng.randint(0, 255, (80, 120), np.uint8), "L"),
+                       dict(quality=90))
+    out["rgb.png"] = (Image.fromarray(rng.randint(0, 255, (60, 100, 3), np.uint8)), {})
+    out["rgba.png"] = (Image.fromarray(rng.randint(0, 255, (64, 100, 4), np.uint8),
+                                       "RGBA"), {})
+    out["la.png"] = (Image.fromarray(rng.randint(0, 255, (50, 70, 2), np.uint8), "LA"),
+                     {})
+    out["pal.png"] = (Image.fromarray(
+        rng.randint(0, 255, (40, 44, 3), np.uint8)).convert("P"), {})
+    # P + tRNS: PIL drops the transparency in convert("RGB"); native must too
+    out["paltrns.png"] = (Image.fromarray(
+        rng.randint(0, 255, (40, 44, 3), np.uint8)).convert("P"),
+        dict(transparency=5))
+    out["gray.png"] = (Image.fromarray(rng.randint(0, 255, (90, 45), np.uint8), "L"),
+                       {})
+    return out
+
+
+@pytest.mark.parametrize("size,pad,bilinear", [
+    (448, True, False),   # tagger path (pad + bicubic)
+    (64, True, False),
+    (384, False, True),   # CCIP path (no pad + bilinear)
+    (600, True, True),    # upscale
+])
+def test_bitexact_vs_pil_all_modes(tmp_path, rng, size, pad, bilinear):
+    resample = Image.BILINEAR if bilinear else Image.BICUBIC
+    for name, (img, kw) in _mode_images(rng).items():
+        p = str(tmp_path / name)
+        img.save(p, **kw)
+        native = native_ingest.decode_resize(p, size, pad_to_square=pad,
+                                             bilinear=bilinear)
+        pil = load_rgb_square(p, size, resample=resample, pad_to_square=pad)
+        assert native is not None, name
+        np.testing.assert_array_equal(native, pil, err_msg=name)
+
+
+def test_identity_size_bitexact(tmp_path, rng):
+    """Canvas == target: PIL's resize degenerates to a copy; so must ours."""
+    arr = rng.randint(0, 255, (64, 40, 3), dtype=np.uint8)
+    p = save(tmp_path, "id.png", arr)
+    native = native_ingest.decode_resize(p, 64, pad_to_square=True, bilinear=False)
+    pil = load_rgb_square(p, 64, pad_to_square=True)
+    np.testing.assert_array_equal(native, pil)
+
+
+def test_16bit_gray_png_declined(tmp_path, rng):
+    """PIL maps 16-bit gray PNG to mode I and convert(RGB) CLAMPS to 255 — a
+    quirk the native path declines rather than replicates (PIL fallback)."""
+    arr = rng.randint(0, 65535, (30, 40), np.uint16)
+    p = str(tmp_path / "g16.png")
+    Image.fromarray(arr, "I;16").save(p)
+    assert native_ingest.decode_resize(p, 32) is None
+    assert load_rgb_square(p, 32) is not None  # the fallback handles it
 
 
 def test_decode_png_rgba_white_flatten(tmp_path):
@@ -83,8 +143,7 @@ def test_matches_pil_bilinear_no_pad(tmp_path, rng):
     pil = np.asarray(
         Image.fromarray(arr).resize((32, 32), resample=Image.BILINEAR), np.uint8
     )
-    diff = np.abs(native.astype(int) - pil.astype(int))
-    assert diff.max() <= 2, diff.max()
+    np.testing.assert_array_equal(native, pil)
 
 
 def test_scaled_decode_close_to_full(tmp_path):
