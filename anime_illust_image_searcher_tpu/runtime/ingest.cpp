@@ -39,11 +39,24 @@
 #include <jpeglib.h>
 #include <png.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#elif defined(__SSE4_1__)
+#include <smmintrin.h>
+#endif
+
 namespace {
 
 struct ImageU8 {
-  int w = 0, h = 0, channels = 0;  // channels: 3 (RGB) or 4 (RGBA)
-  std::vector<uint8_t> data;       // row-major, interleaved
+  // Pixels are ALWAYS 4 bytes (RGBX / RGBA): the fourth lane makes every
+  // per-pixel loop a clean 4-lane SIMD block (the Pillow-SIMD layout),
+  // libjpeg-turbo fills it for free (JCS_EXT_RGBX) and libpng via
+  // png_set_filler. `has_alpha` marks a meaningful A lane (composite onto
+  // white); otherwise the lane is junk and only lanes 0..2 ever reach the
+  // output.
+  int w = 0, h = 0;
+  bool has_alpha = false;
+  std::vector<uint8_t> data;  // row-major, 4 bytes/pixel
 };
 
 // Decompression-bomb guard, mirroring PIL's MAX_IMAGE_PIXELS error threshold
@@ -78,7 +91,11 @@ bool decode_jpeg(FILE* f, ImageU8* out, int min_dim) {
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+#ifdef JCS_EXTENSIONS
+  cinfo.out_color_space = JCS_EXT_RGBX;  // 4-byte pixels straight from turbo
+#else
   cinfo.out_color_space = JCS_RGB;
+#endif
   if (min_dim > 0) {
     // DCT-domain scaled decode (libjpeg scale_num/8): pick the smallest M/8
     // that keeps the LONG side >= min_dim, so the downstream antialiased
@@ -100,12 +117,26 @@ bool decode_jpeg(FILE* f, ImageU8* out, int min_dim) {
   }
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
-  out->channels = 3;
-  out->data.resize(size_t(out->w) * out->h * 3);
+  out->has_alpha = false;
+  out->data.resize(size_t(out->w) * out->h * 4);
+#ifdef JCS_EXTENSIONS
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    uint8_t* row = out->data.data() + size_t(cinfo.output_scanline) * out->w * 4;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
+#else
+  std::vector<uint8_t> row3(size_t(out->w) * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* r3 = row3.data();
+    uint8_t* r4 = out->data.data() + size_t(cinfo.output_scanline) * out->w * 4;
+    jpeg_read_scanlines(&cinfo, &r3, 1);
+    for (int x = 0; x < out->w; ++x) {
+      r4[4 * x] = r3[3 * x];
+      r4[4 * x + 1] = r3[3 * x + 1];
+      r4[4 * x + 2] = r3[3 * x + 2];
+    }
+  }
+#endif
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return true;
@@ -158,16 +189,23 @@ bool decode_png(FILE* f, ImageU8* out) {
   // reference, tagging.py:100-113) never composites tRNS pixels onto white.
   if (color_type == PNG_COLOR_TYPE_GRAY || color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
+  bool has_alpha = color_type == PNG_COLOR_TYPE_RGB_ALPHA ||
+                   color_type == PNG_COLOR_TYPE_GRAY_ALPHA;
+  if (!has_alpha)
+    png_set_filler(png, 0xFF, PNG_FILLER_AFTER);  // 4-byte RGBX rows
   png_read_update_info(png, info);
 
-  int channels = png_get_channels(png, info);
+  if (png_get_channels(png, info) != 4) {  // defensive: should be unreachable
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   out->w = int(w);
   out->h = int(h);
-  out->channels = channels;
-  out->data.resize(size_t(w) * h * channels);
+  out->has_alpha = has_alpha;
+  out->data.resize(size_t(w) * h * 4);
   rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y)
-    rows[y] = out->data.data() + size_t(y) * w * channels;
+    rows[y] = out->data.data() + size_t(y) * w * 4;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
   return true;
@@ -199,23 +237,18 @@ inline uint32_t muldiv255(uint32_t a, uint32_t b) {
   return (t + (t >> 8)) >> 8;
 }
 
-ImageU8 flatten_to_rgb(ImageU8&& img) {
-  if (img.channels == 3) return std::move(img);  // steal the buffer
-  ImageU8 rgb;
-  rgb.channels = 3;
-  rgb.w = img.w;
-  rgb.h = img.h;
-  rgb.data.resize(size_t(img.w) * img.h * 3);
-  const uint8_t* src = img.data.data();
-  uint8_t* dst = rgb.data.data();
-  size_t n = size_t(img.w) * img.h;
-  for (size_t i = 0; i < n; ++i) {
-    uint32_t a = src[4 * i + 3];
+void flatten_onto_white(ImageU8* img) {
+  if (!img->has_alpha) return;
+  uint8_t* p = img->data.data();
+  size_t n = size_t(img->w) * img->h;
+  for (size_t i = 0; i < n; ++i, p += 4) {
+    uint32_t a = p[3];
     uint32_t bg = muldiv255(255u, 255u - a);  // white background share
-    for (int c = 0; c < 3; ++c)
-      dst[3 * i + c] = uint8_t(bg + muldiv255(src[4 * i + c], a));
+    p[0] = uint8_t(bg + muldiv255(p[0], a));
+    p[1] = uint8_t(bg + muldiv255(p[1], a));
+    p[2] = uint8_t(bg + muldiv255(p[2], a));
   }
-  return rgb;
+  img->has_alpha = false;
 }
 
 // ---------------------------------------------------------------------------
@@ -307,8 +340,12 @@ Plan make_plan(int in_size, int out_size, const Filter& filt) {
 }
 
 // Resize a virtual (canvas_w, canvas_h) white canvas holding `img` at offset
-// (off_x, off_y) down/up to (size, size) RGB uint8. canvas == img for the
-// no-pad path; canvas = max(w,h) square for the tagger's pad-to-square path.
+// (off_x, off_y) down/up to (size, size) RGB uint8 (3 bytes/px — the X lane
+// is dropped on emit). canvas == img for the no-pad path; canvas = max(w,h)
+// square for the tagger's pad-to-square path. Both passes run 4 lanes wide
+// over the RGBX pixels so -O3 auto-vectorizes them; the vertical pass is a
+// row-wide saxpy. The per-channel arithmetic is unchanged from Pillow's, so
+// the lane restructuring cannot move a single output bit.
 void resize_canvas_rgb(const ImageU8& img, int canvas_w, int canvas_h,
                        int off_x, int off_y, int size, bool bilinear,
                        uint8_t* out) {
@@ -316,17 +353,23 @@ void resize_canvas_rgb(const ImageU8& img, int canvas_w, int canvas_h,
   if (canvas_w == size && canvas_h == size) {
     // identity resize: PIL returns a plain copy of the padded canvas
     std::memset(out, 255, size_t(size) * size * 3);
-    for (int y = 0; y < h; ++y)
-      std::memcpy(out + (size_t(y + off_y) * size + off_x) * 3,
-                  img.data.data() + size_t(y) * w * 3, size_t(w) * 3);
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* p = img.data.data() + size_t(y) * w * 4;
+      uint8_t* o = out + (size_t(y + off_y) * size + off_x) * 3;
+      for (int x = 0; x < w; ++x, p += 4, o += 3) {
+        o[0] = p[0];
+        o[1] = p[1];
+        o[2] = p[2];
+      }
+    }
     return;
   }
   Filter filt = bilinear ? Filter{1.0, triangle} : Filter{2.0, keys_cubic};
   Plan px = make_plan(canvas_w, size, filt);
   Plan py = make_plan(canvas_h, size, filt);
 
-  // Horizontal pass over content rows only -> uint8 intermediate (h, size, 3).
-  std::vector<uint8_t> tmp(size_t(h) * size * 3);
+  // Horizontal pass over content rows only -> uint8 RGBX intermediate.
+  std::vector<uint8_t> tmp(size_t(h) * size * 4);
   // What an all-white canvas row resolves to through this pass (used for the
   // virtual pad rows in the vertical pass). All channels equal.
   std::vector<uint8_t> white_row(size);
@@ -335,44 +378,96 @@ void resize_canvas_rgb(const ImageU8& img, int canvas_w, int canvas_h,
       white_row[xx] = clip8(kHalf + 255 * px.ksum[xx]);
 
   for (int y = 0; y < h; ++y) {
-    const uint8_t* row = img.data.data() + size_t(y) * w * 3;
-    uint8_t* trow = tmp.data() + size_t(y) * size * 3;
+    const uint8_t* row = img.data.data() + size_t(y) * w * 4;
+    uint8_t* trow = tmp.data() + size_t(y) * size * 4;
     for (int xx = 0; xx < size; ++xx) {
       const int32_t* k = px.k.data() + size_t(xx) * px.ksize;
       int xmin = px.bounds[2 * xx], n = px.bounds[2 * xx + 1];
-      int ss0 = kHalf, ss1 = kHalf, ss2 = kHalf;
+      int ss0 = kHalf, ss1 = kHalf, ss2 = kHalf, ss3 = kHalf;
       if (xmin >= off_x && xmin + n <= off_x + w) {
         // fast path: the whole window lies inside the content
-        const uint8_t* p = row + size_t(xmin - off_x) * 3;
-        for (int i = 0; i < n; ++i, p += 3) {
-          ss0 += p[0] * k[i];
-          ss1 += p[1] * k[i];
-          ss2 += p[2] * k[i];
+        const uint8_t* p = row + size_t(xmin - off_x) * 4;
+#if defined(__AVX2__)
+        // two taps per iteration: 8 pixel bytes widen to 8 int32 lanes, the
+        // two coefficients broadcast 4x each via one permute. The across-tap
+        // reduction gcc picks on its own is strided and slower.
+        const __m256i kidx = _mm256_setr_epi32(0, 0, 0, 0, 1, 1, 1, 1);
+        __m256i vacc2 = _mm256_setzero_si256();
+        int i = 0;
+        for (; i + 1 < n; i += 2, p += 8) {
+          __m256i pix = _mm256_cvtepu8_epi32(
+              _mm_loadl_epi64(reinterpret_cast<const __m128i*>(p)));
+          __m256i kk = _mm256_permutevar8x32_epi32(
+              _mm256_castsi128_si256(
+                  _mm_loadl_epi64(reinterpret_cast<const __m128i*>(k + i))),
+              kidx);
+          vacc2 = _mm256_add_epi32(vacc2, _mm256_mullo_epi32(pix, kk));
         }
+        __m128i vacc = _mm_add_epi32(_mm256_castsi256_si128(vacc2),
+                                     _mm256_extracti128_si256(vacc2, 1));
+        vacc = _mm_add_epi32(vacc, _mm_set1_epi32(kHalf));
+        if (i < n) {  // odd tail tap
+          __m128i pix = _mm_cvtepu8_epi32(
+              _mm_cvtsi32_si128(*reinterpret_cast<const int*>(p)));
+          vacc = _mm_add_epi32(vacc, _mm_mullo_epi32(pix, _mm_set1_epi32(k[i])));
+        }
+        alignas(16) int32_t lanes[4];
+        _mm_store_si128(reinterpret_cast<__m128i*>(lanes), vacc);
+        ss0 = lanes[0];
+        ss1 = lanes[1];
+        ss2 = lanes[2];
+        ss3 = lanes[3];
+#elif defined(__SSE4_1__)
+        // one (load, widen, mul, add) per tap covers all 4 lanes
+        __m128i vacc = _mm_set1_epi32(kHalf);
+        for (int i = 0; i < n; ++i, p += 4) {
+          __m128i pix = _mm_cvtepu8_epi32(
+              _mm_cvtsi32_si128(*reinterpret_cast<const int*>(p)));
+          vacc = _mm_add_epi32(vacc, _mm_mullo_epi32(pix, _mm_set1_epi32(k[i])));
+        }
+        alignas(16) int32_t lanes[4];
+        _mm_store_si128(reinterpret_cast<__m128i*>(lanes), vacc);
+        ss0 = lanes[0];
+        ss1 = lanes[1];
+        ss2 = lanes[2];
+        ss3 = lanes[3];
+#else
+        for (int i = 0; i < n; ++i, p += 4) {
+          int32_t kv = k[i];
+          ss0 += p[0] * kv;
+          ss1 += p[1] * kv;
+          ss2 += p[2] * kv;
+          ss3 += p[3] * kv;
+        }
+#endif
       } else {
         // window crosses the virtual white border
         for (int i = 0; i < n; ++i) {
           int x = xmin + i - off_x;
+          int32_t kv = k[i];
           if (x >= 0 && x < w) {
-            const uint8_t* p = row + size_t(x) * 3;
-            ss0 += p[0] * k[i];
-            ss1 += p[1] * k[i];
-            ss2 += p[2] * k[i];
+            const uint8_t* p = row + size_t(x) * 4;
+            ss0 += p[0] * kv;
+            ss1 += p[1] * kv;
+            ss2 += p[2] * kv;
           } else {
-            int add = 255 * k[i];
+            int add = 255 * kv;
             ss0 += add;
             ss1 += add;
             ss2 += add;
           }
         }
       }
-      trow[3 * xx] = clip8(ss0);
-      trow[3 * xx + 1] = clip8(ss1);
-      trow[3 * xx + 2] = clip8(ss2);
+      trow[4 * xx] = clip8(ss0);
+      trow[4 * xx + 1] = clip8(ss1);
+      trow[4 * xx + 2] = clip8(ss2);
+      trow[4 * xx + 3] = clip8(ss3);  // junk lane, never emitted
     }
   }
 
-  // Vertical pass: taps on virtual pad rows read white_row[xx].
+  // Vertical pass as a row-wide saxpy over the RGBX intermediate; virtual pad
+  // rows contribute white_row[xx] * (their total weight) to the init.
+  std::vector<int32_t> acc(size_t(size) * 4);
   for (int yy = 0; yy < size; ++yy) {
     const int32_t* k = py.k.data() + size_t(yy) * py.ksize;
     int ymin = py.bounds[2 * yy], n = py.bounds[2 * yy + 1];
@@ -382,21 +477,24 @@ void resize_canvas_rgb(const ImageU8& img, int canvas_w, int canvas_h,
       int y = ymin + i;
       if (y < off_y || y >= off_y + h) kwhite += k[i];
     }
-    int c0 = std::max(ymin, off_y), c1 = std::min(ymin + n, off_y + h);
-    for (int xx = 0; xx < size; ++xx) {
-      int base = kHalf;
-      if (kwhite) base += int(white_row[xx]) * kwhite;
-      int ss0 = base, ss1 = base, ss2 = base;
-      for (int y = c0; y < c1; ++y) {
-        const uint8_t* p = tmp.data() + (size_t(y - off_y) * size + xx) * 3;
-        int32_t kv = k[y - ymin];
-        ss0 += p[0] * kv;
-        ss1 += p[1] * kv;
-        ss2 += p[2] * kv;
+    if (kwhite) {
+      for (int xx = 0; xx < size; ++xx) {
+        int32_t base = kHalf + int32_t(white_row[xx]) * kwhite;
+        acc[4 * xx] = acc[4 * xx + 1] = acc[4 * xx + 2] = acc[4 * xx + 3] = base;
       }
-      orow[3 * xx] = clip8(ss0);
-      orow[3 * xx + 1] = clip8(ss1);
-      orow[3 * xx + 2] = clip8(ss2);
+    } else {
+      std::fill(acc.begin(), acc.end(), kHalf);
+    }
+    int c0 = std::max(ymin, off_y), c1 = std::min(ymin + n, off_y + h);
+    for (int y = c0; y < c1; ++y) {
+      const uint8_t* trow = tmp.data() + size_t(y - off_y) * size * 4;
+      int32_t kv = k[y - ymin];
+      for (int j = 0; j < size * 4; ++j) acc[j] += trow[j] * kv;
+    }
+    for (int xx = 0; xx < size; ++xx) {
+      orow[3 * xx] = clip8(acc[4 * xx]);
+      orow[3 * xx + 1] = clip8(acc[4 * xx + 1]);
+      orow[3 * xx + 2] = clip8(acc[4 * xx + 2]);
     }
   }
 }
@@ -457,13 +555,13 @@ int decode_one(const char* path, int size, int pad_to_square, int bilinear,
     ImageU8 raw;
     if (!decode_file(path, &raw, scaled_decode ? size : 0) || raw.w <= 0 || raw.h <= 0)
       return 0;
-    ImageU8 rgb = flatten_to_rgb(std::move(raw));
+    flatten_onto_white(&raw);
     if (pad_to_square) {
-      int dim = std::max(rgb.w, rgb.h);
-      resize_canvas_rgb(rgb, dim, dim, (dim - rgb.w) / 2, (dim - rgb.h) / 2,
+      int dim = std::max(raw.w, raw.h);
+      resize_canvas_rgb(raw, dim, dim, (dim - raw.w) / 2, (dim - raw.h) / 2,
                         size, bilinear != 0, out);
     } else {
-      resize_canvas_rgb(rgb, rgb.w, rgb.h, 0, 0, size, bilinear != 0, out);
+      resize_canvas_rgb(raw, raw.w, raw.h, 0, 0, size, bilinear != 0, out);
     }
     return 1;
   } catch (...) {
