@@ -162,6 +162,10 @@ bool decode_png(FILE* f, ImageU8* out) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
+  // Skip chunk-CRC verification: it never changes decoded pixels, and a
+  // corrupt stream still fails in inflate (zlib's own adler check). Saves a
+  // full pass of CRC arithmetic over every IDAT byte.
+  png_set_crc_action(png, PNG_CRC_QUIET_USE, PNG_CRC_QUIET_USE);
   png_init_io(png, f);
   png_read_info(png, info);
 
