@@ -31,9 +31,10 @@ DEVICE_RATE = 144.0  # img/s/chip, BENCH_r02
 RESOLUTIONS = [(1024, 1448), (1536, 2048), (868, 1228)]
 
 
-def make_corpus(directory: str, n: int) -> list:
-    """Synthetic JPEGs with smooth structure (noise JPEGs decode unrealistically
-    slowly — real illustrations are mostly smooth regions + edges)."""
+def make_corpus(directory: str, n: int, ext: str = "jpg") -> list:
+    """Synthetic JPEGs/PNGs with smooth structure (noise images decode
+    unrealistically slowly — real illustrations are mostly smooth regions +
+    edges)."""
     import numpy as np
     from PIL import Image
 
@@ -48,9 +49,9 @@ def make_corpus(directory: str, n: int) -> list:
             127 + 120 * np.sin((xx + yy) / 60),
         ], axis=-1)
         img += rng.randn(h, w, 3) * 8  # mild texture
-        path = os.path.join(directory, f"img_{i:04d}.jpg")
-        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
-            path, quality=92)
+        path = os.path.join(directory, f"img_{i:04d}.{ext}")
+        arr = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+        arr.save(path, quality=92) if ext == "jpg" else arr.save(path)
         paths.append(path)
     return paths
 
@@ -131,6 +132,12 @@ def main() -> None:
             result["native_scaled"][str(w)] = round(
                 bench_native(paths, args.size, w, scaled=True), 1)
         result["scaled_vs_full_pixel_delta"] = scaled_delta(paths, args.size)
+        # PNG sizing (anime corpora are heavily PNG; no scaled-decode analog
+        # exists — zlib inflate must run in full). Single worker: the sizing
+        # number is per-core.
+        png_paths = make_corpus(directory, max(8, args.n // 4), ext="png")
+        result["native_png_img_s_per_core"] = round(
+            bench_native(png_paths, args.size, 1, scaled=False), 1)
         # per-core rate from the smallest measured worker count (thread sweeps
         # saturate at the machine's core count; per-core is the sizing number)
         for key, label in (("native", "cores_needed_full"),
