@@ -80,6 +80,41 @@ def test_identity_size_bitexact(tmp_path, rng):
     np.testing.assert_array_equal(native, pil)
 
 
+def test_bitexact_fuzz_random_geometry(tmp_path, rng):
+    """Seeded differential fuzz: random sizes/modes/targets, native == PIL
+    bit-for-bit (incl. 1-pixel images and extreme aspect ratios)."""
+    for trial in range(24):
+        w = int(rng.randint(1, 160))
+        h = int(rng.randint(1, 160))
+        mode_pick = trial % 4
+        if mode_pick == 0:
+            img = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+            name, kw = f"f{trial}.jpg", dict(quality=int(rng.randint(60, 99)))
+        elif mode_pick == 1:
+            img = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+            name, kw = f"f{trial}.png", {}
+        elif mode_pick == 2:
+            img = Image.fromarray(rng.randint(0, 255, (h, w, 4), np.uint8), "RGBA")
+            name, kw = f"f{trial}.png", {}
+        else:
+            img = Image.fromarray(rng.randint(0, 255, (h, w), np.uint8), "L")
+            name, kw = f"f{trial}.png", {}
+        p = str(tmp_path / name)
+        img.save(p, **kw)
+        size = int(rng.randint(8, 512))
+        pad = bool(rng.randint(2))
+        bil = bool(rng.randint(2))
+        native = native_ingest.decode_resize(p, size, pad_to_square=pad,
+                                             bilinear=bil)
+        pil = load_rgb_square(p, size,
+                              resample=Image.BILINEAR if bil else Image.BICUBIC,
+                              pad_to_square=pad)
+        assert native is not None
+        np.testing.assert_array_equal(
+            native, pil,
+            err_msg=f"trial={trial} {w}x{h} size={size} pad={pad} bil={bil}")
+
+
 def test_16bit_gray_png_declined(tmp_path, rng):
     """PIL maps 16-bit gray PNG to mode I and convert(RGB) CLAMPS to 255 — a
     quirk the native path declines rather than replicates (PIL fallback)."""
