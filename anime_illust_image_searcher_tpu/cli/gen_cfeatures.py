@@ -152,6 +152,9 @@ def main(arg_str: list) -> None:
                         help="shard feature batches across all visible chips")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the run to DIR")
+    parser.add_argument("--decode-workers", type=int, default=None,
+                        help="host decode threads (default 8, clamped to the "
+                             "core count; raise on many-core TPU-VM hosts)")
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.ccip
@@ -159,6 +162,12 @@ def main(arg_str: list) -> None:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.decode_workers is not None:
+        if args.decode_workers < 1:
+            parser.error(f"--decode-workers must be >= 1, got {args.decode_workers}")
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, decode_workers=args.decode_workers)
 
     model_dir = args.model_dir
     if model_dir is None and args.model_repo:

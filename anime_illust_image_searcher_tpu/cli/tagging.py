@@ -120,6 +120,9 @@ def main(arg_str: list) -> None:
                              "ingest (bench_ingest.py), pixels differ slightly "
                              "from the full-decode path (mean ~1.4/255); same "
                              "as AIIS_SCALED_DECODE=1")
+    parser.add_argument("--decode-workers", type=int, default=None,
+                        help="host decode threads (default 8, clamped to the "
+                             "core count; raise on many-core TPU-VM hosts)")
     args = parser.parse_args(arg_str)
     if args.scaled_decode:
         import os as _os
@@ -133,6 +136,12 @@ def main(arg_str: list) -> None:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.decode_workers is not None:
+        if args.decode_workers < 1:
+            parser.error(f"--decode-workers must be >= 1, got {args.decode_workers}")
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, decode_workers=args.decode_workers)
 
     mesh = None
     if args.data_parallel:

@@ -115,3 +115,13 @@ def test_extension_filter(tmp_cwd):
     (tmp_cwd / "imgs" / "raw.webp").write_bytes(b"x")
     run_dir(str(tmp_cwd / "imgs"))
     assert len(read_lines()) == 2
+
+
+def test_decode_workers_flag_validated(tmp_cwd):
+    """--decode-workers rejects non-positive values before any model work."""
+    from anime_illust_image_searcher_tpu.cli import gen_cfeatures as gcf
+
+    with pytest.raises(SystemExit):
+        tagging.main(["--dir", str(tmp_cwd), "--decode-workers", "0"])
+    with pytest.raises(SystemExit):
+        gcf.main(["--dir", str(tmp_cwd), "--decode-workers", "-2"])
