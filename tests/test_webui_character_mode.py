@@ -76,7 +76,7 @@ def server_url(tmp_path_factory):
         # in finally: a failure during fixture setup (after load() started the
         # warmup thread) must still join it — exiting mid-compile crashes teardown
         if ui is not None:
-            ui.close()
+            ui.close(timeout=120)  # bounded: a hung warmup must not hang the suite
         os.chdir(cwd)
 
 
