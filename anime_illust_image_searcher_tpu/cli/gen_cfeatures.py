@@ -158,7 +158,9 @@ def main(arg_str: list) -> None:
     args = parser.parse_args(arg_str)
 
     cfg = DEFAULT_CONFIG.ccip
-    if args.batch_size:
+    if args.batch_size is not None:
+        if args.batch_size < 1:
+            parser.error(f"--batch-size must be >= 1, got {args.batch_size}")
         import dataclasses
 
         cfg = dataclasses.replace(cfg, batch_size=args.batch_size)

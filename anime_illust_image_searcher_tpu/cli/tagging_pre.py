@@ -94,14 +94,20 @@ def main(arg_str: List[str]) -> None:
     parser.add_argument("--dir", nargs=1, required=True, help="precomputed tensor directory")
     parser.add_argument("--model-dir", default=None, help="local converted checkpoint dir")
     parser.add_argument("--batch-size", type=int, default=DEFAULT_BATCH)
+    parser.add_argument("--decode-workers", type=int, default=None,
+                        help="host load threads (default 8, clamped to the "
+                             "core count; raise on many-core TPU-VM hosts)")
     args = parser.parse_args(arg_str)
     if args.batch_size < 1:
         parser.error(f"--batch-size must be >= 1, got {args.batch_size}")
+    if args.decode_workers is not None and args.decode_workers < 1:
+        parser.error(f"--decode-workers must be >= 1, got {args.decode_workers}")
 
     import dataclasses
 
     cfg: TaggerConfig = dataclasses.replace(
-        DEFAULT_CONFIG.tagger, batch_size=args.batch_size
+        DEFAULT_CONFIG.tagger, batch_size=args.batch_size,
+        decode_workers=args.decode_workers or DEFAULT_CONFIG.tagger.decode_workers,
     )
     predictor = TaggerPredictor(config=cfg, model_dir=args.model_dir)
     predictor.load_model()

@@ -162,10 +162,12 @@ bool decode_png(FILE* f, ImageU8* out) {
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
-  // Skip chunk-CRC verification: it never changes decoded pixels, and a
-  // corrupt stream still fails in inflate (zlib's own adler check). Saves a
-  // full pass of CRC arithmetic over every IDAT byte.
-  png_set_crc_action(png, PNG_CRC_QUIET_USE, PNG_CRC_QUIET_USE);
+  // NOTE: chunk-CRC verification stays ON. Skipping it (PNG_CRC_QUIET_USE)
+  // measures ~11% faster, but the critical-chunk action also covers
+  // PLTE/tRNS/IHDR, which zlib's adler check does NOT protect — a corrupt
+  // palette would then decode to silently wrong colors where PIL (and the
+  // decline→PIL-fallback contract) rejects the file. No API granularity
+  // exists to skip only IDAT CRCs, so correctness wins.
   png_init_io(png, f);
   png_read_info(png, info);
 

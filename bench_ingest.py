@@ -51,7 +51,7 @@ def make_corpus(directory: str, n: int, ext: str = "jpg") -> list:
         img += rng.randn(h, w, 3) * 8  # mild texture
         path = os.path.join(directory, f"img_{i:04d}.{ext}")
         arr = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
-        arr.save(path, quality=92) if ext == "jpg" else arr.save(path)
+        arr.save(path, **({"quality": 92} if ext == "jpg" else {}))
         paths.append(path)
     return paths
 

@@ -38,8 +38,10 @@ def _mode_images(rng):
     out["gray.jpg"] = (Image.fromarray(rng.randint(0, 255, (80, 120), np.uint8), "L"),
                        dict(quality=90))
     out["rgb.png"] = (Image.fromarray(rng.randint(0, 255, (60, 100, 3), np.uint8)), {})
-    out["rgba.png"] = (Image.fromarray(rng.randint(0, 255, (64, 100, 4), np.uint8),
-                                       "RGBA"), {})
+    rgba = rng.randint(0, 256, (64, 100, 4), np.uint8)
+    rgba[0, :, 3] = 255  # fully-opaque row: the blend's boundary case
+    rgba[1, :, 3] = 0    # fully-transparent row
+    out["rgba.png"] = (Image.fromarray(rgba, "RGBA"), {})
     out["la.png"] = (Image.fromarray(rng.randint(0, 255, (50, 70, 2), np.uint8), "LA"),
                      {})
     out["pal.png"] = (Image.fromarray(
@@ -88,16 +90,16 @@ def test_bitexact_fuzz_random_geometry(tmp_path, rng):
         h = int(rng.randint(1, 160))
         mode_pick = trial % 4
         if mode_pick == 0:
-            img = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+            img = Image.fromarray(rng.randint(0, 256, (h, w, 3), np.uint8))
             name, kw = f"f{trial}.jpg", dict(quality=int(rng.randint(60, 99)))
         elif mode_pick == 1:
-            img = Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8))
+            img = Image.fromarray(rng.randint(0, 256, (h, w, 3), np.uint8))
             name, kw = f"f{trial}.png", {}
         elif mode_pick == 2:
-            img = Image.fromarray(rng.randint(0, 255, (h, w, 4), np.uint8), "RGBA")
+            img = Image.fromarray(rng.randint(0, 256, (h, w, 4), np.uint8), "RGBA")
             name, kw = f"f{trial}.png", {}
         else:
-            img = Image.fromarray(rng.randint(0, 255, (h, w), np.uint8), "L")
+            img = Image.fromarray(rng.randint(0, 256, (h, w), np.uint8), "L")
             name, kw = f"f{trial}.png", {}
         p = str(tmp_path / name)
         img.save(p, **kw)
@@ -228,3 +230,18 @@ def test_stale_abi_so_is_refused(tmp_path, monkeypatch):
     # still lacks the symbol -> must refuse, not call through
     assert native_ingest.get_lib() is None
     assert native_ingest._load_failed
+
+
+def test_corrupt_plte_rejected_like_pil(tmp_path, rng):
+    """A bit-flipped PLTE byte must FAIL native decode (CRC check), matching
+    PIL's rejection — never silently decode wrong colors (decline→fallback
+    contract; see the CRC note in runtime/ingest.cpp)."""
+    p = str(tmp_path / "pal.png")
+    Image.fromarray(rng.randint(0, 256, (24, 24, 3), np.uint8)).convert("P").save(p)
+    data = bytearray(open(p, "rb").read())
+    i = data.find(b"PLTE")
+    assert i > 0
+    data[i + 10] ^= 0xFF  # corrupt a palette byte, leave the stored CRC stale
+    open(p, "wb").write(bytes(data))
+    assert native_ingest.decode_resize(p, 32) is None
+    assert load_rgb_square(p, 32) is None  # PIL rejects it too

@@ -76,7 +76,9 @@ def server_url(tmp_path_factory):
         # in finally: a failure during fixture setup (after load() started the
         # warmup thread) must still join it — exiting mid-compile crashes teardown
         if ui is not None:
-            ui.close(timeout=120)  # bounded: a hung warmup must not hang the suite
+            ui.close(timeout=120)  # bounded: a hung warmup must not hang the
+            # suite. Safe margin: conftest pins JAX_PLATFORMS=cpu, where these
+            # warmup compiles take seconds; close() warns if the timeout fires.
         os.chdir(cwd)
 
 
