@@ -23,7 +23,7 @@ from typing import List, Optional
 import numpy as np
 
 from ...config import DEFAULT_CONFIG
-from ...data.ingest import list_files_recursive, load_rgb_square
+from ...data.ingest import decode_rgb_square, list_files_recursive
 from ...utils.errors import format_error, print_traceback
 from ...utils.progress import ProgressMeter
 
@@ -52,7 +52,7 @@ class Predictor:
 
     def convert_one(self, file_path: str) -> bool:
         try:
-            arr = load_rgb_square(file_path, self.size, pad_to_square=True)
+            arr = decode_rgb_square(file_path, self.size, pad_to_square=True)
             if arr is None:
                 return False
             return self.save_array(arr, file_path)

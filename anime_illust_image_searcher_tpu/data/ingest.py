@@ -107,6 +107,27 @@ def load_rgb_square(file_path: str, size: int, resample: int = Image.BICUBIC,
         return None
 
 
+def decode_rgb_square(file_path: str, size: int, resample: int = Image.BICUBIC,
+                      pad_to_square: bool = True) -> Optional[np.ndarray]:
+    """``load_rgb_square`` through the native decoder when available — the
+    single-image analog of PrefetchLoader's native path. Output is
+    bit-identical to the PIL loader (tests/test_native_ingest.py) at ~1.7x
+    the speed; images the native path declines (CMYK JPEG, 16-bit gray PNG)
+    and genuine failures fall through to PIL, which keeps the per-image
+    skip semantics."""
+    if resample in (Image.BILINEAR, Image.BICUBIC):
+        from . import native_ingest
+
+        if native_ingest.available():
+            arr = native_ingest.decode_resize(
+                file_path, size, pad_to_square=pad_to_square,
+                bilinear=resample == Image.BILINEAR)
+            if arr is not None:
+                return arr
+    return load_rgb_square(file_path, size, resample=resample,
+                           pad_to_square=pad_to_square)
+
+
 @dataclass
 class Batch:
     """A fixed-size host batch. ``valid`` marks real rows; the rest is padding."""

@@ -227,10 +227,13 @@ class CCIPPredictor:
 
     def gen_image_ndarray(self, file_path: str) -> Optional[np.ndarray]:
         """Decode one file to the CCIP input: white-flattened RGB, bilinear 384²
-        (gen_cfeatures.py:285-295). Returns uint8 HWC; normalization is on device."""
+        (gen_cfeatures.py:285-295). Returns uint8 HWC; normalization is on device.
+        Native decoder when available (bit-identical, faster) with PIL fallback."""
         from PIL import Image
 
-        return load_rgb_square(
+        from ..data.ingest import decode_rgb_square
+
+        return decode_rgb_square(
             file_path, self.config.image_size, resample=Image.BILINEAR,
             pad_to_square=False,
         )
