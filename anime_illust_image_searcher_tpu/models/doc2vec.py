@@ -29,6 +29,7 @@ TPU-first deviations (documented in QUIRKS.md):
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import pickle
 from dataclasses import dataclass, field
@@ -451,6 +452,17 @@ class Doc2VecModel:
         n_docs, dim = len(corpus_ids), cfg.vector_size
         words_np, mask_np = pad_corpus(corpus_ids, cfg.max_doc_len)
 
+        # Snapshot identity: a resumable checkpoint must come from THIS
+        # (cfg, corpus) — shape checks alone silently resumed a snapshot from
+        # a different epoch target / seed / same-sized other corpus, and with
+        # a reduced epoch count returned the stale snapshot as the "finished"
+        # model without training at all.
+        fp_h = hashlib.blake2b(digest_size=16)
+        fp_h.update(repr(cfg).encode())
+        fp_h.update(np.int64(n_docs).tobytes())
+        fp_h.update(words_np.tobytes())
+        ckpt_fp = fp_h.hexdigest()
+
         rng = np.random.RandomState(cfg.seed)
         docvecs = jnp.asarray(
             (rng.rand(n_docs, dim).astype(np.float32) - 0.5) / dim
@@ -479,11 +491,17 @@ class Doc2VecModel:
         ckpt_file = (checkpoint_path + ".ckpt.npz") if checkpoint_path else None
         if ckpt_file and os.path.exists(ckpt_file):
             snap = np.load(ckpt_file)
-            if snap["docvecs"].shape == docvecs.shape and snap["syn1"].shape == syn1.shape:
+            if ("fp" in snap.files and str(snap["fp"]) == ckpt_fp
+                    and snap["docvecs"].shape == docvecs.shape
+                    and snap["syn1"].shape == syn1.shape
+                    and 0 < int(snap["epoch"]) < cfg.epochs):
                 docvecs = jnp.asarray(snap["docvecs"])
                 syn1 = jnp.asarray(snap["syn1"])
                 start_epoch = int(snap["epoch"])
                 print(f"doc2vec: resumed from {ckpt_file} at epoch {start_epoch}")
+            else:
+                print(f"doc2vec: ignoring {ckpt_file} (different config/corpus, "
+                      "or epoch out of range) — training from scratch")
 
         doc_idx_b = jnp.asarray(doc_index.reshape(n_batches, batch_size))
         words_b = words_all.reshape(n_batches, batch_size, cfg.max_doc_len)
@@ -551,7 +569,7 @@ class Doc2VecModel:
                 print(f"doc2vec epoch {epoch}/{cfg.epochs}")
             if ckpt_file and checkpoint_every and epoch % checkpoint_every == 0:
                 np.savez(ckpt_file, docvecs=np.asarray(docvecs),
-                         syn1=np.asarray(syn1), epoch=epoch)
+                         syn1=np.asarray(syn1), epoch=epoch, fp=ckpt_fp)
         if ckpt_file and os.path.exists(ckpt_file):
             os.remove(ckpt_file)  # training completed; snapshot no longer needed
 
@@ -577,12 +595,19 @@ class Doc2VecModel:
         Doc2Vec inference collapses to row lookups (serving-latency path). Cached in
         the pickled model after first computation.
         """
+        # identity-keyed like _device_consts: swapping syn1neg/vocab arrays in
+        # place must invalidate, or stale tag vectors silently skew rankings
+        key = (self.syn1neg, self.vocab.keep_prob, self.vocab.cum_table)
         cached = self._infer_cache.get("tag_vectors")
-        if cached is not None and cached.shape[0] == len(self.vocab) + 1:
+        ckey = self._infer_cache.get("tag_vectors_key")
+        if (cached is not None and cached.shape[0] == len(self.vocab) + 1
+                and ckey is not None and len(ckey) == len(key)
+                and all(a is b for a, b in zip(ckey, key))):
             return cached
         docs = [[t] for t in self.vocab.tokens] + [[]]  # [] -> OOV/empty vector
         vectors = self.infer_vectors(docs)
         self._infer_cache["tag_vectors"] = vectors
+        self._infer_cache["tag_vectors_key"] = key
         return vectors
 
     def tag_vector(self, token: str) -> np.ndarray:
@@ -598,6 +623,9 @@ class Doc2VecModel:
 
     def _len_bucket(self, n_ids: int) -> int:
         for lb in self._LEN_BUCKETS:
+            if lb > self.cfg.max_doc_len:
+                break  # a bucket wider than max_doc_len would let mid-length
+                # docs keep MORE tags than training (or longer docs) ever saw
             if n_ids <= lb:
                 return lb
         return self.cfg.max_doc_len
@@ -608,10 +636,12 @@ class Doc2VecModel:
         the (V, dim) syn1 matrix was pure H2D waste). Lives only in the in-memory
         cache; ``save`` pickles explicit keys, so this never hits disk."""
         # validity key covers ALL mirrored host arrays, not just syn1neg —
-        # replacing vocab.keep_prob/cum_table alone must invalidate (ADVICE r2).
+        # replacing vocab.keep_prob/cum_table alone must invalidate (ADVICE r2)
+        # — AND the mesh: consts uploaded before model.mesh was assigned are
+        # process-local arrays that cannot mix with globally-sharded inputs.
         # The cache holds strong refs to the keyed arrays, so `is` is sound
         # (no id-reuse hazard).
-        key = (self.syn1neg, self.vocab.keep_prob, self.vocab.cum_table)
+        key = (self.syn1neg, self.vocab.keep_prob, self.vocab.cum_table, self.mesh)
         cached = self._infer_cache.get("device_consts")
         if cached is not None and all(a is b for a, b in zip(cached[0], key)):
             return cached[1]
@@ -649,13 +679,18 @@ class Doc2VecModel:
             groups.setdefault(self._len_bucket(len(d)), []).append(pos)
         chunk = self._INFER_BUCKETS[-1]
         for len_bucket, positions in groups.items():
-            if len(positions) > chunk:
-                # Index-build-sized group: one scan-fused device program for the
-                # whole group instead of one dispatch per 512-doc chunk.
-                out[positions] = self._infer_group_scan(
-                    [ids[p] for p in positions], chunk, epochs, len_bucket
+            # Index-build-sized group: one scan-fused device program for the
+            # FULL chunks; the (< chunk) remainder rides the bucketed path
+            # below instead of padding a whole extra chunk of empty docs whose
+            # negative-sampling gathers run at full width (per-doc seeding
+            # makes vectors batch-invariant, so the split is result-identical).
+            full = (len(positions) // chunk) * chunk
+            if full:
+                sel = positions[:full]
+                out[sel] = self._infer_group_scan(
+                    [ids[p] for p in sel], chunk, epochs, len_bucket
                 )
-                continue
+                positions = positions[full:]
             start = 0
             while start < len(positions):
                 remaining = len(positions) - start
@@ -769,8 +804,12 @@ class Doc2VecModel:
             # Precompute the per-tag query vectors at build time so query serving
             # starts at full speed (they're bit-identical to runtime inference).
             state["tag_vectors"] = self.tag_vectors()
-        with open(path, "wb") as f:
-            pickle.dump(state, f)
+        # tmp + os.replace: the canonical artifact is ~1.2 GB at 1M docs; an
+        # in-place truncating write destroyed the only copy on a mid-dump crash
+        from ..utils.sidecar_cache import atomic_put
+
+        atomic_put(os.path.dirname(path) or ".", os.path.basename(path),
+                   lambda f: pickle.dump(state, f))
 
     @staticmethod
     def _from_state(cfg: "Doc2VecConfig", tokens: List[str], counts: np.ndarray,
@@ -782,6 +821,9 @@ class Doc2VecModel:
         )
         if tag_vectors is not None:
             model._infer_cache["tag_vectors"] = tag_vectors
+            # loaded table is valid exactly for the loaded arrays
+            model._infer_cache["tag_vectors_key"] = (
+                model.syn1neg, model.vocab.keep_prob, model.vocab.cum_table)
         return model
 
     @staticmethod
@@ -808,8 +850,6 @@ class Doc2VecModel:
 
     @staticmethod
     def _serve_cache_fp(path: str) -> dict:
-        import os
-
         st = os.stat(path)
         return {
             "format": "aiis-doc2vec-servecache-v1",
@@ -830,8 +870,6 @@ class Doc2VecModel:
         pickle changed while this cache was being written (a rebuild racing a
         cold start) the manifest is skipped rather than stamping the new
         pickle's fingerprint over the old pickle's arrays."""
-        import os
-
         from ..utils.sidecar_cache import atomic_put, write_manifest
 
         if fp is None:
@@ -862,9 +900,6 @@ class Doc2VecModel:
     def load_for_serving(path: str) -> "Doc2VecModel":
         """mmap the serving cache when fresh; else full unpickle + (best-effort)
         write the cache for the next start. Bit-identical to ``load``."""
-        import json
-        import os
-
         from ..utils.sidecar_cache import read_manifest
 
         d = Doc2VecModel.serve_cache_dir(path)
@@ -884,7 +919,11 @@ class Doc2VecModel:
                 meta["cfg"], meta["tokens"], np.asarray(meta["counts"]),
                 syn1neg, docvecs, meta["corpus_count"], tv,
             )
-        except (OSError, ValueError, KeyError, json.JSONDecodeError, pickle.UnpicklingError):
+        except (OSError, ValueError, KeyError, json.JSONDecodeError,
+                pickle.UnpicklingError, EOFError, AttributeError, ImportError):
+            # EOFError/AttributeError/ImportError: truncated or version-skewed
+            # meta.pkl — the cache is best-effort, fall back to the canonical
+            # pickle instead of dying on engine start
             try:
                 fp = Doc2VecModel._serve_cache_fp(path)  # BEFORE the read
             except OSError:
