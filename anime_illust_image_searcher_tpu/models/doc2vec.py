@@ -332,7 +332,7 @@ def _infer_vectors_impl(
     keep_prob: jax.Array,
     cum_table: jax.Array,
     init_vecs: jax.Array,   # (B, dim)
-    seeds: jax.Array,       # (B,) int32 per-doc deterministic seeds
+    seeds: jax.Array,       # (B, 2) uint32 per-doc seed (low, high) halves
     alpha: float,
     min_alpha: float,
     epochs: int,
@@ -348,8 +348,11 @@ def _infer_vectors_impl(
     def epoch_body(e, dvecs):
         lr = alpha - (alpha - min_alpha) * e / jnp.maximum(epochs, 1)
         key = jax.random.fold_in(jax.random.PRNGKey(0), e)
-        # Per-doc decorrelation: fold each doc's stable seed into the epoch key.
-        keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(seeds)
+        # Per-doc decorrelation: fold BOTH halves of each doc's 63-bit stable
+        # seed into the epoch key (a single 32-bit fold collided at 1M docs).
+        keys = jax.vmap(
+            lambda s: jax.random.fold_in(jax.random.fold_in(key, s[0]), s[1])
+        )(seeds)
 
         def per_doc(dvec, w, m, k):
             k1, k2 = jax.random.split(k)
@@ -379,7 +382,7 @@ def _infer_vectors_chunked(
     keep_prob: jax.Array,
     cum_table: jax.Array,
     init_vecs: jax.Array,   # (C, B, dim)
-    seeds: jax.Array,       # (C, B)
+    seeds: jax.Array,       # (C, B, 2)
     alpha: float,
     min_alpha: float,
     epochs: int,
@@ -706,17 +709,22 @@ class Doc2VecModel:
         return out
 
     def _infer_inputs(self, padded_ids: List[List[int]], len_bucket: int):
-        """(words, mask, seeds, init) host arrays for a padded doc list."""
+        """(words, mask, seeds, init) host arrays for a padded doc list.
+
+        ``seeds`` is (B, 2) uint32 — the stable seed's (low, high) halves. All
+        63 bits reach both the device fold and the init RandomState: a 32-bit
+        truncation collided ~n²/2³³ doc pairs at 1M docs (≈116 pairs), giving
+        unrelated docs identical init vectors AND identical per-epoch draws."""
         cfg = self.cfg
         words_np, mask_np = pad_corpus(padded_ids, len_bucket)
+        seeds64 = [_stable_doc_seed(d, cfg.seed) for d in padded_ids]
         seeds = np.array(
-            [_stable_doc_seed(d, cfg.seed) & 0xFFFFFFFF for d in padded_ids],
-            dtype=np.uint32,
+            [[s & 0xFFFFFFFF, s >> 32] for s in seeds64], dtype=np.uint32,
         )
         init = np.stack([
-            (np.random.RandomState(s & 0x7FFFFFFF).rand(cfg.vector_size)
-             .astype(np.float32) - 0.5) / cfg.vector_size
-            for s in seeds
+            (np.random.RandomState([s & 0xFFFFFFFF, s >> 32])
+             .rand(cfg.vector_size).astype(np.float32) - 0.5) / cfg.vector_size
+            for s in seeds64
         ])
         return words_np, mask_np, seeds, init
 
@@ -733,7 +741,7 @@ class Doc2VecModel:
             words_np.reshape(c, chunk, len_bucket),
             mask_np.reshape(c, chunk, len_bucket),
             init.reshape(c, chunk, cfg.vector_size),
-            seeds.astype(np.int32).reshape(c, chunk),
+            seeds.reshape(c, chunk, 2),
         ]
         if self.mesh is not None:
             # dp over each chunk's doc axis (genmodel --data-parallel); per-doc
@@ -769,7 +777,7 @@ class Doc2VecModel:
         padded_ids = ids + [[] for _ in range(bucket - n)]
         words_np, mask_np, seeds, init = self._infer_inputs(padded_ids, len_bucket)
         syn1, keep_prob, cum_table = self._device_consts()
-        inputs = [words_np, mask_np, init, seeds.astype(np.int32)]
+        inputs = [words_np, mask_np, init, seeds]
         if self.mesh is not None:
             # Same constraint as _infer_group_scan's fallback (ADVICE r2): on a
             # multi-process mesh, process-local arrays cannot mix with the

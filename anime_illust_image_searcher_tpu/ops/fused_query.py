@@ -97,14 +97,15 @@ def term_bucket(n_terms: int) -> int:
         f"query has {n_terms} terms; max {QUERY_TERM_BUCKETS[-1]}")
 
 
-def elbow_cut_index(sorted_scores: jax.Array) -> jax.Array:
+def elbow_cut_index(sorted_scores: jax.Array,
+                    diff_thresh: float = DIFF_FILTER_THRESH) -> jax.Array:
     """Device form of the reference elbow cut (webui.py:63-80) on a descending score
     vector: mask zero diffs to inf, cut at the second sub-threshold diff (first if
     only one exists, full length if none)."""
     n = sorted_scores.shape[0]
     diffs = sorted_scores[:-1] - sorted_scores[1:]
     diffs = jnp.where(diffs == 0, jnp.inf, diffs)
-    flags = diffs < DIFF_FILTER_THRESH
+    flags = diffs < diff_thresh
     count = jnp.sum(flags)
     first_two = jnp.nonzero(flags, size=2, fill_value=n)[0]
     return jnp.where(count >= 2, first_two[1],
@@ -256,6 +257,7 @@ def _fused_query_impl(
     k: int,
     num_real: int = 0,        # 0 -> num_docs; < num_docs when rows are padding
                               # (multi-chip sharding pads D to the mesh size)
+    diff_thresh: float = DIFF_FILTER_THRESH,  # SearchConfig.diff_filter_thresh
 ) -> jax.Array:
     """Returns one f32 buffer:
     [top10_scores(k) | top10_ids(k) | r_scores(kk) | r_ids(kk) | elbow info(3)].
@@ -301,7 +303,7 @@ def _fused_query_impl(
     full = jnp.concatenate([jnp.ones((k,), jnp.float32), sorted_ex])
     diffs = full[:-1] - full[1:]
     diffs = jnp.where(diffs == 0, jnp.inf, diffs)
-    flags = diffs < DIFF_FILTER_THRESH
+    flags = diffs < diff_thresh
     count = jnp.sum(flags).astype(jnp.float32)
     first_two = jnp.nonzero(flags, size=2, fill_value=CUT_SENTINEL)[0]
 
@@ -326,6 +328,7 @@ def _fused_query_exact_impl(
     topn: int,
     k: int,
     num_real: int = 0,
+    diff_thresh: float = DIFF_FILTER_THRESH,
 ) -> jax.Array:
     """Full-sort elbow variant: [.. | cut(1)] trailing field instead of flag info.
 
@@ -344,7 +347,7 @@ def _fused_query_exact_impl(
     rf_excl = rf.at[top_idx].set(-jnp.inf)
     sorted_ex = -jnp.sort(-rf_excl)[: num_docs - k]   # drops k (-inf) placeholders
     full = jnp.concatenate([jnp.ones((k,), jnp.float32), sorted_ex])
-    cut = elbow_cut_index(full).astype(jnp.float32)
+    cut = elbow_cut_index(full, diff_thresh).astype(jnp.float32)
 
     return jnp.concatenate([
         top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32),
@@ -375,6 +378,7 @@ def fused_normal_query_batch(
     topn: int,
     k: int,
     num_real: int = 0,
+    diff_thresh: float = DIFF_FILTER_THRESH,
 ) -> jax.Array:
     """Batched fused query: B concurrent queries in ONE device program (vmapped
     over the packed buffers; the index arrays broadcast). The webui micro-batcher
@@ -386,7 +390,7 @@ def fused_normal_query_batch(
             matrix, norms, term_mat, contrib_mat, p,
             bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
             vocab_size=vocab_size, num_docs=num_docs, topn=topn, k=k,
-            num_real=num_real,
+            num_real=num_real, diff_thresh=diff_thresh,
         )
 
     return jax.vmap(one)(packed_batch)
@@ -408,6 +412,7 @@ def fused_normal_query_serial(
     topn: int,
     k: int,
     num_real: int = 0,
+    diff_thresh: float = DIFF_FILTER_THRESH,
 ) -> jax.Array:
     """N queries run SEQUENTIALLY on device (lax.scan lowers to a While loop, so
     iterations cannot overlap). This is the measurement instrument behind
@@ -421,7 +426,7 @@ def fused_normal_query_serial(
             matrix, norms, term_mat, contrib_mat, p,
             bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
             vocab_size=vocab_size, num_docs=num_docs, topn=topn, k=k,
-            num_real=num_real,
+            num_real=num_real, diff_thresh=diff_thresh,
         )
         return carry, out
 

@@ -33,7 +33,8 @@ logger = logging.getLogger(__name__)
 
 
 def assemble_prf_results(
-    top10_doc_ids: List[int], reranked_final: np.ndarray, topn: int
+    top10_doc_ids: List[int], reranked_final: np.ndarray, topn: int,
+    diff_thresh: float = 1e-6,
 ) -> List[Result]:
     """Pin the top-10 at 1.0, order the rest by reranked score, elbow-filter over the
     FULL list, truncate to topn (webui.py:214-246 semantics; the elbow's cut position
@@ -44,7 +45,7 @@ def assemble_prf_results(
     for doc_id in order:
         if int(doc_id) not in top10_set:
             final_sims.append((int(doc_id), float(reranked_final[doc_id])))
-    final_sims = filter_searched_result(final_sims)
+    final_sims = filter_searched_result(final_sims, thresh=diff_thresh)
     return final_sims[: min(topn, len(final_sims))]
 
 
@@ -387,7 +388,7 @@ class SearchEngine:
             s.original_score_weight, s.reranked_score_weight,
             vocab_size=self.bm25.vocab_size,
             num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
-            num_real=self._num_real,
+            num_real=self._num_real, diff_thresh=s.diff_filter_thresh,
         )
 
     def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
@@ -479,7 +480,7 @@ class SearchEngine:
                 s.original_score_weight, s.reranked_score_weight,
                 vocab_size=self.bm25.vocab_size,
                 num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
-                num_real=self._num_real,
+                num_real=self._num_real, diff_thresh=s.diff_filter_thresh,
             ))
             for j, i in enumerate(chunk_pos):
                 p = batch[j]
@@ -539,7 +540,8 @@ class SearchEngine:
         sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
         k = self.cfg.search.rerank_top_k
         if len(sims) <= k:
-            sims = filter_searched_result(sims)
+            sims = filter_searched_result(
+                sims, thresh=self.cfg.search.diff_filter_thresh)
             return sims[: min(topn, len(sims))]
 
         top10_sims = sims[:k]
@@ -565,7 +567,9 @@ class SearchEngine:
         )
         if reranked_final.max() > 0:
             reranked_final = reranked_final / reranked_final.max()
-        return assemble_prf_results(top10_doc_ids, reranked_final, topn)
+        return assemble_prf_results(
+            top10_doc_ids, reranked_final, topn,
+            diff_thresh=self.cfg.search.diff_filter_thresh)
 
     def doc2vec_rerank(self, final_scores: np.ndarray, topn: int) -> List[Result]:
         """Pseudo-relevance-feedback rerank (webui.py:189-253).
@@ -604,7 +608,8 @@ class SearchEngine:
                 # reproduce that output — pinned top-10, no tail — without doing any
                 # NaN arithmetic (VERDICT r2 weak #3).
                 return assemble_prf_results(
-                    top10_doc_ids, np.full(n_docs, -np.inf), topn)
+                    top10_doc_ids, np.full(n_docs, -np.inf), topn,
+                    diff_thresh=self.cfg.search.diff_filter_thresh)
             wsum = weights.sum()
             if wsum == 0:
                 weights = np.ones_like(weights)
@@ -623,10 +628,13 @@ class SearchEngine:
             if global_max > 0:
                 reranked_final = reranked_final / global_max
 
-            return assemble_prf_results(top10_doc_ids, reranked_final, topn)
+            return assemble_prf_results(
+            top10_doc_ids, reranked_final, topn,
+            diff_thresh=self.cfg.search.diff_filter_thresh)
 
         sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
-        sims = filter_searched_result(sims)
+        sims = filter_searched_result(
+            sims, thresh=self.cfg.search.diff_filter_thresh)
         return sims[: min(topn, len(sims))]
 
     # ------------------------------------------------------------------ results

@@ -18,6 +18,7 @@ NG_WORDS: Tuple[str, ...] = ("language", "english_text", "pixcel_art")  # webui.
 
 def filter_searched_result(
     sorted_scores: Sequence[Tuple[int, float]],
+    thresh: float = DIFF_FILTER_THRESH,
 ) -> List[Tuple[int, float]]:
     scores_ndarr = np.array([s for _, s in sorted_scores], dtype=np.float64)
     if len(scores_ndarr) == 0:
@@ -28,7 +29,7 @@ def filter_searched_result(
         diff_arr = scores_ndarr[:-1] - scores_ndarr[1:]
     diff_arr = np.where(diff_arr == 0, np.inf, diff_arr)
     t = len(sorted_scores)
-    found_points = np.where(diff_arr < DIFF_FILTER_THRESH)[0]
+    found_points = np.where(diff_arr < thresh)[0]
     if len(found_points) == 1:
         t = found_points[0]
     elif len(found_points) >= 2:

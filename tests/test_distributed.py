@@ -76,14 +76,32 @@ assert distributed.initialize(coordinator_address=coord, num_processes=2,
 import jax
 assert len(jax.devices()) == 4  # 2 local per process
 
-single = SearchEngine(art_dir)
+# Disable the elbow tail cut for this comparison: its position is defined by
+# consecutive score diffs crossing 1e-6, so GSPMD's ulp-level reduction noise
+# can legitimately move it at a near-tie — this test pins the SPMD plumbing,
+# not the elbow's tie behavior (which tests/test_filters.py covers).
+import dataclasses
+from anime_illust_image_searcher_tpu.config import DEFAULT_CONFIG
+cfg = dataclasses.replace(
+    DEFAULT_CONFIG,
+    search=dataclasses.replace(DEFAULT_CONFIG.search, diff_filter_thresh=0.0))
+
+single = SearchEngine(art_dir, config=cfg)
 expected = single.find_similar_documents("1girl smile", topn=50)
 
 mesh = make_mesh(n_data=4)
-sharded = SearchEngine(art_dir, mesh=mesh)
+sharded = SearchEngine(art_dir, config=cfg, mesh=mesh)
 got = sharded.find_similar_documents("1girl smile", topn=50)
 
-assert [d for d, _ in got] == [d for d, _ in expected], (got[:5], expected[:5])
+# GSPMD's different reduction order can flip ulp-level score ties; any id
+# mismatch must be such a tie (same multiset, near-equal scores at the
+# swapped positions) — a real ranking divergence still fails
+ids_g, ids_e = [d for d, _ in got], [d for d, _ in expected]
+if ids_g != ids_e:
+    assert sorted(ids_g) == sorted(ids_e), (ids_g, ids_e)
+    for (dg, vg), (de, ve) in zip(got, expected):
+        if dg != de:
+            assert abs(vg - ve) <= 1e-5 + 1e-4 * abs(ve), (dg, de, vg, ve)
 np.testing.assert_allclose([v for _, v in got], [v for _, v in expected],
                            rtol=1e-4, atol=1e-5)
 print(f"DIST_ENGINE_OK_{jax.process_index()}")

@@ -80,13 +80,27 @@ with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
     f.write("\\n".join(lines) + "\\n")
 genmodel.main(["--epochs", "10"])
 
-single = SearchEngine(".")
+# elbow disabled for the comparison: its cut position keys on consecutive
+# diffs crossing 1e-6, so GSPMD's ulp-level reduction noise can move it at a
+# near-tie (this test pins SPMD plumbing; test_filters pins elbow behavior)
+import dataclasses
+from anime_illust_image_searcher_tpu.config import DEFAULT_CONFIG
+cfg = dataclasses.replace(
+    DEFAULT_CONFIG,
+    search=dataclasses.replace(DEFAULT_CONFIG.search, diff_filter_thresh=0.0))
+
+single = SearchEngine(".", config=cfg)
 mesh = make_mesh(n_data=8)
-sharded = SearchEngine(".", mesh=mesh)
+sharded = SearchEngine(".", config=cfg, mesh=mesh)
 for q in ["1girl", "sword black_hair", "1girl smile:2", "no_humans bottle:+1"]:
     a = single.find_similar_documents(q, topn=800)
     b = sharded.find_similar_documents(q, topn=800)
-    assert [d for d, _ in a] == [d for d, _ in b], (q, a[:5], b[:5])
+    ids_a, ids_b = [d for d, _ in a], [d for d, _ in b]
+    if ids_a != ids_b:  # any order difference must be an ulp-level score tie
+        assert sorted(ids_a) == sorted(ids_b), (q, ids_a, ids_b)
+        for (da, va), (db, vb) in zip(a, b):
+            if da != db:
+                assert abs(va - vb) <= 1e-5 + 1e-4 * abs(va), (q, da, db, va, vb)
     np.testing.assert_allclose([s for _, s in a], [s for _, s in b], rtol=1e-4, atol=1e-5)
 print("SHARDED_ENGINE_OK")
 """
