@@ -464,6 +464,9 @@ class Doc2VecModel:
         fp_h.update(repr(cfg).encode())
         fp_h.update(np.int64(n_docs).tobytes())
         fp_h.update(words_np.tobytes())
+        for t in vocab.tokens:  # ids alone miss a renamed-tokens corpus
+            fp_h.update(t.encode())
+            fp_h.update(b"\0")
         ckpt_fp = fp_h.hexdigest()
 
         rng = np.random.RandomState(cfg.seed)

@@ -58,3 +58,66 @@ def test_stale_checkpoint_shape_mismatch_ignored(tmp_cwd):
                                checkpoint_path="m", checkpoint_every=0)
     fresh = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
     np.testing.assert_array_equal(model.syn1neg, fresh.syn1neg)
+
+
+def _crash_after_first_segment(monkeypatch, d2v):
+    real_epochs = d2v._train_epochs
+    calls = {"n": 0}
+
+    def crashing(*a, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return real_epochs(*a, **kw)
+
+    monkeypatch.setattr(d2v, "_train_epochs", crashing)
+    return real_epochs
+
+
+def test_foreign_config_checkpoint_ignored(tmp_cwd, monkeypatch, capsys):
+    """A snapshot from a run with a DIFFERENT cfg (here: epoch target) must not
+    resume — shape-only validation used to return a 16-epoch run's snapshot as
+    the 'finished' 4-epoch model without training at all."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from anime_illust_image_searcher_tpu.models import doc2vec as d2v
+
+    big = dataclasses.replace(CFG, epochs=16)
+    real = _crash_after_first_segment(monkeypatch, d2v)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        Doc2VecModel.train(CORPUS, big, batch_size=8,
+                           checkpoint_path="m", checkpoint_every=4)
+    monkeypatch.setattr(d2v, "_train_epochs", real)
+    assert os.path.exists("m.ckpt.npz")
+
+    # same shapes, different cfg.epochs -> fingerprint mismatch -> fresh run
+    model = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                               checkpoint_path="m", checkpoint_every=4)
+    assert "ignoring m.ckpt.npz" in capsys.readouterr().out
+    fresh = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+    np.testing.assert_array_equal(model.syn1neg, fresh.syn1neg)
+    np.testing.assert_array_equal(model.docvecs, fresh.docvecs)
+
+
+def test_foreign_corpus_checkpoint_ignored(tmp_cwd, monkeypatch, capsys):
+    """Same cfg and SAME array shapes but different corpus content: resume
+    must be refused (the old check silently trained doc vectors from another
+    dataset's snapshot)."""
+    import pytest as _pytest
+
+    from anime_illust_image_searcher_tpu.models import doc2vec as d2v
+
+    other = [["x", "y", "z"], ["y", "z", "w"], ["x", "w", "v"]] * 4  # same shape
+    real = _crash_after_first_segment(monkeypatch, d2v)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        Doc2VecModel.train(other, CFG, batch_size=8,
+                           checkpoint_path="m", checkpoint_every=4)
+    monkeypatch.setattr(d2v, "_train_epochs", real)
+
+    model = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                               checkpoint_path="m", checkpoint_every=4)
+    assert "ignoring m.ckpt.npz" in capsys.readouterr().out
+    fresh = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+    np.testing.assert_array_equal(model.syn1neg, fresh.syn1neg)
