@@ -455,19 +455,25 @@ class Doc2VecModel:
         n_docs, dim = len(corpus_ids), cfg.vector_size
         words_np, mask_np = pad_corpus(corpus_ids, cfg.max_doc_len)
 
-        # Snapshot identity: a resumable checkpoint must come from THIS
-        # (cfg, corpus) — shape checks alone silently resumed a snapshot from
-        # a different epoch target / seed / same-sized other corpus, and with
-        # a reduced epoch count returned the stale snapshot as the "finished"
-        # model without training at all.
-        fp_h = hashlib.blake2b(digest_size=16)
-        fp_h.update(repr(cfg).encode())
-        fp_h.update(np.int64(n_docs).tobytes())
-        fp_h.update(words_np.tobytes())
-        for t in vocab.tokens:  # ids alone miss a renamed-tokens corpus
-            fp_h.update(t.encode())
-            fp_h.update(b"\0")
-        ckpt_fp = fp_h.hexdigest()
+        def snapshot_fp() -> str:
+            # Snapshot identity: a resumable checkpoint must come from THIS
+            # (cfg, corpus, batch_size) — shape checks alone silently resumed
+            # a snapshot from a different epoch target / seed / same-sized
+            # other corpus, and with a reduced epoch count returned the stale
+            # snapshot as the "finished" model without training at all.
+            # batch_size matters too: per-batch keys and mini-batch
+            # accumulation boundaries change the training math.
+            fp_h = hashlib.blake2b(digest_size=16)
+            fp_h.update(repr(cfg).encode())
+            fp_h.update(np.int64(n_docs).tobytes())
+            fp_h.update(np.int64(batch_size).tobytes())
+            fp_h.update(words_np)  # buffer protocol — no tobytes copy
+            for t in vocab.tokens:  # ids alone miss a renamed-tokens corpus
+                fp_h.update(t.encode())
+                fp_h.update(b"\0")
+            return fp_h.hexdigest()
+
+        ckpt_fp = snapshot_fp() if checkpoint_path else ""
 
         rng = np.random.RandomState(cfg.seed)
         docvecs = jnp.asarray(
@@ -496,18 +502,27 @@ class Doc2VecModel:
         start_epoch = 0
         ckpt_file = (checkpoint_path + ".ckpt.npz") if checkpoint_path else None
         if ckpt_file and os.path.exists(ckpt_file):
-            snap = np.load(ckpt_file)
-            if ("fp" in snap.files and str(snap["fp"]) == ckpt_fp
-                    and snap["docvecs"].shape == docvecs.shape
-                    and snap["syn1"].shape == syn1.shape
-                    and 0 < int(snap["epoch"]) < cfg.epochs):
+            # guarded load: a snapshot truncated by a crash mid-write must be
+            # ignored, not crash the recovery run it exists to serve
+            try:
+                snap = np.load(ckpt_file)
+                snap_ok = ("fp" in snap.files and str(snap["fp"]) == ckpt_fp
+                           and snap["docvecs"].shape == docvecs.shape
+                           and snap["syn1"].shape == syn1.shape
+                           # == cfg.epochs is a COMPLETED run whose cleanup
+                           # didn't land — resume returns it without retraining
+                           and 0 < int(snap["epoch"]) <= cfg.epochs)
+            except Exception as e:  # noqa: BLE001 — corrupt zip/pickle forms
+                snap_ok = False
+                print(f"doc2vec: unreadable {ckpt_file} ({e})")
+            if snap_ok:
                 docvecs = jnp.asarray(snap["docvecs"])
                 syn1 = jnp.asarray(snap["syn1"])
                 start_epoch = int(snap["epoch"])
                 print(f"doc2vec: resumed from {ckpt_file} at epoch {start_epoch}")
             else:
-                print(f"doc2vec: ignoring {ckpt_file} (different config/corpus, "
-                      "or epoch out of range) — training from scratch")
+                print(f"doc2vec: ignoring {ckpt_file} (different config/corpus/"
+                      "batch, or corrupt) — training from scratch")
 
         doc_idx_b = jnp.asarray(doc_index.reshape(n_batches, batch_size))
         words_b = words_all.reshape(n_batches, batch_size, cfg.max_doc_len)
@@ -573,9 +588,21 @@ class Doc2VecModel:
             epoch = upto
             if log_every and epoch % log_every == 0:
                 print(f"doc2vec epoch {epoch}/{cfg.epochs}")
-            if ckpt_file and checkpoint_every and epoch % checkpoint_every == 0:
-                np.savez(ckpt_file, docvecs=np.asarray(docvecs),
-                         syn1=np.asarray(syn1), epoch=epoch, fp=ckpt_fp)
+            if (ckpt_file and checkpoint_every and epoch % checkpoint_every == 0
+                    and epoch < cfg.epochs):  # final state is returned, not snapshotted
+                # atomic: an in-place np.savez truncates the previous good
+                # snapshot before the new one is complete — a crash mid-write
+                # would destroy the very state this file exists to recover
+                # .npz suffix: np.savez appends one to any other name
+                tmp = f"{ckpt_file}.tmp{os.getpid()}.npz"
+                try:
+                    np.savez(tmp, docvecs=np.asarray(docvecs),
+                             syn1=np.asarray(syn1), epoch=epoch, fp=ckpt_fp)
+                    os.replace(tmp, ckpt_file)
+                except BaseException:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                    raise
         if ckpt_file and os.path.exists(ckpt_file):
             os.remove(ckpt_file)  # training completed; snapshot no longer needed
 
@@ -891,7 +918,15 @@ class Doc2VecModel:
                    lambda f: np.save(f, np.ascontiguousarray(self.syn1neg)))
         atomic_put(d, "docvecs.npy",
                    lambda f: np.save(f, np.ascontiguousarray(self.docvecs)))
+        # same validity rule as tag_vectors(): a table left over from swapped
+        # weights must not be persisted — the reload would stamp it with the
+        # NEW arrays' key and launder the staleness past the runtime guard
         tv = self._infer_cache.get("tag_vectors")
+        ckey = self._infer_cache.get("tag_vectors_key")
+        key = (self.syn1neg, self.vocab.keep_prob, self.vocab.cum_table)
+        if (tv is not None and (ckey is None or len(ckey) != len(key)
+                                or any(a is not b for a, b in zip(ckey, key)))):
+            tv = None
         if tv is not None:
             atomic_put(d, "tag_vectors.npy",
                        lambda f: np.save(f, np.ascontiguousarray(tv)))

@@ -24,7 +24,8 @@ from ..index.dictionary import TagDictionary
 from ..index.similarity import SimilarityIndex
 from ..models.doc2vec import Doc2VecModel
 from ..ops.bm25 import bm25_scores_device, build_query_vectors
-from .filters import filter_searched_result, is_include_ng_word
+from .filters import (DIFF_FILTER_THRESH, filter_searched_result,
+                      is_include_ng_word)
 from .parser import BM25Query, parse_bm25_query, parse_doc2vec_query
 
 Result = Tuple[int, float]
@@ -34,7 +35,7 @@ logger = logging.getLogger(__name__)
 
 def assemble_prf_results(
     top10_doc_ids: List[int], reranked_final: np.ndarray, topn: int,
-    diff_thresh: float = 1e-6,
+    diff_thresh: float = DIFF_FILTER_THRESH,
 ) -> List[Result]:
     """Pin the top-10 at 1.0, order the rest by reranked score, elbow-filter over the
     FULL list, truncate to topn (webui.py:214-246 semantics; the elbow's cut position
@@ -629,8 +630,8 @@ class SearchEngine:
                 reranked_final = reranked_final / global_max
 
             return assemble_prf_results(
-            top10_doc_ids, reranked_final, topn,
-            diff_thresh=self.cfg.search.diff_filter_thresh)
+                top10_doc_ids, reranked_final, topn,
+                diff_thresh=self.cfg.search.diff_filter_thresh)
 
         sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
         sims = filter_searched_result(

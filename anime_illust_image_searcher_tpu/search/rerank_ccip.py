@@ -161,7 +161,8 @@ class CCIPReranker:
     ) -> List[Result]:
         sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
         if len(sims) <= self.cfg.search.rerank_top_k:
-            sims = filter_searched_result(sims)
+            sims = filter_searched_result(
+                sims, thresh=self.cfg.search.diff_filter_thresh)
             return sims[: min(topn, len(sims))]
 
         self._lazy_load()
@@ -205,7 +206,8 @@ class CCIPReranker:
                 decoded = [img for img in ex.map(_decode, top10_files)
                            if img is not None]
             if not decoded:
-                sims = filter_searched_result(sims)
+                sims = filter_searched_result(
+                    sims, thresh=self.cfg.search.diff_filter_thresh)
                 return sims[: min(topn, len(sims))]
 
             # pad to the fixed top-k batch so one compiled program serves every query
