@@ -88,6 +88,33 @@ def exact_top_k(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     return fv, gi[fi]
 
 
+# Largest f32 strictly below 1.0 — the max-normalize clamp value.
+_ONE_BELOW = np.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+
+def max_normalize(x: jax.Array) -> jax.Array:
+    """``x / max(x)`` when the max is positive, else ``x`` (webui.py:377-380),
+    hardened for TPU's division lowering.
+
+    XLA:TPU lowers f32 divide to a reciprocal multiply, which lands the max
+    element one ulp ABOVE 1.0 (measured: 1.0000001). Downstream that fabricates
+    an elbow diff of ~-1.2e-7 between the pinned 1.0 top-10 scores and a
+    tied-at-max tail entry — a spurious sub-threshold flag that cut the result
+    list INSIDE the top-10 (caught by the tie-heavy pipeline oracle under
+    AIIS_TEST_PLATFORM=tpu). Restore the three invariants host numpy division
+    provides, without changing a bit on backends with exact f32 division:
+      - the max element (and its exact ties) normalize to exactly 1.0;
+      - equal inputs stay equal (single multiply/clamp is deterministic);
+      - strictly-smaller inputs stay strictly below 1.0 (clamped to the
+        largest f32 < 1.0 — in exact arithmetic their quotients are <= 1-2^-24
+        anyway, so the clamp only moves values a TPU would have mis-rounded).
+    """
+    xmax = jnp.max(x)
+    y = jnp.minimum(x / xmax, _ONE_BELOW)
+    y = jnp.where(x == xmax, jnp.float32(1.0), y)
+    return jnp.where(xmax > 0, y, x)
+
+
 def term_bucket(n_terms: int) -> int:
     """Smallest term bucket holding ``n_terms``; raises above the largest."""
     for b in QUERY_TERM_BUCKETS:
@@ -152,25 +179,20 @@ def pack_query(
     return packed
 
 
-def _query_rf(
+def _fused_final(
     matrix: jax.Array,
-    norms: jax.Array,
     term_mat: jax.Array,
     contrib_mat: jax.Array,
     packed: jax.Array,
     bm25_weight: float,
     doc2vec_weight: float,
-    orig_weight: float,
-    rerank_weight: float,
     num_docs: int,
-    k: int,
     num_real: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Shared score pipeline: packed query -> (rf, top_vals, top_idx).
-
-    Used by both the fast (prefix-elbow) and exact (full-sort-elbow) programs so
-    their rankings are definitionally identical.
-    """
+) -> jax.Array:
+    """Packed query -> fused final scores (webui.py:345-383: cosine matvec +
+    BM25 comparison sweep + max-normalize + 0.5/0.5 fusion + padding mask).
+    Shared by the normal-mode PRF programs and the character-mode top-k program
+    so every mode ranks from definitionally identical scores."""
     f = matrix.shape[1]
     # slot count rides in the (static) buffer length: [4 term blocks | qvec | n_req]
     q = (packed.shape[0] - f - 1) // 4
@@ -210,11 +232,11 @@ def _query_rf(
     bm25 = jnp.where(excl_hits > 0, neg_inf, bm25)
     bm25 = jnp.where(req_hits < num_required, neg_inf, bm25)
 
-    # max-normalization guards exactly as webui.py:377-380
-    sims_max = jnp.max(sims)
-    sims = jnp.where(sims_max > 0, sims / sims_max, sims)
-    bm25_max = jnp.max(bm25)
-    bm25 = jnp.where(bm25_max > 0, bm25 / bm25_max, bm25)
+    # max-normalization guards exactly as webui.py:377-380 (max_normalize also
+    # pins the max element at exactly 1.0 against TPU's reciprocal-multiply
+    # division — see its docstring)
+    sims = max_normalize(sims)
+    bm25 = max_normalize(bm25)
 
     final = bm25_weight * bm25 + doc2vec_weight * sims
 
@@ -222,7 +244,30 @@ def _query_rf(
         # padding rows behave like excluded docs
         row_ids = jnp.arange(num_docs)
         final = jnp.where(row_ids < num_real, final, neg_inf)
+    return final
 
+
+def _query_rf(
+    matrix: jax.Array,
+    norms: jax.Array,
+    term_mat: jax.Array,
+    contrib_mat: jax.Array,
+    packed: jax.Array,
+    bm25_weight: float,
+    doc2vec_weight: float,
+    orig_weight: float,
+    rerank_weight: float,
+    num_docs: int,
+    k: int,
+    num_real: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Shared score pipeline: packed query -> (rf, top_vals, top_idx).
+
+    Used by both the fast (prefix-elbow) and exact (full-sort-elbow) programs so
+    their rankings are definitionally identical.
+    """
+    final = _fused_final(matrix, term_mat, contrib_mat, packed,
+                         bm25_weight, doc2vec_weight, num_docs, num_real)
     top_vals, top_idx = exact_top_k(final, k)
 
     raw = matrix[top_idx] * norms[top_idx][:, None]          # (k, F) raw vectors
@@ -235,9 +280,7 @@ def _query_rf(
 
     rerank = jnp.dot(matrix, mean, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    rf = orig_weight * final + rerank_weight * rerank
-    rf_max = jnp.max(rf)
-    rf = jnp.where(rf_max > 0, rf / rf_max, rf)
+    rf = max_normalize(orig_weight * final + rerank_weight * rerank)
     return rf, top_vals, top_idx
 
 

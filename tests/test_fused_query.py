@@ -343,6 +343,40 @@ def test_exact_top_k_matches_lax_top_k(d, k, style):
     np.testing.assert_array_equal(np.asarray(want_i), np.asarray(got_i))
 
 
+def test_max_normalize_contract():
+    """max_normalize must behave like host numpy's exact ``x / x.max()`` where
+    it matters for the elbow: the max element (and its exact ties) land on
+    exactly 1.0, equal inputs stay equal, and strictly-smaller inputs stay
+    strictly below 1.0. On TPU the raw f32 divide lowers to a reciprocal
+    multiply that puts the max at 1.0000001, fabricating a sub-threshold elbow
+    diff against the pinned 1.0 top-10 scores and cutting the result list
+    inside the top-10 (caught by the tie-heavy pipeline oracle under
+    AIIS_TEST_PLATFORM=tpu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.ops.fused_query import max_normalize
+
+    f = jax.jit(max_normalize)
+    m = np.float32(0.33160853)  # the measured repro's tied max value
+    x = np.array([m, 0.1, m, np.nextafter(m, np.float32(0)), -np.inf, 0.0],
+                 np.float32)
+    y = np.asarray(f(jnp.asarray(x)))
+    assert y[0] == 1.0 and y[2] == 1.0          # max and its exact tie
+    assert 0.0 < y[3] < 1.0                     # one-ulp-below stays below
+    assert y[1] == np.float32(x[1] / m) or abs(y[1] - x[1] / m) < 2e-7
+    assert y[4] == -np.inf and y[5] == 0.0
+    # non-positive max: passthrough (webui.py:377-380 guard)
+    x2 = np.array([-1.0, -2.0, 0.0], np.float32)
+    np.testing.assert_array_equal(np.asarray(f(jnp.asarray(x2))), x2)
+    # every exact tie pair stays an exact tie post-normalization
+    rng = np.random.RandomState(7)
+    vals = rng.rand(64).astype(np.float32)
+    x3 = np.concatenate([vals, vals])
+    y3 = np.asarray(f(jnp.asarray(x3)))
+    np.testing.assert_array_equal(y3[:64], y3[64:])
+
+
 def test_term_bucket_invariance(engine):
     """The same query must return identical results from every term bucket
     program that fits it — the bucket only changes the sweep's padded Q."""
