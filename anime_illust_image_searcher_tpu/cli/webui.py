@@ -80,7 +80,9 @@ class QueryBatcher:
         import threading
 
         if search_mode == "character oriented":
-            # CCIP rerank isn't batched; run it directly
+            # Not coalesced: a character query is already two small dispatches
+            # (fused stage A + the CCIP rerank), and concurrent character-mode
+            # use is rare — run it directly.
             return self.engine.find_similar_documents(query, topn, search_mode)
         event = threading.Event()
         box: dict = {}

@@ -398,6 +398,41 @@ def _fused_query_exact_impl(
     ])
 
 
+def _character_top_impl(
+    matrix: jax.Array,        # (D, F) unit rows (D may include padding rows)
+    term_mat: jax.Array,      # (D, W) int32, padded with vocab_size sentinel
+    contrib_mat: jax.Array,   # (D, W) f32, padded with 0
+    packed: jax.Array,        # pack_query() buffer
+    bm25_weight: float,
+    doc2vec_weight: float,
+    vocab_size: int,
+    num_docs: int,
+    k: int,
+    num_real: int = 0,
+) -> jax.Array:
+    """Character-mode stage A: fused scores -> top-k, ONE device call.
+
+    The reference's character path needs only the top-10 fused hits before the
+    CCIP rerank takes over (webui.py:255-342 consumes sims[:10]); the rest of
+    the corpus-length score vector exists in the reference only to be sorted
+    and discarded. Returns [top_vals(k) | top_ids(k)] — ~80 bytes instead of a
+    corpus-length D2H (4 MB at 1M docs through a ~15 MB/s relay) plus a full
+    host sort (seconds of python at 1M). exact_top_k breaks ties toward the
+    lowest index, matching the reference's stable sorted(enumerate(...)).
+
+    PRF doc-vector reconstruction never runs here, so this path needs no
+    stored norms — it stays available on pre-v1.1 indexes where the normal
+    fused program falls back."""
+    final = _fused_final(matrix, term_mat, contrib_mat, packed,
+                         bm25_weight, doc2vec_weight, num_docs, num_real)
+    top_vals, top_idx = exact_top_k(final, k)
+    return jnp.concatenate([top_vals, top_idx.astype(jnp.float32)])
+
+
+fused_character_top = partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "k", "num_real"))(_character_top_impl)
+
+
 fused_normal_query = partial(jax.jit, static_argnames=(
     "vocab_size", "num_docs", "topn", "k", "num_real"))(_fused_query_impl)
 

@@ -93,6 +93,9 @@ class SearchEngine:
         # How often the elbow prefix was ambiguous and the exact full-sort
         # program had to run (should stay ~0 outside crafted tie data).
         self.exact_cut_dispatches = 0
+        # How often character-mode stage A ran as the one-dispatch fused
+        # program (observability + test hook).
+        self.character_fused_dispatches = 0
 
         def p(name: str) -> str:
             return os.path.join(directory, name)
@@ -268,6 +271,9 @@ class SearchEngine:
         max_terms = QUERY_TERM_BUCKETS[-1]
         if self.fused_path_available(new_doc, search_mode):
             return self._find_similar_fused(new_doc, topn)
+        if (search_mode == "character oriented"
+                and self.character_fused_available(new_doc)):
+            return self._find_similar_character_fused(new_doc, topn)
 
         if search_mode != "character oriented" and not getattr(
             self, "_warned_slow_path", False
@@ -400,6 +406,50 @@ class SearchEngine:
         return self._assemble_fused(
             np.asarray(out), topn,
             exact_fn=lambda: self._dispatch_fused(packed, topn, exact=True))
+
+    def character_fused_available(self, new_doc: str) -> bool:
+        """The character-mode one-dispatch stage A (fused scores + device top-k)
+        needs the f32-exact id encoding, a corpus larger than the rerank top-k,
+        a term bucket that fits, and a reranker exposing ``rerank_top`` (the
+        default CCIPReranker; a caller-injected plain callable falls back to
+        the full-scores path). Unlike the normal-mode fused program it does NOT
+        need stored doc-vector norms — no PRF reconstruction happens here — and
+        the reference-PRF compat flag is irrelevant (the reference's character
+        path has no PRF stage, webui.py:386-390)."""
+        from ..ops.fused_query import QUERY_TERM_BUCKETS
+
+        return (
+            self._fused_ids_exact
+            and len(self.index) > self.cfg.search.rerank_top_k
+            and len(new_doc.split(" ")) <= QUERY_TERM_BUCKETS[-1]
+            and hasattr(self.cfeature_reranker, "rerank_top")
+        )
+
+    def _find_similar_character_fused(self, new_doc: str, topn: int) -> List[Result]:
+        """Character-mode query in two device calls total (webui.py:345-390 +
+        255-342 semantics): stage A = fused scores + exact top-k in ONE program
+        (ops/fused_query.fused_character_top — no corpus-length D2H, no full
+        host sort, no COO BM25 upload); stage B = the reranker's one-dispatch
+        CCIP metric stage (row-gather or live). The multi-call path computes
+        identical results (pinned by tests/test_webui_character_mode.py)."""
+        from ..ops.fused_query import fused_character_top
+
+        s = self.cfg.search
+        packed = self._pack_fused(new_doc)
+        query = parse_bm25_query(new_doc, self.dictionary,
+                                 magic=s.require_tag_magic_number)
+        term_mat, contrib_mat = self._bm25_dense
+        k = s.rerank_top_k
+        out = np.asarray(fused_character_top(
+            self._matrix_dev, term_mat, contrib_mat, packed,
+            s.bm25_weight, s.doc2vec_weight,
+            vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
+            k=k, num_real=self._num_real,
+        ))
+        top10_sims = [(int(i), float(v)) for v, i in zip(out[:k], out[k:])]
+        self.character_fused_dispatches += 1
+        return self.cfeature_reranker.rerank_top(
+            top10_sims, topn, query.required_tags, query.exclude_tags)
 
     # Micro-batch size buckets: each compiles once; a batch pads up to its bucket.
     QUERY_BATCH_BUCKETS = (2, 4, 8)

@@ -18,7 +18,14 @@ Semantics preserved:
     files missing from the tag index are dropped (both checks default False)
   - result = top10 (original fused scores) ++ matches sorted by 1 - diff; top-10
     entries may legitimately repeat in the tail (reference does not dedup)
+  - ALL top-10 decodes failing returns the top-10 with no matches (the
+    reference's empty np.average turns the mean NaN, webui.py:303, so every
+    threshold compare is False)
   - <= 10 results: elbow filter + truncate instead
+
+Entry points: ``rerank_top`` takes the already-computed top-k (the engine's
+fused character path gets it from one device call); ``__call__`` takes full
+corpus scores (the multi-call fallback path) and reduces them to the top-k.
 """
 
 from __future__ import annotations
@@ -159,16 +166,37 @@ class CCIPReranker:
         required_tags: List[str],
         exclude_tags: List[str],
     ) -> List[Result]:
-        sims: List[Result] = sorted(enumerate(final_scores), key=lambda it: -it[1])
-        if len(sims) <= self.cfg.search.rerank_top_k:
+        """Full-corpus-scores entry (the engine's multi-call fallback path; the
+        fused path computes the top-k on device and calls rerank_top directly)."""
+        k = self.cfg.search.rerank_top_k
+        if len(final_scores) <= k:
+            sims: List[Result] = sorted(
+                enumerate(final_scores), key=lambda it: -it[1])
             sims = filter_searched_result(
                 sims, thresh=self.cfg.search.diff_filter_thresh)
             return sims[: min(topn, len(sims))]
+        # Only the top-k rows are consumed past this point (webui.py:292 uses
+        # sims[:10]); argsort(stable) reproduces sorted(enumerate(...))'s
+        # descending-score lowest-index-first order without building a python
+        # list of the whole corpus (the full sort cost seconds at 1M docs).
+        order = np.argsort(-np.asarray(final_scores), kind="stable")[:k]
+        top10_sims = [(int(d), float(final_scores[d])) for d in order]
+        return self.rerank_top(top10_sims, topn, required_tags, exclude_tags)
 
+    def rerank_top(
+        self,
+        top10_sims: List[Result],
+        topn: int,
+        required_tags: List[str],
+        exclude_tags: List[str],
+    ) -> List[Result]:
+        """CCIP rerank of an already-computed top-k (webui.py:255-342 from the
+        ``sims[:10]`` line down). ``top10_sims`` must be the descending-score,
+        lowest-index-tie-broken top-k of the fused scores over a corpus larger
+        than k — exactly what ops.fused_query.fused_character_top returns."""
         self._lazy_load()
         threshold = self.predictor.ccip_default_threshold() / 1.5
 
-        top10_sims = sims[: self.cfg.search.rerank_top_k]
         top10_doc_ids = [doc_id for doc_id, _ in top10_sims]
         top10_files = [
             self.image_files_name_tags_arr[doc_id].split(",")[0]
@@ -206,9 +234,11 @@ class CCIPReranker:
                 decoded = [img for img in ex.map(_decode, top10_files)
                            if img is not None]
             if not decoded:
-                sims = filter_searched_result(
-                    sims, thresh=self.cfg.search.diff_filter_thresh)
-                return sims[: min(topn, len(sims))]
+                # Reference semantics: np.average over zero features turns the
+                # mean NaN (webui.py:303), every diff compares False against the
+                # threshold, and the result is the top-10 with no matches
+                # appended (webui.py:330-335).
+                return list(top10_sims)
 
             # pad to the fixed top-k batch so one compiled program serves every query
             pad = len(top10_files) - len(decoded)

@@ -24,7 +24,7 @@ import time
 
 
 def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int = 30,
-                    dim: int = 300) -> list:
+                    dim: int = 300, path_prefix: str = "/img") -> list:
     import numpy as np
 
     from anime_illust_image_searcher_tpu.config import Doc2VecConfig
@@ -58,7 +58,7 @@ def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int =
         ids = np.unique(draws[offs[i]:offs[i + 1]])
         tags = [tag_names[t] for t in ids]
         docs.append(tags)
-        lines.append(f"/img/{i:06d}.png,{','.join(tags)}")
+        lines.append(f"{path_prefix}/{i:06d}.png,{','.join(tags)}")
 
     with open(os.path.join(directory, artifacts.DOC2VEC_IDX_CSV), "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
@@ -95,7 +95,8 @@ def artifacts_complete(directory: str) -> bool:
     return os.path.exists(os.path.join(directory, ".bench_build_complete"))
 
 
-def ensure_artifacts(directory: str, n_docs: int, vocab: int) -> list:
+def ensure_artifacts(directory: str, n_docs: int, vocab: int,
+                     path_prefix: str = "/img") -> list:
     """Reuse a completed synthetic-artifact dir, build into an empty one, and
     REFUSE anything in between: a dir holding a doc2vec model but no
     completion marker may be a real genmodel artifact chain (or a bench dir
@@ -110,7 +111,7 @@ def ensure_artifacts(directory: str, n_docs: int, vocab: int) -> list:
             ".bench_build_complete marker — refusing to overwrite what may be "
             "a real artifact directory. Pass a fresh --dir, or create an "
             "empty .bench_build_complete file there to reuse it as-is.")
-    return build_artifacts(directory, n_docs, vocab)
+    return build_artifacts(directory, n_docs, vocab, path_prefix=path_prefix)
 
 
 def run_device_only_bench(engine, queries, repeats: int = 3) -> dict:
@@ -318,6 +319,128 @@ def run_character_mode_bench(n_rows: int = 100_000, image_size: int = 384,
     }
 
 
+def run_character_e2e_bench(n_docs: int = 100_000, vocab: int = 10_000,
+                            n_queries: int = 20,
+                            directory: str | None = None) -> dict:
+    """END-TO-END character-mode query latency at index scale: the full
+    ``SearchEngine.find_similar_documents(..., search_mode='character
+    oriented')`` wall — fused stage A (scores + device top-k in one dispatch)
+    + stage B (row-gather CCIP metric dispatch) + the host threshold/tag
+    filter — measured against a real artifact chain whose top-10 files exist
+    on disk so the row-gather eligibility check runs for real. Also times the
+    pre-round-4 multi-call stage A (separate matvec + BM25 + corpus-length D2H
+    + host sort) for comparison.
+
+    The cfeature rows are synthetic unit vectors (FLOPs- and
+    bytes-representative; CCIP features of images the bench never renders),
+    which is fine for latency: stage B is a gather + one matvec regardless of
+    the values."""
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.config import CCIPConfig
+    from anime_illust_image_searcher_tpu.index import artifacts as art
+    from anime_illust_image_searcher_tpu.index.similarity import SimilarityIndex
+    from anime_illust_image_searcher_tpu.models.ccip import CCIPPredictor
+    from anime_illust_image_searcher_tpu.search.engine import SearchEngine
+    from anime_illust_image_searcher_tpu.search.rerank_ccip import CCIPReranker
+    from anime_illust_image_searcher_tpu.utils.jax_setup import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    directory = directory or os.path.join(
+        tempfile.gettempdir(), f"aiis_bench_char{n_docs // 1000}k")
+    os.makedirs(directory, exist_ok=True)
+    # doc paths live INSIDE the bench dir so the gather freshness check can
+    # stat real files (created below for the probed top-10s only)
+    tag_names = ensure_artifacts(directory, n_docs, vocab,
+                                 path_prefix=os.path.join(directory, "img"))
+    print(f"artifacts in {directory}")
+
+    engine = SearchEngine(directory)
+    doc_paths = [line.split(",", 1)[0]
+                 for line in engine.image_files_name_tags_arr]
+
+    # synthetic cfeature chain aligned with the docs (one unit row per doc,
+    # far-future stamps so on-disk probe files always pass the mtime check)
+    cfg = CCIPConfig()
+    idx_path = os.path.join(directory, art.cfeatures_index_name(0))
+    if not os.path.exists(idx_path + ".npy"):
+        rng = np.random.RandomState(5)
+        rows = rng.standard_normal((n_docs, cfg.feature_dim)).astype(np.float32)
+        cidx = SimilarityIndex(idx_path, num_features=cfg.feature_dim)
+        cidx._matrix = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+        cidx._norms = np.abs(rng.standard_normal(n_docs)).astype(np.float32) + 0.5
+        cidx._stamps = np.full(n_docs, 4e9, dtype=np.float64)
+        cidx._n = n_docs
+        cidx.meta["build_started"] = 4e9
+        cidx.save()
+        with open(os.path.join(directory, art.CFEATURES_CSV), "w",
+                  encoding="utf-8") as f:
+            f.write("\n".join(doc_paths) + "\n")
+
+    pred = CCIPPredictor(config=cfg, use_pallas=False)
+    reranker = CCIPReranker(directory=directory, engine=engine,
+                            predictor=pred)
+    engine.cfeature_reranker = reranker
+
+    rng = np.random.RandomState(2)
+    queries = []
+    for _ in range(n_queries):
+        base = [tag_names[rng.randint(200)] for _ in range(rng.randint(1, 4))]
+        queries.append(" ".join(base))
+
+    # first pass (live-path fallback: files don't exist yet) reveals each
+    # query's top-10 docs; create those files so the gather path is eligible
+    mode = "character oriented"
+    os.makedirs(os.path.join(directory, "img"), exist_ok=True)
+    for q in queries:
+        for doc_id, _ in engine.find_similar_documents(q, 800, mode)[:10]:
+            p = doc_paths[doc_id]
+            if not os.path.exists(p):
+                with open(p, "wb"):
+                    pass
+    # re-instantiate the reranker: files now exist (eligibility is checked per
+    # query; only _row_of/_stamps caching is per-instance and unchanged)
+    for q in queries[:3]:  # warm both stage programs on the gather path
+        engine.find_similar_documents(q, 800, mode)
+    top10 = engine.find_similar_documents(queries[0], 800, mode)[:10]
+    files = [doc_paths[d] for d, _ in top10]
+    assert reranker._gather_rows(files) is not None, \
+        "gather path unexpectedly ineligible — bench would time the live path"
+
+    def time_queries() -> np.ndarray:
+        lat = []
+        for q in queries:
+            t0 = time.perf_counter()
+            engine.find_similar_documents(q, 800, mode)
+            lat.append((time.perf_counter() - t0) * 1000)
+        return np.asarray(lat)
+
+    assert engine.character_fused_available(queries[0])
+    fused_lat = time_queries()
+    fused_dispatches = engine.character_fused_dispatches
+
+    engine.character_fused_available = lambda doc: False  # type: ignore[method-assign]
+    try:
+        engine.find_similar_documents(queries[0], 800, mode)  # warm multicall
+        multi_lat = time_queries()
+    finally:
+        del engine.character_fused_available
+    assert engine.character_fused_dispatches == fused_dispatches
+
+    return {
+        "metric": "character_query_p50",
+        "value": round(float(np.percentile(fused_lat, 50)), 2),
+        "unit": "ms end-to-end @ %dk docs (fused stage A + row-gather rerank)"
+                % (n_docs // 1000),
+        "p95_ms": round(float(np.percentile(fused_lat, 95)), 2),
+        "multicall_p50_ms": round(float(np.percentile(multi_lat, 50)), 2),
+        "n_queries": n_queries,
+        "vs_baseline": None,
+    }
+
+
 def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
                     n_queries: int = 50, directory: str | None = None) -> dict:
     """Build (or reuse) the 100k-doc artifact chain and measure warm query latency.
@@ -423,7 +546,15 @@ def main() -> None:
     parser.add_argument("--character-mode", action="store_true",
                         help="character-rerank device stage at 100k cfeature "
                              "rows (random weights; FLOPs-representative)")
+    parser.add_argument("--character-e2e", action="store_true",
+                        help="END-TO-END character-mode query latency at "
+                             "--docs scale (fused stage A + row-gather rerank "
+                             "vs the multi-call path)")
     args = parser.parse_args()
+    if args.character_e2e:
+        print(json.dumps(run_character_e2e_bench(
+            n_docs=args.docs, vocab=args.vocab, directory=args.dir)))
+        return
     if args.character_mode:
         from anime_illust_image_searcher_tpu.utils.jax_setup import (
             enable_persistent_compile_cache,

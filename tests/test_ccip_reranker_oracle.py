@@ -209,3 +209,50 @@ def test_character_few_results_branch_matches_oracle(setup):
     want = oracle_character(engine, reranker, small, 800, [], [])
     got = reranker(small, 800, [], [])
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_all_decode_failures_return_top10_only(setup, monkeypatch):
+    """When every top-10 file fails to decode on the live path, the reference's
+    empty np.average turns the mean NaN (webui.py:303) and no index row passes
+    the threshold — the result is exactly the top-10 with no matches."""
+    engine, reranker = setup
+    rng = np.random.RandomState(13)
+    n = len(engine.image_files_name_tags_arr)
+    final = rng.rand(n).astype(np.float64)
+    monkeypatch.setenv("AIIS_RERANK_LIVE", "1")  # force the decode path
+    monkeypatch.setattr(reranker.predictor, "gen_image_ndarray",
+                        lambda f: (_ for _ in ()).throw(OSError("gone")))
+    got = reranker(final, 800, [], [])
+    srt = sorted(enumerate(final), key=lambda it: -it[1])[:10]
+    assert got == [(int(d), float(s)) for d, s in srt]
+
+
+@pytest.mark.parametrize("query", [
+    "1girl", "solo smile", "1boy:+1", "smile:-1 1girl", "1girl:2 sword",
+])
+def test_character_fused_stage_a_matches_multicall(setup, query):
+    """The one-dispatch character stage A (fused scores + device top-k,
+    engine._find_similar_character_fused) must return the identical result
+    list as the reference-shaped multi-call path (separate matvec + BM25 +
+    host sort feeding CCIPReranker.__call__)."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    try:
+        assert engine.character_fused_available(query)
+        before = engine.character_fused_dispatches
+        fused = engine.find_similar_documents(
+            query, topn=800, search_mode="character oriented")
+        assert engine.character_fused_dispatches == before + 1
+
+        engine.character_fused_available = lambda doc: False  # force multicall
+        try:
+            multi = engine.find_similar_documents(
+                query, topn=800, search_mode="character oriented")
+        finally:
+            del engine.character_fused_available
+        assert [d for d, _ in fused] == [d for d, _ in multi]
+        np.testing.assert_allclose([s for _, s in fused],
+                                   [s for _, s in multi],
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        engine.cfeature_reranker = None

@@ -163,6 +163,52 @@ print("SHARDED_OK")
     assert "SHARDED_OK" in out
 
 
+def test_sharded_character_stage_a_matches_single_device():
+    """The character-mode stage A program (fused scores + device top-k) must
+    return identical top-k ids/values from a row-sharded 8-device mesh as from
+    one device, padding rows masked (the same GSPMD plumbing contract as the
+    normal fused program)."""
+    code = """
+import numpy as np, jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from anime_illust_image_searcher_tpu.ops.fused_query import (
+    fused_character_top, pack_query)
+from anime_illust_image_searcher_tpu.parallel.mesh import (
+    DATA_AXIS, make_mesh, pad_to_multiple)
+
+rng = np.random.RandomState(3)
+D, F, V, W = 203, 24, 50, 6      # deliberately not divisible by 8
+matrix = rng.randn(D, F).astype(np.float32)
+matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+term_mat = rng.randint(0, V, (D, W)).astype(np.int32)
+contrib = np.abs(rng.randn(D, W)).astype(np.float32)
+packed = pack_query(rng.randn(F).astype(np.float32),
+                    {3: 1.0, 7: 2.0, 11: -1.0}, V, magic=1000, max_terms=8)
+
+single = np.asarray(fused_character_top(
+    jnp.asarray(matrix), jnp.asarray(term_mat), jnp.asarray(contrib),
+    packed, 0.5, 0.5, vocab_size=V, num_docs=D, k=10, num_real=D))
+
+mesh = make_mesh(n_data=8)
+mat_p, _ = pad_to_multiple(matrix, 8)
+tm_p, _ = pad_to_multiple(term_mat, 8)
+tm_p = tm_p.copy(); tm_p[D:] = V          # sentinel ids on padding rows
+cb_p, _ = pad_to_multiple(contrib, 8)
+rs = NamedSharding(mesh, P(DATA_AXIS, None))
+sharded = np.asarray(fused_character_top(
+    jax.device_put(mat_p, rs), jax.device_put(tm_p, rs),
+    jax.device_put(cb_p, rs), packed, 0.5, 0.5,
+    vocab_size=V, num_docs=mat_p.shape[0], k=10, num_real=D))
+
+np.testing.assert_array_equal(single[10:], sharded[10:])     # ids exact
+np.testing.assert_allclose(single[:10], sharded[:10], rtol=1e-5, atol=1e-6)
+print("SHARDED_CHAR_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "SHARDED_CHAR_OK" in out
+
+
 def test_dp_doc2vec_training_matches_single_device():
     """genmodel --data-parallel: mesh-sharded PV-DBOW training must reproduce the
     single-device run (same batches, same keys; GSPMD only re-tiles the math)."""
