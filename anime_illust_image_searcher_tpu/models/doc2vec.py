@@ -509,9 +509,10 @@ class Doc2VecModel:
                 snap_ok = ("fp" in snap.files and str(snap["fp"]) == ckpt_fp
                            and snap["docvecs"].shape == docvecs.shape
                            and snap["syn1"].shape == syn1.shape
-                           # == cfg.epochs is a COMPLETED run whose cleanup
-                           # didn't land — resume returns it without retraining
-                           and 0 < int(snap["epoch"]) <= cfg.epochs)
+                           # snapshots are only written strictly mid-run (the
+                           # save condition requires epoch < cfg.epochs), so an
+                           # out-of-range epoch means a foreign writer: retrain
+                           and 0 < int(snap["epoch"]) < cfg.epochs)
             except Exception as e:  # noqa: BLE001 — corrupt zip/pickle forms
                 snap_ok = False
                 print(f"doc2vec: unreadable {ckpt_file} ({e})")

@@ -324,6 +324,17 @@ class SearchEngine:
 
     def _pack_fused(self, new_doc: str,
                     max_terms: Optional[int] = None) -> np.ndarray:
+        packed, _ = self._pack_fused_with_query(new_doc, max_terms)
+        return packed
+
+    def _pack_fused_with_query(
+        self, new_doc: str, max_terms: Optional[int] = None,
+    ) -> Tuple[np.ndarray, BM25Query]:
+        """Pack the query buffer and also return the parsed BM25Query (the
+        character path consumes its require/exclude lists — one parse, not
+        two). Doc2Vec inference runs FIRST so an unknown tag raises the same
+        KeyError the multi-call path raises (the two parsers normalize parens
+        differently, QUIRKS #9 — error precedence is observable)."""
         from ..ops.fused_query import pack_query, term_bucket
 
         s = self.cfg.search
@@ -335,8 +346,10 @@ class SearchEngine:
             # 64-slot sweep; >64-term queries ride the 256-slot program instead
             # of falling off to the ~18x multi-call path
             max_terms = term_bucket(len(query.term_weights))
-        return pack_query(vec, query.term_weights, self.bm25.vocab_size,
-                          magic=s.require_tag_magic_number, max_terms=max_terms)
+        packed = pack_query(vec, query.term_weights, self.bm25.vocab_size,
+                            magic=s.require_tag_magic_number,
+                            max_terms=max_terms)
+        return packed, query
 
     def _assemble_fused(
         self, out: np.ndarray, topn: int,
@@ -431,13 +444,12 @@ class SearchEngine:
         (ops/fused_query.fused_character_top — no corpus-length D2H, no full
         host sort, no COO BM25 upload); stage B = the reranker's one-dispatch
         CCIP metric stage (row-gather or live). The multi-call path computes
-        identical results (pinned by tests/test_webui_character_mode.py)."""
+        identical results (pinned by tests/test_ccip_reranker_oracle.py::
+        test_character_fused_stage_a_matches_multicall)."""
         from ..ops.fused_query import fused_character_top
 
         s = self.cfg.search
-        packed = self._pack_fused(new_doc)
-        query = parse_bm25_query(new_doc, self.dictionary,
-                                 magic=s.require_tag_magic_number)
+        packed, query = self._pack_fused_with_query(new_doc)
         term_mat, contrib_mat = self._bm25_dense
         k = s.rerank_top_k
         out = np.asarray(fused_character_top(

@@ -360,6 +360,15 @@ def run_character_e2e_bench(n_docs: int = 100_000, vocab: int = 10_000,
     engine = SearchEngine(directory)
     doc_paths = [line.split(",", 1)[0]
                  for line in engine.image_files_name_tags_arr]
+    if not doc_paths[0].startswith(os.path.abspath(directory) + os.sep) and \
+            not doc_paths[0].startswith(directory.rstrip(os.sep) + os.sep):
+        # a reused dir built by the standard bench carries "/img/..." doc
+        # paths — probe files would land outside the bench dir (or fail to
+        # create); this bench needs a chain built with its own local prefix
+        raise SystemExit(
+            f"--character-e2e needs doc paths under {directory} but the "
+            f"reused artifact chain uses '{doc_paths[0]}' — pass a fresh "
+            "--dir (or omit --dir for the default per-scale dir)")
 
     # synthetic cfeature chain aligned with the docs (one unit row per doc,
     # far-future stamps so on-disk probe files always pass the mtime check)
