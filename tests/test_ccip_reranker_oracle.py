@@ -227,6 +227,22 @@ def test_all_decode_failures_return_top10_only(setup, monkeypatch):
     assert got == [(int(d), float(s)) for d, s in srt]
 
 
+def test_character_fused_unknown_tag_raises_keyerror(setup):
+    """QUIRKS #7 through the fused character path: the unknown-tag KeyError
+    comes from the BM25 parser before any device dispatch, exactly like the
+    multi-call path (the Doc2Vec side maps unknown tags to a sentinel row,
+    mirroring gensim's silent unknown-word handling)."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    try:
+        assert engine.character_fused_available("zzz_not_a_tag")
+        with pytest.raises(KeyError, match="zzz_not_a_tag"):
+            engine.find_similar_documents(
+                "zzz_not_a_tag", 800, "character oriented")
+    finally:
+        engine.cfeature_reranker = None
+
+
 @pytest.mark.parametrize("query", [
     "1girl", "solo smile", "1boy:+1", "smile:-1 1girl", "1girl:2 sword",
 ])
