@@ -65,7 +65,9 @@ class QueryBatcher:
     leader, waits ``window_s`` for followers, then runs every pending query
     through ``SearchEngine.find_similar_documents_batch`` — B concurrent
     queries cost ~one device round trip instead of B serialized ones (the
-    relay round trip alone is ~33 ms; see ARCHITECTURE.md §3)."""
+    relay round trip alone is ~33 ms; see ARCHITECTURE.md §3). Normal and
+    character-oriented queries coalesce separately (batched PRF program vs
+    batched character stage A + shared rerank dispatch)."""
 
     def __init__(self, engine, window_s: float = 0.004) -> None:
         import threading
@@ -79,15 +81,10 @@ class QueryBatcher:
     def search(self, query: str, topn: int, search_mode: str):
         import threading
 
-        if search_mode == "character oriented":
-            # Not coalesced: a character query is already two small dispatches
-            # (fused stage A + the CCIP rerank), and concurrent character-mode
-            # use is rare — run it directly.
-            return self.engine.find_similar_documents(query, topn, search_mode)
         event = threading.Event()
         box: dict = {}
         with self._lock:
-            self._pending.append((query, topn, event, box))
+            self._pending.append((query, topn, search_mode, event, box))
             leader = not self._leader_active
             if leader:
                 self._leader_active = True
@@ -105,24 +102,39 @@ class QueryBatcher:
             self._pending = []
             self._leader_active = False
         try:
-            topn_max = max(t for _, t, _, _ in batch)
-            outs = self.engine.find_similar_documents_batch(
-                [q for q, _, _, _ in batch], topn=topn_max)
-            for (q, t, ev, bx), out in zip(batch, outs):
-                # errors are per query (an unknown tag fails ITS query, not
-                # everyone coalesced into the window)
-                if isinstance(out, Exception):
-                    bx["error"] = out
-                else:
-                    bx["result"] = out[: min(t, len(out))]
-                ev.set()
-            box0 = batch[0][3]
+            # per-mode coalescing: normal queries ride the batched PRF program,
+            # character queries the batched stage A + shared rerank dispatch
+            for mode_group in ({"character oriented"}, None):
+                group = [e for e in batch
+                         if (e[2] == "character oriented")
+                         == (mode_group is not None)]
+                if not group:
+                    continue
+                topn_max = max(t for _, t, _, _, _ in group)
+                mode = ("character oriented" if mode_group is not None
+                        else "normal")
+                outs = self.engine.find_similar_documents_batch(
+                    [q for q, _, _, _, _ in group], topn=topn_max,
+                    search_mode=mode)
+                for (q, t, _, ev, bx), out in zip(group, outs):
+                    # errors are per query (an unknown tag fails ITS query,
+                    # not everyone coalesced into the window)
+                    if isinstance(out, Exception):
+                        bx["error"] = out
+                    elif mode == "character oriented":
+                        # the reference's >10-hit character branch ignores
+                        # topn (webui.py:330-337) — never truncate it here
+                        bx["result"] = out
+                    else:
+                        bx["result"] = out[: min(t, len(out))]
+                    ev.set()
+            box0 = batch[0][4]
             if "error" in box0:
                 raise box0["error"]
             return box0["result"]
         except Exception as e:
             # batch-wide failure (device error): deliver to every still-unset box
-            for _, _, ev, bx in batch:
+            for _, _, _, ev, bx in batch:
                 if not ev.is_set():
                     bx["error"] = e
                     ev.set()
@@ -235,6 +247,23 @@ class WebUIServer:
                         print(f"batch-bucket warmup skipped (b={b}): {e}")
                         return
             print("batched query programs warm")
+            # character-mode programs (stage A single + batch buckets, the
+            # rerank dispatch, and the lazy CCIP/tag-dict loads) — so neither
+            # the first character query nor the first concurrent character
+            # burst pays cold compiles (measured: 16-25 s first query, ~10 s
+            # first-burst spikes on the relay without this)
+            if engine.cfeature_reranker is not None and hasattr(
+                    engine.cfeature_reranker, "rerank_top"):
+                try:
+                    for b in (1,) + engine.QUERY_BATCH_BUCKETS:
+                        if stop.is_set():
+                            return
+                        engine.find_similar_documents_batch(
+                            [some_tag] * b, topn=topn,
+                            search_mode="character oriented")
+                    print("character query programs warm")
+                except Exception as e:  # noqa: BLE001 — never crash warmup
+                    print(f"character warmup skipped: {e}")
             # the exact-top-k re-dispatch (rare ambiguous single-flag elbows)
             try:
                 for wq in warm_queries:

@@ -299,8 +299,7 @@ def ccip_rerank_diffs_op(
                          precision=jax.lax.Precision.HIGHEST)
 
 
-@jax.jit
-def ccip_rerank_diffs_from_rows_op(
+def _rerank_diffs_from_rows(
     index_matrix: jax.Array,  # (D, F) unit rows (device-resident)
     norms: jax.Array,         # (D,) pre-normalization norms
     row_ids: jax.Array,       # (k,) int32 — cfeature rows of the top-k files
@@ -321,6 +320,26 @@ def ccip_rerank_diffs_from_rows_op(
     q = mean_feat / jnp.maximum(jnp.linalg.norm(mean_feat), 1e-12)
     return 1.0 - jnp.dot(m, q, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
+
+
+ccip_rerank_diffs_from_rows_op = jax.jit(_rerank_diffs_from_rows)
+
+
+@jax.jit
+def ccip_rerank_diffs_from_rows_batch_op(
+    index_matrix: jax.Array,  # (D, F)
+    norms: jax.Array,         # (D,)
+    row_ids: jax.Array,       # (B, k) int32 — one row-id set per query
+    valid: jax.Array,         # (B, k) bool
+) -> jax.Array:
+    """B concurrent character queries' row-gather rerank in ONE dispatch:
+    vmapped over the per-query row ids (the index broadcasts; the per-query
+    matvecs batch into one (B, F) × (F, D) matmul). Returns (B, D) diffs. Same
+    ops as the single-query dispatch; XLA may schedule the batched matmul's
+    reductions differently, so last-ulp differences vs single-query are
+    possible (the same caveat the batched normal-mode program carries)."""
+    return jax.vmap(_rerank_diffs_from_rows, in_axes=(None, None, 0, 0))(
+        index_matrix, norms, row_ids, valid)
 
 
 @jax.jit

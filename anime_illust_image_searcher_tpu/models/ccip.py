@@ -330,3 +330,23 @@ class CCIPPredictor:
             return np.asarray(self._metric_vs_index(index._device(), mean_feat))
         return np.asarray(ccip_rerank_diffs_from_rows_op(
             index._device(), index._device_norms_arr(), ids, valid))
+
+    def rerank_diffs_from_rows_batch(
+            self, row_ids: np.ndarray, n_valid: np.ndarray, index,
+    ) -> Optional[np.ndarray]:
+        """B queries' row-gather reranks in ONE dispatch: (B, k) row ids +
+        (B,) valid counts -> (B, D) diffs. Returns None when a converted
+        learned metric is active — its graph program is per-query; callers
+        fall back to one dispatch per query (rare path, still batched over
+        index rows)."""
+        self.load_model()
+        self._ensure_metric()
+        if self._metric_vs_index is not None:
+            return None
+        from .caformer import ccip_rerank_diffs_from_rows_batch_op
+
+        ids = np.asarray(row_ids, np.int32)
+        valid = np.arange(ids.shape[1])[None, :] < np.asarray(n_valid)[:, None]
+        return np.asarray(ccip_rerank_diffs_from_rows_batch_op(
+            index._device(), index._device_norms_arr(),
+            jnp.asarray(ids), jnp.asarray(valid)))

@@ -433,6 +433,31 @@ fused_character_top = partial(jax.jit, static_argnames=(
     "vocab_size", "num_docs", "k", "num_real"))(_character_top_impl)
 
 
+@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "k", "num_real"))
+def fused_character_top_batch(
+    matrix: jax.Array,
+    term_mat: jax.Array,
+    contrib_mat: jax.Array,
+    packed_batch: jax.Array,  # (B, buflen) — B stacked pack_query() buffers
+    bm25_weight: float,
+    doc2vec_weight: float,
+    vocab_size: int,
+    num_docs: int,
+    k: int,
+    num_real: int = 0,
+) -> jax.Array:
+    """B concurrent character-mode stage A's in ONE device program (vmapped
+    over the packed buffers; the index arrays broadcast) — the character-mode
+    counterpart of ``fused_normal_query_batch`` for the webui micro-batcher."""
+
+    def one(p):
+        return _character_top_impl(
+            matrix, term_mat, contrib_mat, p, bm25_weight, doc2vec_weight,
+            vocab_size=vocab_size, num_docs=num_docs, k=k, num_real=num_real)
+
+    return jax.vmap(one)(packed_batch)
+
+
 fused_normal_query = partial(jax.jit, static_argnames=(
     "vocab_size", "num_docs", "topn", "k", "num_real"))(_fused_query_impl)
 

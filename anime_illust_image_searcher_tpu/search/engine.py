@@ -491,6 +491,9 @@ class SearchEngine:
         coalesced into the same micro-batch — callers must check each entry."""
         from ..ops.fused_query import fused_normal_query_batch
 
+        if search_mode == "character oriented":
+            return self._character_batch(new_docs, topn)
+
         results: List[Optional[Union[List[Result], Exception]]] = \
             [None] * len(new_docs)
         fused_pos = []
@@ -550,6 +553,88 @@ class SearchEngine:
                 results[i] = self._assemble_fused(
                     out[j], topn,
                     exact_fn=lambda p=p: self._dispatch_fused(p, topn, exact=True))
+        return results  # type: ignore[return-value]
+
+    def _character_batch(
+        self, new_docs: Sequence[str], topn: int
+    ) -> List[Union[List[Result], Exception]]:
+        """B concurrent character-mode queries: stage A batched into one
+        vmapped device program (``fused_character_top_batch``, chunked by the
+        same batch buckets as normal mode), stage B batched by the reranker
+        (gather-eligible queries share one dispatch). Queries that can't ride
+        the fused stage A fall back individually; errors stay per-query."""
+        from ..ops.fused_query import fused_character_top_batch
+
+        mode = "character oriented"
+        results: List[Optional[Union[List[Result], Exception]]] = \
+            [None] * len(new_docs)
+        fused_pos: List[int] = []
+        packed = []
+        queries = []
+        for i, doc in enumerate(new_docs):
+            try:
+                if self.character_fused_available(doc):
+                    buf, q = self._pack_fused_with_query(doc)
+                    fused_pos.append(i)
+                    packed.append(buf)
+                    queries.append(q)
+                else:
+                    results[i] = self.find_similar_documents(doc, topn, mode)
+            except Exception as e:  # noqa: BLE001 — per-query isolation
+                results[i] = e
+        if packed:
+            buflen = max(p.shape[0] for p in packed)
+            if any(p.shape[0] != buflen for p in packed):
+                # mixed term buckets — repack at the batch's largest
+                mt = (buflen - self.model.vector_size - 1) // 4
+                packed = [self._pack_fused(new_docs[i], max_terms=mt)
+                          for i in fused_pos]
+
+        s = self.cfg.search
+        k = s.rerank_top_k
+        term_mat, contrib_mat = self._bm25_dense
+        while packed:
+            take = min(len(packed), self.QUERY_BATCH_BUCKETS[-1])
+            chunk_pos, chunk_packed = fused_pos[:take], packed[:take]
+            chunk_queries = queries[:take]
+            fused_pos, packed, queries = \
+                fused_pos[take:], packed[take:], queries[take:]
+            if take == 1:
+                # lone query rides the warm single-query stage A program
+                try:
+                    results[chunk_pos[0]] = self._find_similar_character_fused(
+                        new_docs[chunk_pos[0]], topn)
+                except Exception as e:  # noqa: BLE001
+                    results[chunk_pos[0]] = e
+                continue
+            bucket = next(b for b in self.QUERY_BATCH_BUCKETS if take <= b)
+            batch = np.stack(chunk_packed + [chunk_packed[0]] * (bucket - take))
+            out = np.asarray(fused_character_top_batch(
+                self._matrix_dev, term_mat, contrib_mat, batch,
+                s.bm25_weight, s.doc2vec_weight,
+                vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
+                k=k, num_real=self._num_real,
+            ))
+            tops = [
+                [(int(d), float(v)) for v, d in zip(out[j][:k], out[j][k:])]
+                for j in range(take)
+            ]
+            self.character_fused_dispatches += take
+            try:
+                reranked = self.cfeature_reranker.rerank_top_batch(
+                    tops, topn,
+                    [q.required_tags for q in chunk_queries],
+                    [q.exclude_tags for q in chunk_queries],
+                ) if hasattr(self.cfeature_reranker, "rerank_top_batch") else [
+                    self.cfeature_reranker.rerank_top(
+                        t, topn, q.required_tags, q.exclude_tags)
+                    for t, q in zip(tops, chunk_queries)
+                ]
+                for i, r in zip(chunk_pos, reranked):
+                    results[i] = r
+            except Exception as e:  # noqa: BLE001 — batch-wide rerank failure
+                for i in chunk_pos:
+                    results[i] = e
         return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------ rerank

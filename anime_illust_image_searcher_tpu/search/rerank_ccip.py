@@ -183,6 +183,63 @@ class CCIPReranker:
         top10_sims = [(int(d), float(final_scores[d])) for d in order]
         return self.rerank_top(top10_sims, topn, required_tags, exclude_tags)
 
+    def _top_files(self, top10_sims: List[Result]) -> List[str]:
+        return [
+            self.image_files_name_tags_arr[doc_id].split(",")[0]
+            for doc_id, _ in top10_sims
+        ]
+
+    def rerank_top_batch(
+        self,
+        tops: List[List[Result]],
+        topn: int,
+        required: List[List[str]],
+        excluded: List[List[str]],
+    ) -> List[List[Result]]:
+        """B concurrent character queries' rerank stage: the gather-eligible
+        queries share ONE batched device dispatch
+        (``rerank_diffs_from_rows_batch``); the rest (stale/missing top-k
+        files, forced live mode, learned metric) fall back to their individual
+        ``rerank_top``. Per-query results are identical to sequential
+        ``rerank_top`` calls modulo the batched matmul's last-ulp reduction
+        scheduling (the same caveat as the batched normal-mode program)."""
+        self._lazy_load()
+        threshold = self.predictor.ccip_default_threshold() / 1.5
+        results: List[Optional[List[Result]]] = [None] * len(tops)
+
+        gather_pos: List[int] = []
+        gather_rows: List[List[int]] = []
+        for i, top10_sims in enumerate(tops):
+            rows = self._gather_rows(self._top_files(top10_sims))
+            if rows is not None and len(rows) == len(tops[0]):
+                gather_pos.append(i)
+                gather_rows.append(rows)
+
+        diffs_batch = None
+        if len(gather_pos) >= 2:
+            # pad B to the next power of two so the batched program compiles
+            # for O(log) shapes, not one per concurrent-burst size (a fresh
+            # compile mid-serving costs seconds through a remote-compile relay)
+            b = len(gather_pos)
+            bpad = 1 << (b - 1).bit_length()
+            rows_arr = np.asarray(
+                gather_rows + [gather_rows[0]] * (bpad - b), np.int32)
+            nvalid = np.asarray([len(r) for r in gather_rows]
+                                + [len(gather_rows[0])] * (bpad - b))
+            diffs_batch = self.predictor.rerank_diffs_from_rows_batch(
+                rows_arr, nvalid, self.cfeatures_idx)
+            if diffs_batch is not None:
+                diffs_batch = diffs_batch[:b]
+        if diffs_batch is not None:
+            for i, diffs in zip(gather_pos, diffs_batch):
+                results[i] = list(tops[i]) + self._matches_from_diffs(
+                    np.asarray(diffs), threshold, required[i], excluded[i])
+        for i in range(len(tops)):
+            if results[i] is None:
+                results[i] = self.rerank_top(tops[i], topn,
+                                             required[i], excluded[i])
+        return results  # type: ignore[return-value]
+
     def rerank_top(
         self,
         top10_sims: List[Result],
@@ -197,11 +254,7 @@ class CCIPReranker:
         self._lazy_load()
         threshold = self.predictor.ccip_default_threshold() / 1.5
 
-        top10_doc_ids = [doc_id for doc_id, _ in top10_sims]
-        top10_files = [
-            self.image_files_name_tags_arr[doc_id].split(",")[0]
-            for doc_id in top10_doc_ids
-        ]
+        top10_files = self._top_files(top10_sims)
 
         # Device stage — the reference makes one ONNX call per top-10 file plus
         # one per INDEXED image (webui.py:296-309). Two one-dispatch forms here:
@@ -246,12 +299,21 @@ class CCIPReranker:
             diffs = self.predictor.rerank_diffs(batch, len(decoded),
                                                 self.cfeatures_idx)
 
-        # Host filter, vectorized: the threshold compare runs over the whole diff
-        # vector at once and only the few candidate rows touch the python tag
-        # dicts (the old per-row loop cost ~80 ms/query at 100k rows). float()
-        # upcast per candidate keeps the f64 compare/score arithmetic of the
-        # reference loop bit-for-bit.
-        diffs_np = np.asarray(diffs)
+        return list(top10_sims) + self._matches_from_diffs(
+            np.asarray(diffs), threshold, required_tags, exclude_tags)
+
+    def _matches_from_diffs(
+        self,
+        diffs_np: np.ndarray,
+        threshold: float,
+        required_tags: List[str],
+        exclude_tags: List[str],
+    ) -> List[Result]:
+        """Host filter, vectorized: the threshold compare runs over the whole
+        diff vector at once and only the few candidate rows touch the python
+        tag dicts (the old per-row loop cost ~80 ms/query at 100k rows).
+        float() upcast per candidate keeps the f64 compare/score arithmetic of
+        the reference loop bit-for-bit (webui.py:306-335)."""
         matches: List[Result] = []
         for idx in np.nonzero(diffs_np.astype(np.float64) < threshold)[0]:
             fpath = self.cfeature_filepath_idx[idx]
@@ -266,4 +328,4 @@ class CCIPReranker:
                             1.0 - float(diffs_np[idx])))
 
         matches.sort(key=lambda it: -it[1])
-        return list(top10_sims) + matches
+        return matches

@@ -253,6 +253,17 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         print(f"1M-scale query bench failed: {exc!r}")
 
+    # Character-mode end-to-end query latency at 100k docs (round 4: fused
+    # stage A + row-gather rerank = two device calls/query; ARCHITECTURE §4).
+    char_e2e = None
+    try:
+        from bench_query import run_character_e2e_bench
+
+        char_e2e = run_character_e2e_bench(n_queries=10)
+        print(json.dumps(char_e2e))
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"character e2e bench failed: {exc!r}")
+
     # Tertiary metric: host-ingest rate (CPU-only, ~1 min) — how many decode
     # cores feed this chip (ARCHITECTURE §6 sizing).
     ingest = None
@@ -300,6 +311,8 @@ def main() -> None:
         headline["ingest_img_s_per_core"] = ingest["native_img_s_per_core"]
         headline["ingest_scaled_img_s_per_core"] = (
             ingest["native_scaled_img_s_per_core"])
+    if char_e2e is not None:
+        headline["character_query_p50_ms_100k"] = char_e2e["value"]
     if query is not None:
         headline["query_latency_p50_ms_100k"] = query["value"]
         headline["query_device_ms_estimate_100k"] = query["device_ms_estimate"]

@@ -227,6 +227,97 @@ def test_all_decode_failures_return_top10_only(setup, monkeypatch):
     assert got == [(int(d), float(s)) for d, s in srt]
 
 
+def _assert_equivalent_ranking(got, want, q):
+    """Strict id order when it holds; otherwise the difference must be an
+    ulp-level score tie swap (the batched/vmapped programs may schedule the
+    matvec's row blocks differently than the single-query program, so even
+    bit-identical duplicate docs can land one ulp apart across programs — the
+    same caveat tests/test_parallel.py handles for GSPMD)."""
+    assert len(got) == len(want), (q, len(got), len(want))
+    ids_g, ids_w = [d for d, _ in got], [d for d, _ in want]
+    if ids_g != ids_w:
+        assert sorted(ids_g) == sorted(ids_w), (q, ids_g, ids_w)
+        for (dg, vg), (dw, vw) in zip(got, want):
+            if dg != dw:
+                assert abs(vg - vw) <= 1e-5 + 1e-4 * abs(vg), (q, dg, dw)
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                               rtol=1e-4, atol=1e-5, err_msg=str(q))
+
+
+def test_character_batch_matches_sequential(setup):
+    """B concurrent character queries through find_similar_documents_batch
+    (batched stage A + shared rerank dispatch) must match sequential
+    single-query results (modulo ulp tie swaps); an unknown tag fails only
+    its own slot."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    mode = "character oriented"
+    try:
+        queries = ["1girl", "solo smile", "1boy:+1", "zzz_not_a_tag",
+                   "smile:-1 1girl", "1girl:2 sword"]
+        before = engine.character_fused_dispatches
+        outs = engine.find_similar_documents_batch(queries, topn=800,
+                                                   search_mode=mode)
+        assert engine.character_fused_dispatches == before + 5
+        for q, out in zip(queries, outs):
+            if q == "zzz_not_a_tag":
+                assert isinstance(out, KeyError)
+                continue
+            want = engine.find_similar_documents(q, 800, mode)
+            _assert_equivalent_ranking(out, want, q)
+    finally:
+        engine.cfeature_reranker = None
+
+
+def test_query_batcher_coalesces_mixed_modes(setup):
+    """Concurrent normal + character searches through the webui QueryBatcher:
+    each mode group coalesces into its own engine batch call, and every
+    requester gets its own mode's results."""
+    import threading
+
+    from anime_illust_image_searcher_tpu.cli.webui import QueryBatcher
+
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    calls = []
+    orig = engine.find_similar_documents_batch
+
+    def spy(queries, topn=50, search_mode="normal"):
+        calls.append((search_mode, list(queries)))
+        return orig(queries, topn, search_mode)
+
+    engine.find_similar_documents_batch = spy
+    try:
+        batcher = QueryBatcher(engine, window_s=0.2)
+        results = {}
+
+        def worker(q, m):
+            results[(q, m)] = batcher.search(q, 800, m)
+
+        jobs = [("1girl", "normal"), ("1girl", "character oriented"),
+                ("solo smile", "character oriented"), ("1boy", "normal")]
+        threads = [threading.Thread(target=worker, args=j) for j in jobs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        engine.find_similar_documents_batch = orig
+        engine.cfeature_reranker = None
+
+    assert sum(len(qs) for _, qs in calls) == 4
+    char_calls = [qs for m, qs in calls if m == "character oriented"]
+    assert any(len(qs) > 1 for qs in char_calls), calls
+    engine.cfeature_reranker = reranker
+    try:
+        for (q, m), got in results.items():
+            want = engine.find_similar_documents(q, 800, m)
+            want = want if m == "character oriented" else want[:800]
+            _assert_equivalent_ranking(got, want, (q, m))
+    finally:
+        engine.cfeature_reranker = None
+
+
 def test_character_fused_unknown_tag_raises_keyerror(setup):
     """QUIRKS #7 through the fused character path: the unknown-tag KeyError
     comes from the BM25 parser before any device dispatch, exactly like the
