@@ -75,7 +75,7 @@ class QueryBatcher:
         self.engine = engine
         self.window_s = window_s
         self._lock = threading.Lock()
-        self._pending: list = []          # [(query, topn, event, box)]
+        self._pending: list = []   # [(query, topn, search_mode, event, box)]
         self._leader_active = False
 
     def search(self, query: str, topn: int, search_mode: str):
@@ -103,42 +103,47 @@ class QueryBatcher:
             self._leader_active = False
         try:
             # per-mode coalescing: normal queries ride the batched PRF program,
-            # character queries the batched stage A + shared rerank dispatch
-            for mode_group in ({"character oriented"}, None):
+            # character queries the batched stage A + shared rerank dispatch.
+            # Failures are contained per GROUP: one mode's device error must
+            # not poison the other mode's queries (which may already have, or
+            # still get, perfectly good results).
+            for is_char in (True, False):
                 group = [e for e in batch
-                         if (e[2] == "character oriented")
-                         == (mode_group is not None)]
+                         if (e[2] == "character oriented") == is_char]
                 if not group:
                     continue
-                topn_max = max(t for _, t, _, _, _ in group)
-                mode = ("character oriented" if mode_group is not None
-                        else "normal")
-                outs = self.engine.find_similar_documents_batch(
-                    [q for q, _, _, _, _ in group], topn=topn_max,
-                    search_mode=mode)
-                for (q, t, _, ev, bx), out in zip(group, outs):
-                    # errors are per query (an unknown tag fails ITS query,
-                    # not everyone coalesced into the window)
-                    if isinstance(out, Exception):
-                        bx["error"] = out
-                    elif mode == "character oriented":
-                        # the reference's >10-hit character branch ignores
-                        # topn (webui.py:330-337) — never truncate it here
-                        bx["result"] = out
-                    else:
-                        bx["result"] = out[: min(t, len(out))]
-                    ev.set()
-            box0 = batch[0][4]
-            if "error" in box0:
-                raise box0["error"]
-            return box0["result"]
-        except Exception as e:
-            # batch-wide failure (device error): deliver to every still-unset box
+                mode = "character oriented" if is_char else "normal"
+                try:
+                    topn_max = max(t for _, t, _, _, _ in group)
+                    outs = self.engine.find_similar_documents_batch(
+                        [q for q, _, _, _, _ in group], topn=topn_max,
+                        search_mode=mode)
+                    for (q, t, _, ev, bx), out in zip(group, outs):
+                        # errors are per query (an unknown tag fails ITS
+                        # query, not everyone coalesced into the window)
+                        if isinstance(out, Exception):
+                            bx["error"] = out
+                        elif is_char:
+                            # the reference's >10-hit character branch ignores
+                            # topn (webui.py:330-337) — never truncate it here
+                            bx["result"] = out
+                        else:
+                            bx["result"] = out[: min(t, len(out))]
+                        ev.set()
+                except Exception as e:  # noqa: BLE001 — group-wide failure
+                    for _, _, _, ev, bx in group:
+                        if not ev.is_set():
+                            bx["error"] = e
+                            ev.set()
+        finally:
+            # whatever happened above, no requester may wait forever
             for _, _, _, ev, bx in batch:
                 if not ev.is_set():
-                    bx["error"] = e
+                    bx["error"] = RuntimeError("query batch dropped")
                     ev.set()
-            raise
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
 
 
 class WebUIServer:
@@ -247,20 +252,22 @@ class WebUIServer:
                         print(f"batch-bucket warmup skipped (b={b}): {e}")
                         return
             print("batched query programs warm")
-            # character-mode programs (stage A single + batch buckets, the
-            # rerank dispatch, and the lazy CCIP/tag-dict loads) — so neither
-            # the first character query nor the first concurrent character
-            # burst pays cold compiles (measured: 16-25 s first query, ~10 s
-            # first-burst spikes on the relay without this)
+            # character-mode programs (stage A single + batch buckets at BOTH
+            # interactive term buckets, the rerank dispatch, and the lazy
+            # CCIP/tag-dict loads) — so neither the first character query nor
+            # the first concurrent character burst pays cold compiles
+            # (measured: 16-25 s first query, ~10 s first-burst spikes on the
+            # relay without this)
             if engine.cfeature_reranker is not None and hasattr(
                     engine.cfeature_reranker, "rerank_top"):
                 try:
-                    for b in (1,) + engine.QUERY_BATCH_BUCKETS:
-                        if stop.is_set():
-                            return
-                        engine.find_similar_documents_batch(
-                            [some_tag] * b, topn=topn,
-                            search_mode="character oriented")
+                    for wq in warm_queries:
+                        for b in (1,) + engine.QUERY_BATCH_BUCKETS:
+                            if stop.is_set():
+                                return
+                            engine.find_similar_documents_batch(
+                                [wq] * b, topn=topn,
+                                search_mode="character oriented")
                     print("character query programs warm")
                 except Exception as e:  # noqa: BLE001 — never crash warmup
                     print(f"character warmup skipped: {e}")

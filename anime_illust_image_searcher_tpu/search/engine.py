@@ -446,10 +446,15 @@ class SearchEngine:
         CCIP metric stage (row-gather or live). The multi-call path computes
         identical results (pinned by tests/test_ccip_reranker_oracle.py::
         test_character_fused_stage_a_matches_multicall)."""
+        packed, query = self._pack_fused_with_query(new_doc)
+        return self._character_fused_from_packed(packed, query, topn)
+
+    def _character_fused_from_packed(
+        self, packed: np.ndarray, query: BM25Query, topn: int
+    ) -> List[Result]:
         from ..ops.fused_query import fused_character_top
 
         s = self.cfg.search
-        packed, query = self._pack_fused_with_query(new_doc)
         term_mat, contrib_mat = self._bm25_dense
         k = s.rerank_top_k
         out = np.asarray(fused_character_top(
@@ -600,10 +605,11 @@ class SearchEngine:
             fused_pos, packed, queries = \
                 fused_pos[take:], packed[take:], queries[take:]
             if take == 1:
-                # lone query rides the warm single-query stage A program
+                # lone query rides the single-query stage A program, reusing
+                # the buffer/parse already computed in the eligibility loop
                 try:
-                    results[chunk_pos[0]] = self._find_similar_character_fused(
-                        new_docs[chunk_pos[0]], topn)
+                    results[chunk_pos[0]] = self._character_fused_from_packed(
+                        chunk_packed[0], chunk_queries[0], topn)
                 except Exception as e:  # noqa: BLE001
                     results[chunk_pos[0]] = e
                 continue

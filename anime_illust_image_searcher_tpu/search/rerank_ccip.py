@@ -60,7 +60,13 @@ class CCIPReranker:
         ``engine`` (a SearchEngine) — then they resolve lazily on first
         character query, so webui startup never pays the 1M-doc dict build
         (engine.py builds them on first attribute access)."""
+        import threading
+
         self._engine = engine
+        # serializes _lazy_load: the webui warmup thread and a user's first
+        # character query may race here (ThreadingHTTPServer), and a partially
+        # built cfeature_filepath_idx must never be observable
+        self._load_lock = threading.Lock()
         self._image_files_name_tags_arr = image_files_name_tags_arr
         self._file_tag_index_dict = file_tag_index_dict
         self._filepath_docid_dict = filepath_docid_dict
@@ -94,14 +100,20 @@ class CCIPReranker:
         return self._filepath_docid_dict
 
     def _lazy_load(self) -> None:
+        with self._load_lock:
+            self._lazy_load_locked()
+
+    def _lazy_load_locked(self) -> None:
         if self.predictor is None:
             self.predictor = CCIPPredictor(self.cfg.ccip)
         if self.cfeature_filepath_idx is None:
-            self.cfeature_filepath_idx = []
+            # build locally, publish complete (never a partial list)
+            paths = []
             with open(os.path.join(self.directory, artifacts.CFEATURES_CSV),
                       "r", encoding="utf-8") as f:
                 for line in f:
-                    self.cfeature_filepath_idx.append(line.strip())
+                    paths.append(line.strip())
+            self.cfeature_filepath_idx = paths
         if self.cfeatures_idx is None:
             max_number = artifacts.get_current_cfeature_number(self.directory)
             name = artifacts.cfeatures_index_name(max_number)

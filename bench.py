@@ -261,7 +261,9 @@ def main() -> None:
 
         char_e2e = run_character_e2e_bench(n_queries=10)
         print(json.dumps(char_e2e))
-    except Exception as exc:  # pragma: no cover - defensive
+    except (Exception, SystemExit) as exc:  # pragma: no cover - defensive
+        # SystemExit too: the bench refuses mismatched reused dirs via
+        # SystemExit, and a secondary metric must never hide the headline
         print(f"character e2e bench failed: {exc!r}")
 
     # Tertiary metric: host-ingest rate (CPU-only, ~1 min) — how many decode

@@ -15,6 +15,22 @@ from anime_illust_image_searcher_tpu.models.ccip_weights import (
     analyze_metric_graph, convert_feat_graph, derive_config, execute_graph,
 )
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _true_f32_matmuls():
+    """These are CONVERSION-parity oracles against true-f32 torch math. On TPU,
+    an f32 matmul at DEFAULT precision runs as one bf16-multiply MXU pass
+    (~1e-3 relative) — the production model computes bf16 by design, but that
+    arithmetic would drown the 1e-4/1e-5 conversion tolerances. Force true-f32
+    matmul lowering for this module (no-op on CPU, where DEFAULT is already
+    f32), so AIIS_TEST_PLATFORM=tpu validates the conversion on hardware."""
+    import jax
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", old)
+
 # --------------------------------------------------------------- torch replica
 # Mirrors sail-sg/metaformer's CAFormer (the lineage of ccip-caformer-*): same
 # module names as its state dict, so the exported initializer names are the

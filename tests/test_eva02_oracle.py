@@ -30,6 +30,22 @@ from anime_illust_image_searcher_tpu.models.weights import (
     convert_timm_eva02, detect_config_from_state_dict,
 )
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _true_f32_matmuls():
+    """These are CONVERSION-parity oracles against true-f32 torch math. On TPU,
+    an f32 matmul at DEFAULT precision runs as one bf16-multiply MXU pass
+    (~1e-3 relative) — the production model computes bf16 by design, but that
+    arithmetic would drown the 1e-4/1e-5 conversion tolerances. Force true-f32
+    matmul lowering for this module (no-op on CPU, where DEFAULT is already
+    f32), so AIIS_TEST_PLATFORM=tpu validates the conversion on hardware."""
+    import jax
+
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", old)
+
 # ------------------------------------------------------------- torch replica
 # timm.layers.pos_embed_sincos semantics (RotaryEmbeddingCat, in_pixels=False).
 
@@ -279,14 +295,23 @@ def test_convert_matches_timm_oracle(oracle_input, mlp_naming):
     assert cfg.global_pool == "avg" and not cfg.scale_attn_inner
     assert not cfg.use_layer_scale
     y, acts = forward_flax(cfg, params, oracle_input, intermediates=True)
+    # Cross-platform ulp headroom: TPU f32 (HIGHEST matmuls, different
+    # exp/rsqrt implementations) accumulates ~1.2e-4 absolute on these
+    # O(1-10)-scale activations vs the torch CPU replica — ~1e-5 relative,
+    # while a real conversion bug (e.g. a wrong rope permutation — see the
+    # canary test) costs 0.1+. 1e-4 stays the CPU bound.
+    import jax
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    act_tol, logit_atol = (1e-4, 1e-5) if on_cpu else (5e-4, 5e-5)
     for i, (a, a_ref) in enumerate(zip(acts, acts_ref)):
         d = np.abs(a - a_ref.numpy()).max()
-        assert d < 1e-4, f"block {i} activation max|d|={d}"
-    np.testing.assert_allclose(y, y_ref.numpy(), atol=1e-5, rtol=1e-4)
+        assert d < act_tol, f"block {i} activation max|d|={d}"
+    np.testing.assert_allclose(y, y_ref.numpy(), atol=logit_atol, rtol=1e-4)
     # probs (what MCut thresholds see, tagging.py:176) match even tighter
     probs = 1 / (1 + np.exp(-y))
     probs_ref = 1 / (1 + np.exp(-y_ref.numpy()))
-    np.testing.assert_allclose(probs, probs_ref, atol=1e-5)
+    np.testing.assert_allclose(probs, probs_ref, atol=logit_atol)
 
 
 def test_convert_matches_oracle_attn_norm_layer_scale_token_pool(oracle_input):
