@@ -331,6 +331,52 @@ class CCIPPredictor:
         return np.asarray(ccip_rerank_diffs_from_rows_op(
             index._device(), index._device_norms_arr(), ids, valid))
 
+    def rerank_matches_from_rows(
+            self, row_ids: np.ndarray, n_valid: int, index,
+            thresh_up: float, cap: int,
+    ) -> Optional[tuple]:
+        """Candidate-only row-gather rerank: (count, cand_idx, cand_diffs) —
+        the cap smallest diffs in (diff asc, index asc) order, plus how many
+        rows beat ``thresh_up`` (an f32 rounded UP from the f64 threshold).
+        None when a converted learned metric is active (callers use the
+        full-diffs path). Avoids the corpus-length diff D2H (4 MB at 1M rows
+        through the relay)."""
+        self.load_model()
+        self._ensure_metric()
+        if self._metric_vs_index is not None:
+            return None
+        from .caformer import ccip_rerank_matches_from_rows_op
+
+        k = int(np.asarray(row_ids).shape[0])
+        out = np.asarray(ccip_rerank_matches_from_rows_op(
+            index._device(), index._device_norms_arr(),
+            jnp.asarray(np.asarray(row_ids, np.int32)),
+            jnp.asarray(np.arange(k) < n_valid),
+            jnp.float32(thresh_up), cap=cap))
+        return (int(out[0]), out[1 : 1 + cap].astype(np.int64),
+                out[1 + cap :])
+
+    def rerank_matches_from_rows_batch(
+            self, row_ids: np.ndarray, n_valid: np.ndarray, index,
+            thresh_up: float, cap: int,
+    ) -> Optional[tuple]:
+        """Batched candidate-only rerank: (counts (B,), idx (B, cap),
+        diffs (B, cap)); None when a learned metric is active."""
+        self.load_model()
+        self._ensure_metric()
+        if self._metric_vs_index is not None:
+            return None
+        from .caformer import ccip_rerank_matches_from_rows_batch_op
+
+        ids = np.asarray(row_ids, np.int32)
+        valid = np.arange(ids.shape[1])[None, :] < np.asarray(n_valid)[:, None]
+        out = np.asarray(ccip_rerank_matches_from_rows_batch_op(
+            index._device(), index._device_norms_arr(),
+            jnp.asarray(ids), jnp.asarray(valid),
+            jnp.float32(thresh_up), cap=cap))
+        return (out[:, 0].astype(np.int64),
+                out[:, 1 : 1 + cap].astype(np.int64), out[:, 1 + cap :])
+
     def rerank_diffs_from_rows_batch(
             self, row_ids: np.ndarray, n_valid: np.ndarray, index,
     ) -> Optional[np.ndarray]:

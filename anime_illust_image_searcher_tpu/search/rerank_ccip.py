@@ -201,6 +201,59 @@ class CCIPReranker:
             for doc_id, _ in top10_sims
         ]
 
+    # Candidate cap for the matches-only device programs: the host receives
+    # ~2*cap floats instead of a corpus-length diff vector (4 MB at 1M rows).
+    # Queries whose sub-threshold count exceeds the cap fall back to the
+    # full-diffs path (exact, just more D2H). 4096 is the largest k
+    # exact_top_k serves on its cheap chunked path (ops/fused_query.py).
+    MATCH_CAP = 4096
+
+    def _capped_eligible(self) -> bool:
+        n = len(self.cfeatures_idx)
+        # small index: full diffs are cheaper than a cap-sized top-k;
+        # >= 2^24 rows: candidate indices ride the f32 output buffer exactly
+        # like the fused query's id encoding, so the same bound applies
+        return self.MATCH_CAP < n < 2 ** 24
+
+    @staticmethod
+    def _thresh_up(threshold: float) -> float:
+        """Next f32 above the f64 threshold: the device count must
+        over-approximate the host's f64 compare so count <= cap guarantees
+        every true match is among the returned candidates."""
+        t32 = np.float32(threshold)
+        if float(t32) < threshold:
+            t32 = np.nextafter(t32, np.float32(np.inf))
+        return float(np.nextafter(t32, np.float32(np.inf)))
+
+    def _matches_from_candidates(
+        self,
+        cand_idx: np.ndarray,
+        cand_diffs: np.ndarray,
+        threshold: float,
+        required_tags: List[str],
+        exclude_tags: List[str],
+    ) -> List[Result]:
+        """The host filter over (diff asc, index asc)-ordered candidates —
+        produces the exact list _matches_from_diffs produces from full diffs:
+        that path appends matches in index order then stable-sorts by score
+        desc, yielding (diff asc, index asc); candidates arrive already in
+        that order, and the f64 compare per candidate is identical."""
+        matches: List[Result] = []
+        for idx, diff in zip(cand_idx, cand_diffs):
+            d64 = float(diff)
+            if not (d64 < threshold):
+                break  # ascending diffs: nothing later can match
+            fpath = self.cfeature_filepath_idx[int(idx)]
+            tag_map = self.file_tag_index_dict.get(fpath)
+            if tag_map is None:
+                continue  # unknown file: required/exclude checks both fail
+            if not all(tag in tag_map for tag in required_tags):
+                continue
+            if not all(tag not in tag_map for tag in exclude_tags):
+                continue
+            matches.append((self.filepath_docid_dict[fpath], 1.0 - d64))
+        return matches
+
     def rerank_top_batch(
         self,
         tops: List[List[Result]],
@@ -227,7 +280,6 @@ class CCIPReranker:
                 gather_pos.append(i)
                 gather_rows.append(rows)
 
-        diffs_batch = None
         if len(gather_pos) >= 2:
             # pad B to the next power of two so the batched program compiles
             # for O(log) shapes, not one per concurrent-burst size (a fresh
@@ -238,14 +290,31 @@ class CCIPReranker:
                 gather_rows + [gather_rows[0]] * (bpad - b), np.int32)
             nvalid = np.asarray([len(r) for r in gather_rows]
                                 + [len(gather_rows[0])] * (bpad - b))
-            diffs_batch = self.predictor.rerank_diffs_from_rows_batch(
-                rows_arr, nvalid, self.cfeatures_idx)
-            if diffs_batch is not None:
-                diffs_batch = diffs_batch[:b]
-        if diffs_batch is not None:
-            for i, diffs in zip(gather_pos, diffs_batch):
-                results[i] = list(tops[i]) + self._matches_from_diffs(
-                    np.asarray(diffs), threshold, required[i], excluded[i])
+            if self._capped_eligible():
+                res = self.predictor.rerank_matches_from_rows_batch(
+                    rows_arr, nvalid, self.cfeatures_idx,
+                    self._thresh_up(threshold), self.MATCH_CAP)
+                if res is not None:
+                    counts, idxs, diffs = res
+                    for j, i in enumerate(gather_pos):
+                        if counts[j] <= self.MATCH_CAP:
+                            # over-cap queries stay None -> individual
+                            # full-diffs fallback below
+                            results[i] = (list(tops[i])
+                                          + self._matches_from_candidates(
+                                              idxs[j], diffs[j], threshold,
+                                              required[i], excluded[i]))
+            if any(results[i] is None for i in gather_pos):
+                diffs_batch = self.predictor.rerank_diffs_from_rows_batch(
+                    rows_arr, nvalid, self.cfeatures_idx)
+                if diffs_batch is not None:
+                    for j, i in enumerate(gather_pos):
+                        if results[i] is None:
+                            results[i] = (list(tops[i])
+                                          + self._matches_from_diffs(
+                                              np.asarray(diffs_batch[j]),
+                                              threshold,
+                                              required[i], excluded[i]))
         for i in range(len(tops)):
             if results[i] is None:
                 results[i] = self.rerank_top(tops[i], topn,
@@ -278,6 +347,16 @@ class CCIPReranker:
         #     stale/missing-file fallback).
         rows = self._gather_rows(top10_files)
         if rows is not None:
+            if self._capped_eligible():
+                res = self.predictor.rerank_matches_from_rows(
+                    np.asarray(rows, np.int32), len(rows), self.cfeatures_idx,
+                    self._thresh_up(threshold), self.MATCH_CAP)
+                if res is not None:
+                    count, cand_idx, cand_diffs = res
+                    if count <= self.MATCH_CAP:
+                        return list(top10_sims) + self._matches_from_candidates(
+                            cand_idx, cand_diffs, threshold,
+                            required_tags, exclude_tags)
             diffs = self.predictor.rerank_diffs_from_rows(
                 np.asarray(rows, np.int32), len(rows), self.cfeatures_idx)
         else:

@@ -244,6 +244,64 @@ def _assert_equivalent_ranking(got, want, q):
                                rtol=1e-4, atol=1e-5, err_msg=str(q))
 
 
+def test_capped_matches_path_equals_full_diffs(setup, monkeypatch):
+    """The candidate-only device program (MATCH_CAP smallest diffs + count)
+    must produce the same result list as the full corpus-length diff transfer,
+    both under the cap and — via the count>cap fallback — over it."""
+    engine, reranker = setup
+    rng = np.random.RandomState(17)
+    n = len(engine.image_files_name_tags_arr)
+    final = rng.rand(n).astype(np.float64)
+
+    assert not reranker._capped_eligible()      # default cap >= tiny index
+    full = reranker(final, 800, [], [])
+
+    calls = {"capped": 0}
+    orig = reranker.predictor.rerank_matches_from_rows
+
+    def spy(*a, **kw):
+        calls["capped"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(reranker.predictor, "rerank_matches_from_rows", spy)
+    monkeypatch.setattr(reranker, "MATCH_CAP", 16)
+    assert reranker._capped_eligible()
+    capped = reranker(final, 800, [], [])
+    assert calls["capped"] == 1
+    _assert_equivalent_ranking(capped, full, "capped")
+
+    # a threshold so generous every row matches: count > cap -> the full-diffs
+    # fallback must kick in and still agree
+    monkeypatch.setattr(reranker.predictor, "ccip_default_threshold",
+                        lambda: 30.0)
+    want = []
+    got = None
+    monkeypatch.setattr(reranker, "MATCH_CAP", 4)
+    got = reranker(final, 800, [], [])
+    monkeypatch.setattr(reranker, "MATCH_CAP", n + 1)  # ineligible: full path
+    want = reranker(final, 800, [], [])
+    assert len(want) > 4 + 10  # the generous threshold really overflowed cap=4
+    _assert_equivalent_ranking(got, want, "overflow-fallback")
+
+
+def test_capped_matches_batch_equals_full(setup, monkeypatch):
+    """Batched candidate-only rerank agrees with the batched full-diffs path."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    mode = "character oriented"
+    queries = ["1girl", "solo smile", "1boy sword", "black_hair"]
+    try:
+        full = engine.find_similar_documents_batch(queries, topn=800,
+                                                   search_mode=mode)
+        monkeypatch.setattr(reranker, "MATCH_CAP", 16)
+        capped = engine.find_similar_documents_batch(queries, topn=800,
+                                                     search_mode=mode)
+        for q, a, b in zip(queries, capped, full):
+            _assert_equivalent_ranking(a, b, q)
+    finally:
+        engine.cfeature_reranker = None
+
+
 def test_character_batch_matches_sequential(setup):
     """B concurrent character queries through find_similar_documents_batch
     (batched stage A + shared rerank dispatch) must match sequential
