@@ -4,8 +4,8 @@ is exercised without TPU hardware (SURVEY.md §4 test plan).
 Set AIIS_TEST_PLATFORM=tpu to instead run against the environment's real device
 (the axon-relayed TPU chip): single device, so the in-process multi-device tests
 (the `_NEEDS_8_DEVICES` list below; the subprocess-isolated distributed tests pin
-their own CPU env) auto-skip. The FULL suite passes on the chip (~15 min warm
-cache) — running it there caught a real TPU-only bug (reciprocal-multiply
+their own CPU env) auto-skip. The FULL suite passes on the chip (~20 min warm
+cache; 343 passed / 2 skipped) — running it there caught a real TPU-only bug (reciprocal-multiply
 division fabricating elbow flags at exact score ties; ops/fused_query.py
 max_normalize) that the virtual CPU mesh structurally could not.
 """
