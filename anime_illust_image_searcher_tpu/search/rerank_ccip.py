@@ -262,12 +262,14 @@ class CCIPReranker:
         excluded: List[List[str]],
     ) -> List[List[Result]]:
         """B concurrent character queries' rerank stage: the gather-eligible
-        queries share ONE batched device dispatch
-        (``rerank_diffs_from_rows_batch``); the rest (stale/missing top-k
-        files, forced live mode, learned metric) fall back to their individual
-        ``rerank_top``. Per-query results are identical to sequential
-        ``rerank_top`` calls modulo the batched matmul's last-ulp reduction
-        scheduling (the same caveat as the batched normal-mode program)."""
+        queries share ONE batched device dispatch — candidates-only when the
+        index is large enough (``rerank_matches_from_rows_batch``; over-cap
+        queries re-run on the batched full-diffs program) — while the rest
+        (stale/missing top-k files, forced live mode, learned metric) fall
+        back to their individual ``rerank_top``. Per-query results are
+        identical to sequential ``rerank_top`` calls modulo the batched
+        matmul's last-ulp reduction scheduling (the same caveat as the
+        batched normal-mode program)."""
         self._lazy_load()
         threshold = self.predictor.ccip_default_threshold() / 1.5
         results: List[Optional[List[Result]]] = [None] * len(tops)
