@@ -268,6 +268,13 @@ class WebUIServer:
                             engine.find_similar_documents_batch(
                                 [wq] * b, topn=topn,
                                 search_mode="character oriented")
+                    # the full-diffs programs the capped candidate path falls
+                    # back to for over-cap (popular-character) queries —
+                    # warmup queries resolve from candidates and never
+                    # compile these
+                    if hasattr(engine.cfeature_reranker,
+                               "warm_fallback_programs"):
+                        engine.cfeature_reranker.warm_fallback_programs()
                     print("character query programs warm")
                 except Exception as e:  # noqa: BLE001 — never crash warmup
                     print(f"character warmup skipped: {e}")

@@ -325,8 +325,7 @@ def _rerank_diffs_from_rows(
 ccip_rerank_diffs_from_rows_op = jax.jit(_rerank_diffs_from_rows)
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def ccip_rerank_matches_from_rows_op(
+def _matches_from_rows(
     index_matrix: jax.Array,  # (D, F)
     norms: jax.Array,         # (D,)
     row_ids: jax.Array,       # (k,) int32
@@ -339,17 +338,21 @@ def ccip_rerank_matches_from_rows_op(
     idx/diff are the cap smallest diffs in (diff asc, index asc) order and
     count is the number of rows with diff < thresh. The full-diffs D2H costs
     4 MB at 1M rows (~270 ms through a ~15 MB/s relay); candidates cost
-    ~8 KB. ``thresh`` must be rounded UP (next f32 above the f64 threshold)
-    so count over-approximates the host's f64 compare — when count <= cap
-    every true match is among the candidates; the caller falls back to the
-    full-diffs op otherwise. Values are the same f32 diffs the full op
-    returns (same computation, then a top-k gather)."""
+    ~33 KB at cap=4096. ``thresh`` must be rounded UP (next f32 above the f64
+    threshold) so count over-approximates the host's f64 compare — when
+    count <= cap every true match is among the candidates; the caller falls
+    back to the full-diffs op otherwise. Values are the same f32 diffs the
+    full op returns (same computation, then a top-k gather)."""
     from ..ops.fused_query import exact_top_k
 
     diffs = _rerank_diffs_from_rows(index_matrix, norms, row_ids, valid)
     count = jnp.sum((diffs < thresh).astype(jnp.int32)).astype(jnp.float32)
     vals, idx = exact_top_k(-diffs, cap)  # smallest diffs, lowest-index ties
     return jnp.concatenate([count[None], idx.astype(jnp.float32), -vals])
+
+
+ccip_rerank_matches_from_rows_op = partial(
+    jax.jit, static_argnames=("cap",))(_matches_from_rows)
 
 
 @partial(jax.jit, static_argnames=("cap",))
@@ -362,16 +365,10 @@ def ccip_rerank_matches_from_rows_batch_op(
     cap: int,
 ) -> jax.Array:
     """Batched ``ccip_rerank_matches_from_rows_op``: (B, 1 + 2*cap)."""
-
-    def one(ids, v):
-        from ..ops.fused_query import exact_top_k
-
-        diffs = _rerank_diffs_from_rows(index_matrix, norms, ids, v)
-        count = jnp.sum((diffs < thresh).astype(jnp.int32)).astype(jnp.float32)
-        vals, idx = exact_top_k(-diffs, cap)
-        return jnp.concatenate([count[None], idx.astype(jnp.float32), -vals])
-
-    return jax.vmap(one)(row_ids, valid)
+    return jax.vmap(
+        lambda ids, v: _matches_from_rows(
+            index_matrix, norms, ids, v, thresh, cap)
+    )(row_ids, valid)
 
 
 @jax.jit

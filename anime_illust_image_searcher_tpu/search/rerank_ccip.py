@@ -254,6 +254,25 @@ class CCIPReranker:
             matches.append((self.filepath_docid_dict[fpath], 1.0 - d64))
         return matches
 
+    def warm_fallback_programs(self) -> None:
+        """Compile the full-diffs programs the capped candidate path falls
+        back to (over-cap queries; also the small-index batch path). Regular
+        warmup queries resolve from candidates and never touch these, so
+        without this the first popular-character query (>MATCH_CAP
+        sub-threshold rows — realistic at scale) would pay a cold XLA compile
+        mid-serving. Called by the webui warmup thread."""
+        self._lazy_load()
+        if len(self.cfeatures_idx) == 0:
+            return
+        k = self.cfg.search.rerank_top_k
+        rows = np.zeros(k, np.int32)
+        self.predictor.rerank_diffs_from_rows(rows, k, self.cfeatures_idx)
+        b = 2
+        while b <= 8:  # the power-of-two bpad shapes rerank_top_batch emits
+            self.predictor.rerank_diffs_from_rows_batch(
+                np.zeros((b, k), np.int32), np.full(b, k), self.cfeatures_idx)
+            b *= 2
+
     def rerank_top_batch(
         self,
         tops: List[List[Result]],
@@ -300,23 +319,34 @@ class CCIPReranker:
                     counts, idxs, diffs = res
                     for j, i in enumerate(gather_pos):
                         if counts[j] <= self.MATCH_CAP:
-                            # over-cap queries stay None -> individual
-                            # full-diffs fallback below
                             results[i] = (list(tops[i])
                                           + self._matches_from_candidates(
                                               idxs[j], diffs[j], threshold,
                                               required[i], excluded[i]))
-            if any(results[i] is None for i in gather_pos):
+                        else:
+                            # over-cap: ONE full-diffs dispatch for THIS
+                            # query only — re-running the whole batch would
+                            # D2H bpad corpus-length rows for queries already
+                            # resolved from candidates
+                            d = self.predictor.rerank_diffs_from_rows(
+                                np.asarray(gather_rows[j], np.int32),
+                                len(gather_rows[j]), self.cfeatures_idx)
+                            results[i] = (list(tops[i])
+                                          + self._matches_from_diffs(
+                                              np.asarray(d), threshold,
+                                              required[i], excluded[i]))
+            else:
+                # small index: a corpus-length diff row is cheaper than a
+                # cap-sized top-k; one batched full-diffs dispatch
                 diffs_batch = self.predictor.rerank_diffs_from_rows_batch(
                     rows_arr, nvalid, self.cfeatures_idx)
                 if diffs_batch is not None:
                     for j, i in enumerate(gather_pos):
-                        if results[i] is None:
-                            results[i] = (list(tops[i])
-                                          + self._matches_from_diffs(
-                                              np.asarray(diffs_batch[j]),
-                                              threshold,
-                                              required[i], excluded[i]))
+                        results[i] = (list(tops[i])
+                                      + self._matches_from_diffs(
+                                          np.asarray(diffs_batch[j]),
+                                          threshold,
+                                          required[i], excluded[i]))
         for i in range(len(tops)):
             if results[i] is None:
                 results[i] = self.rerank_top(tops[i], topn,

@@ -274,8 +274,6 @@ def test_capped_matches_path_equals_full_diffs(setup, monkeypatch):
     # fallback must kick in and still agree
     monkeypatch.setattr(reranker.predictor, "ccip_default_threshold",
                         lambda: 30.0)
-    want = []
-    got = None
     monkeypatch.setattr(reranker, "MATCH_CAP", 4)
     got = reranker(final, 800, [], [])
     monkeypatch.setattr(reranker, "MATCH_CAP", n + 1)  # ineligible: full path
@@ -285,17 +283,32 @@ def test_capped_matches_path_equals_full_diffs(setup, monkeypatch):
 
 
 def test_capped_matches_batch_equals_full(setup, monkeypatch):
-    """Batched candidate-only rerank agrees with the batched full-diffs path."""
+    """Batched candidate-only rerank agrees with the batched full-diffs path —
+    and provably ran (spy on the batch op; every query's count under the cap
+    so the capped results are the ones compared)."""
     engine, reranker = setup
     engine.cfeature_reranker = reranker
     mode = "character oriented"
     queries = ["1girl", "solo smile", "1boy sword", "black_hair"]
+    seen = []
+    orig = reranker.predictor.rerank_matches_from_rows_batch
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        seen.append(out)
+        return out
+
     try:
         full = engine.find_similar_documents_batch(queries, topn=800,
                                                    search_mode=mode)
+        monkeypatch.setattr(reranker.predictor,
+                            "rerank_matches_from_rows_batch", spy)
         monkeypatch.setattr(reranker, "MATCH_CAP", 16)
         capped = engine.find_similar_documents_batch(queries, topn=800,
                                                      search_mode=mode)
+        assert len(seen) == 1 and seen[0] is not None
+        counts = seen[0][0][: len(queries)]
+        assert (counts <= 16).all(), counts  # capped results actually used
         for q, a, b in zip(queries, capped, full):
             _assert_equivalent_ranking(a, b, q)
     finally:
