@@ -88,6 +88,33 @@ def load_bm25_artifacts(directory: str = ".") -> BM25Stats:
     )
 
 
+# Dense-width policy for the fused program's comparison sweep: the sweep is
+# O(D · W · Q), so ONE outlier doc with ~300 distinct tags inflates W — and
+# every query's cost — for the whole corpus (measured 10.6 → 44 ms/query at
+# 1M docs going W=32 → 304; ARCHITECTURE §3). The dense width therefore covers
+# every doc up to max(32, the 99.9th-percentile length); the rare longer docs
+# spill their remaining (term, contrib) pairs into a COO overflow scored by a
+# tiny scatter-add inside the same fused program (exact: integer-weighted f32
+# adds of disjoint slots; measured ~0.1 ms at 4096 spilled pairs / 1M docs —
+# a capped outlier corpus queries at 10.7 ms where the uncapped layout took
+# 44.5). Corpora whose max length fits the cap keep today's layout
+# bit-for-bit (no overflow, same programs); the 32 floor only matters when
+# p99.9 is below it, exactly the typical tagger corpus (10-30 tags/doc).
+SLOT_CAP_MIN = 32
+# Safety valve: if the spill would be big (pathological corpora where MANY
+# docs exceed the cap), fall back to the full dense width — never worse than
+# the uncapped layout. Expressed as a fraction of docs' worth of slots.
+_OVERFLOW_NNZ_LIMIT = lambda num_docs: max(4096, num_docs // 16)  # noqa: E731
+
+
+def _empty_i32() -> np.ndarray:
+    return np.zeros((0,), np.int32)
+
+
+def _empty_f32() -> np.ndarray:
+    return np.zeros((0,), np.float32)
+
+
 @dataclass
 class BM25DeviceIndex:
     """Device layouts for BM25 scoring.
@@ -95,11 +122,13 @@ class BM25DeviceIndex:
     Two forms are derived from the same stats:
       - sorted COO (doc_ids/term_ids/contrib) for the standalone segment-sum op
         (ops/bm25.py);
-      - dense padded rows (term_mat/contrib_mat, width = max distinct terms per doc)
-        for the fused query program — scoring becomes one gather + row reduction with
-        NO scatters, which measured ~3× faster per query at 100k docs. Padding slots
-        carry the sentinel term id ``vocab_size`` whose query-side weight is defined
-        as 0.
+      - dense padded rows (term_mat/contrib_mat, width = max distinct terms per
+        doc up to the SLOT_CAP_MIN/p99.9 policy above) for the fused query
+        program — scoring becomes one gather + row reduction with NO scatters,
+        which measured ~3× faster per query at 100k docs. Padding slots carry
+        the sentinel term id ``vocab_size`` whose query-side weight is defined
+        as 0. Docs longer than the dense width spill their tail pairs into
+        ov_doc/ov_term/ov_contrib (empty for typical corpora).
     """
 
     doc_ids: np.ndarray     # (nnz,) int32, sorted
@@ -109,6 +138,24 @@ class BM25DeviceIndex:
     contrib_mat: np.ndarray  # (D, W) f32, padded with 0
     vocab_size: int
     num_docs: int
+    # COO spill of per-doc pairs beyond the dense width (doc order preserved)
+    ov_doc: np.ndarray = None       # type: ignore[assignment]  # (nnz_o,) int32
+    ov_term: np.ndarray = None      # type: ignore[assignment]  # (nnz_o,) int32
+    ov_contrib: np.ndarray = None   # type: ignore[assignment]  # (nnz_o,) f32
+    # max distinct terms in any single doc (dense + overflow) — the fused
+    # program's require/exclude base-encode bound must cover the TRUE per-doc
+    # hit count, not just the dense width
+    max_doc_len: int = 0
+
+    def __post_init__(self):
+        if self.ov_doc is None:
+            self.ov_doc = _empty_i32()
+        if self.ov_term is None:
+            self.ov_term = _empty_i32()
+        if self.ov_contrib is None:
+            self.ov_contrib = _empty_f32()
+        if not self.max_doc_len:
+            self.max_doc_len = int(self.term_mat.shape[1]) if self.num_docs else 0
 
     @staticmethod
     def from_stats(stats: BM25Stats, vocab_size: int, cfg: BM25Config = BM25Config()) -> "BM25DeviceIndex":
@@ -137,23 +184,41 @@ class BM25DeviceIndex:
         norm_doc = k1 * (1 - b + b * (dl / avgdl))            # (D,)
         contrib = idf_arr[term_ids] * (tfs * (k1 + 1)) / (tfs + norm_doc[doc_ids])
 
-        width = int(lens.max()) if num_docs else 1
-        width = max(8, (width + 7) // 8 * 8)  # sublane-friendly
+        max_len = int(lens.max()) if num_docs else 1
+        width_full = max(8, (max_len + 7) // 8 * 8)  # sublane-friendly
+        width = width_full
+        if num_docs and width_full > SLOT_CAP_MIN:
+            # dense-width cap (see module note): cover >= 99.9% of docs and at
+            # least SLOT_CAP_MIN slots; longer docs spill to the COO overflow
+            p999 = int(np.percentile(lens, 99.9))
+            cap = max(SLOT_CAP_MIN, (p999 + 7) // 8 * 8)
+            if cap < width_full:
+                nnz_o = int(np.maximum(lens - cap, 0).sum())
+                if nnz_o <= _OVERFLOW_NNZ_LIMIT(num_docs):
+                    width = cap
+
         term_mat = np.full((num_docs, width), vocab_size, dtype=np.int32)
         contrib_mat = np.zeros((num_docs, width), dtype=np.float32)
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if num_docs else np.zeros(0)
         col = np.arange(nnz, dtype=np.int64) - np.repeat(starts, lens)
-        term_mat[doc_ids, col] = term_ids
-        contrib_mat[doc_ids, col] = contrib.astype(np.float32)
+        contrib32 = contrib.astype(np.float32)
+        dense = col < width
+        term_mat[doc_ids[dense], col[dense]] = term_ids[dense]
+        contrib_mat[doc_ids[dense], col[dense]] = contrib32[dense]
+        spill = ~dense
 
         return BM25DeviceIndex(
             doc_ids=doc_ids,
             term_ids=term_ids,
-            contrib=contrib.astype(np.float32),
+            contrib=contrib32,
             term_mat=term_mat,
             contrib_mat=contrib_mat,
             vocab_size=vocab_size,
             num_docs=num_docs,
+            ov_doc=doc_ids[spill],
+            ov_term=term_ids[spill],
+            ov_contrib=contrib32[spill],
+            max_doc_len=max_len,
         )
 
     def to_device(self):
@@ -166,6 +231,18 @@ class BM25DeviceIndex:
 
         return (jnp.asarray(self.term_mat), jnp.asarray(self.contrib_mat))
 
+    def overflow_device(self):
+        """Device triple (ov_doc, ov_term, ov_contrib) for the fused program's
+        COO spill path, or None when no doc exceeded the dense width (the
+        common case — the program then compiles without the scatter stage)."""
+        import jax.numpy as jnp
+
+        if len(self.ov_doc) == 0:
+            return None
+        return (jnp.asarray(np.ascontiguousarray(self.ov_doc)),
+                jnp.asarray(np.ascontiguousarray(self.ov_term)),
+                jnp.asarray(np.ascontiguousarray(self.ov_contrib)))
+
     # ---- serving cache -------------------------------------------------------
     #
     # At 1M docs, unpickling ``bm25_corpus`` (1M python dicts) costs ~80 s and
@@ -177,14 +254,17 @@ class BM25DeviceIndex:
     # restart skips both costs entirely (np.load(mmap_mode='r') is lazy; the
     # H2D transfer faults the pages sequentially).
 
-    _CACHE_ARRAYS = ("doc_ids", "term_ids", "contrib", "term_mat", "contrib_mat")
+    _CACHE_ARRAYS = ("doc_ids", "term_ids", "contrib", "term_mat", "contrib_mat",
+                     "ov_doc", "ov_term", "ov_contrib")
 
     @staticmethod
     def _cache_fingerprint(directory: str, vocab_size: int, cfg: BM25Config) -> dict:
         import os
 
         fp: dict = {
-            "format": "aiis-bm25-servecache-v1",
+            # v2: capped dense width + COO overflow arrays + max_doc_len in the
+            # manifest (v1 caches auto-invalidate on this mismatch)
+            "format": "aiis-bm25-servecache-v2",
             "vocab_size": int(vocab_size),
             "k1": float(cfg.k1),
             "b": float(cfg.b),
@@ -223,7 +303,8 @@ class BM25DeviceIndex:
                 for name in BM25DeviceIndex._CACHE_ARRAYS
             }
             return BM25DeviceIndex(
-                vocab_size=vocab_size, num_docs=int(manifest["num_docs"]), **arrs)
+                vocab_size=vocab_size, num_docs=int(manifest["num_docs"]),
+                max_doc_len=int(manifest["max_doc_len"]), **arrs)
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
             return None
 
@@ -253,7 +334,8 @@ class BM25DeviceIndex:
                        lambda f, arr=arr: np.save(f, arr))
         if self._cache_fingerprint(directory, self.vocab_size, cfg) != fp:
             return  # source pickles changed mid-derivation: leave cache stale
-        write_manifest(d, {"fp": fp, "num_docs": int(self.num_docs)})
+        write_manifest(d, {"fp": fp, "num_docs": int(self.num_docs),
+                           "max_doc_len": int(self.max_doc_len)})
 
     @staticmethod
     def load_or_build(directory: str, vocab_size: int,

@@ -188,11 +188,21 @@ def _fused_final(
     doc2vec_weight: float,
     num_docs: int,
     num_real: int,
+    overflow=None,
+    ov_max_len: int = 0,
 ) -> jax.Array:
     """Packed query -> fused final scores (webui.py:345-383: cosine matvec +
     BM25 comparison sweep + max-normalize + 0.5/0.5 fusion + padding mask).
     Shared by the normal-mode PRF programs and the character-mode top-k program
-    so every mode ranks from definitionally identical scores."""
+    so every mode ranks from definitionally identical scores.
+
+    ``overflow``: optional (ov_doc, ov_term, ov_contrib) COO triple of per-doc
+    term pairs beyond the dense width — the BM25DeviceIndex caps the sweep's
+    W at max(64, p99.9 doc length) so one 300-tag outlier doc can't inflate
+    every query's (D × W × Q) sweep (measured 4× at 1M docs, ARCHITECTURE §3);
+    the spilled pairs score through a tiny scatter-add here instead.
+    ``ov_max_len``: the true max distinct terms in any doc (static) — bounds
+    the require/exclude base-encode when overflow rows exist."""
     f = matrix.shape[1]
     # slot count rides in the (static) buffer length: [4 term blocks | qvec | n_req]
     q = (packed.shape[0] - f - 1) // 4
@@ -214,21 +224,46 @@ def _fused_final(
     match = (tm == qids[None, None, :]).astype(jnp.float32)  # (D, W, Q)
     slot_w = jnp.einsum("dwq,q->dw", match, qw)
     bm25 = jnp.sum(slot_w * contrib_mat, axis=1)
+    if overflow is not None:
+        # COO spill: (nnz_o, Q) match + scatter-add into the doc vector —
+        # nnz_o is tiny by the cap policy (<= max(4096, D/16)), so this stage
+        # costs nothing next to the (D, W, Q) sweep it keeps small. Docs
+        # without spilled pairs add exactly 0.0, keeping their scores
+        # bit-identical to the no-overflow layout.
+        ov_doc, ov_term, ov_contrib = overflow
+        match_o = (ov_term.astype(jnp.float32)[:, None]
+                   == qids[None, :]).astype(jnp.float32)   # (nnz_o, Q)
+        w_o = match_o @ qw
+        bm25 = bm25 + jnp.zeros((num_docs,), jnp.float32).at[ov_doc].add(
+            w_o * ov_contrib)
     neg_inf = jnp.float32(-jnp.inf)
-    if w_slots <= 4095:
+    # base-encode bound: per-doc hit counts reach the TRUE doc length, which
+    # exceeds w_slots when pairs spilled to the overflow
+    eff_len = w_slots if overflow is None else max(w_slots, ov_max_len)
+    if eff_len <= 4095:
         # One contraction for both mask counts: each slot matches at most one
-        # query id, so excl/require hit counts are integers <= W; encode both in
-        # base base_k (a power of two >= W+1, so the decode divide is EXACT in
-        # f32: hits = excl + base_k*req < base_k*(W+1) <= 2^24). Saves a third
-        # full pass over the (D, W, Q) match tensor — the sweep is the second-
-        # biggest device cost at 1M docs (ARCHITECTURE §3).
-        base_k = float(1 << w_slots.bit_length())  # smallest power of 2 >= W+1
+        # query id, so excl/require hit counts are integers <= eff_len; encode
+        # both in base base_k (a power of two >= eff_len+1, so the decode
+        # divide is EXACT in f32: hits = excl + base_k*req < base_k*(eff_len+1)
+        # <= 2^24; scatter-added integers stay exact below 2^24 regardless of
+        # order). Saves a third full pass over the (D, W, Q) match tensor —
+        # the sweep is the second-biggest device cost at 1M docs
+        # (ARCHITECTURE §3).
+        base_k = float(1 << eff_len.bit_length())  # smallest pow2 >= eff_len+1
         hits = jnp.einsum("dwq,q->d", match, qexcl + jnp.float32(base_k) * qreq)
+        if overflow is not None:
+            hits = hits + jnp.zeros((num_docs,), jnp.float32).at[ov_doc].add(
+                match_o @ (qexcl + jnp.float32(base_k) * qreq))
         req_hits = jnp.floor(hits / base_k)
         excl_hits = hits - jnp.float32(base_k) * req_hits
     else:
         excl_hits = jnp.einsum("dwq,q->d", match, qexcl)
         req_hits = jnp.einsum("dwq,q->d", match, qreq)
+        if overflow is not None:
+            excl_hits = excl_hits + jnp.zeros(
+                (num_docs,), jnp.float32).at[ov_doc].add(match_o @ qexcl)
+            req_hits = req_hits + jnp.zeros(
+                (num_docs,), jnp.float32).at[ov_doc].add(match_o @ qreq)
     bm25 = jnp.where(excl_hits > 0, neg_inf, bm25)
     bm25 = jnp.where(req_hits < num_required, neg_inf, bm25)
 
@@ -260,6 +295,8 @@ def _query_rf(
     num_docs: int,
     k: int,
     num_real: int,
+    overflow=None,
+    ov_max_len: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Shared score pipeline: packed query -> (rf, top_vals, top_idx).
 
@@ -267,7 +304,8 @@ def _query_rf(
     their rankings are definitionally identical.
     """
     final = _fused_final(matrix, term_mat, contrib_mat, packed,
-                         bm25_weight, doc2vec_weight, num_docs, num_real)
+                         bm25_weight, doc2vec_weight, num_docs, num_real,
+                         overflow=overflow, ov_max_len=ov_max_len)
     top_vals, top_idx = exact_top_k(final, k)
 
     raw = matrix[top_idx] * norms[top_idx][:, None]          # (k, F) raw vectors
@@ -301,6 +339,8 @@ def _fused_query_impl(
     num_real: int = 0,        # 0 -> num_docs; < num_docs when rows are padding
                               # (multi-chip sharding pads D to the mesh size)
     diff_thresh: float = DIFF_FILTER_THRESH,  # SearchConfig.diff_filter_thresh
+    overflow=None,            # COO spill triple (see _fused_final)
+    ov_max_len: int = 0,
 ) -> jax.Array:
     """Returns one f32 buffer:
     [top10_scores(k) | top10_ids(k) | r_scores(kk) | r_ids(kk) | elbow info(3)].
@@ -323,7 +363,7 @@ def _fused_query_impl(
     rf, top_vals, top_idx = _query_rf(
         matrix, norms, term_mat, contrib_mat, packed,
         bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
-        num_docs, k, num_real)
+        num_docs, k, num_real, overflow=overflow, ov_max_len=ov_max_len)
 
     kk = min(topn + k, num_docs)
     # One top-k serves both the returned candidates (first kk) and the elbow
@@ -372,6 +412,8 @@ def _fused_query_exact_impl(
     k: int,
     num_real: int = 0,
     diff_thresh: float = DIFF_FILTER_THRESH,
+    overflow=None,
+    ov_max_len: int = 0,
 ) -> jax.Array:
     """Full-sort elbow variant: [.. | cut(1)] trailing field instead of flag info.
 
@@ -382,7 +424,7 @@ def _fused_query_exact_impl(
     rf, top_vals, top_idx = _query_rf(
         matrix, norms, term_mat, contrib_mat, packed,
         bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
-        num_docs, k, num_real)
+        num_docs, k, num_real, overflow=overflow, ov_max_len=ov_max_len)
 
     kk = min(topn + k, num_docs)
     r_vals, r_idx = jax.lax.top_k(rf, kk)
@@ -409,6 +451,8 @@ def _character_top_impl(
     num_docs: int,
     k: int,
     num_real: int = 0,
+    overflow=None,
+    ov_max_len: int = 0,
 ) -> jax.Array:
     """Character-mode stage A: fused scores -> top-k, ONE device call.
 
@@ -424,16 +468,18 @@ def _character_top_impl(
     stored norms — it stays available on pre-v1.1 indexes where the normal
     fused program falls back."""
     final = _fused_final(matrix, term_mat, contrib_mat, packed,
-                         bm25_weight, doc2vec_weight, num_docs, num_real)
+                         bm25_weight, doc2vec_weight, num_docs, num_real,
+                         overflow=overflow, ov_max_len=ov_max_len)
     top_vals, top_idx = exact_top_k(final, k)
     return jnp.concatenate([top_vals, top_idx.astype(jnp.float32)])
 
 
 fused_character_top = partial(jax.jit, static_argnames=(
-    "vocab_size", "num_docs", "k", "num_real"))(_character_top_impl)
+    "vocab_size", "num_docs", "k", "num_real", "ov_max_len"))(_character_top_impl)
 
 
-@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "k", "num_real"))
+@partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "k", "num_real", "ov_max_len"))
 def fused_character_top_batch(
     matrix: jax.Array,
     term_mat: jax.Array,
@@ -445,6 +491,8 @@ def fused_character_top_batch(
     num_docs: int,
     k: int,
     num_real: int = 0,
+    overflow=None,
+    ov_max_len: int = 0,
 ) -> jax.Array:
     """B concurrent character-mode stage A's in ONE device program (vmapped
     over the packed buffers; the index arrays broadcast) — the character-mode
@@ -453,19 +501,23 @@ def fused_character_top_batch(
     def one(p):
         return _character_top_impl(
             matrix, term_mat, contrib_mat, p, bm25_weight, doc2vec_weight,
-            vocab_size=vocab_size, num_docs=num_docs, k=k, num_real=num_real)
+            vocab_size=vocab_size, num_docs=num_docs, k=k, num_real=num_real,
+            overflow=overflow, ov_max_len=ov_max_len)
 
     return jax.vmap(one)(packed_batch)
 
 
 fused_normal_query = partial(jax.jit, static_argnames=(
-    "vocab_size", "num_docs", "topn", "k", "num_real"))(_fused_query_impl)
+    "vocab_size", "num_docs", "topn", "k", "num_real",
+    "ov_max_len"))(_fused_query_impl)
 
 fused_normal_query_exact = partial(jax.jit, static_argnames=(
-    "vocab_size", "num_docs", "topn", "k", "num_real"))(_fused_query_exact_impl)
+    "vocab_size", "num_docs", "topn", "k", "num_real",
+    "ov_max_len"))(_fused_query_exact_impl)
 
 
-@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k", "num_real"))
+@partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "topn", "k", "num_real", "ov_max_len"))
 def fused_normal_query_batch(
     matrix: jax.Array,
     norms: jax.Array,
@@ -482,6 +534,8 @@ def fused_normal_query_batch(
     k: int,
     num_real: int = 0,
     diff_thresh: float = DIFF_FILTER_THRESH,
+    overflow=None,
+    ov_max_len: int = 0,
 ) -> jax.Array:
     """Batched fused query: B concurrent queries in ONE device program (vmapped
     over the packed buffers; the index arrays broadcast). The webui micro-batcher
@@ -494,12 +548,14 @@ def fused_normal_query_batch(
             bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
             vocab_size=vocab_size, num_docs=num_docs, topn=topn, k=k,
             num_real=num_real, diff_thresh=diff_thresh,
+            overflow=overflow, ov_max_len=ov_max_len,
         )
 
     return jax.vmap(one)(packed_batch)
 
 
-@partial(jax.jit, static_argnames=("vocab_size", "num_docs", "topn", "k", "num_real"))
+@partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "topn", "k", "num_real", "ov_max_len"))
 def fused_normal_query_serial(
     matrix: jax.Array,
     norms: jax.Array,
@@ -516,6 +572,8 @@ def fused_normal_query_serial(
     k: int,
     num_real: int = 0,
     diff_thresh: float = DIFF_FILTER_THRESH,
+    overflow=None,
+    ov_max_len: int = 0,
 ) -> jax.Array:
     """N queries run SEQUENTIALLY on device (lax.scan lowers to a While loop, so
     iterations cannot overlap). This is the measurement instrument behind
@@ -530,6 +588,7 @@ def fused_normal_query_serial(
             bm25_weight, doc2vec_weight, orig_weight, rerank_weight,
             vocab_size=vocab_size, num_docs=num_docs, topn=topn, k=k,
             num_real=num_real, diff_thresh=diff_thresh,
+            overflow=overflow, ov_max_len=ov_max_len,
         )
         return carry, out
 

@@ -156,8 +156,13 @@ class SearchEngine:
                 "path — shard the index over a mesh for latency at this scale")
         self._num_real = len(self.index)
 
+        # COO spill of docs longer than the capped dense width (None for
+        # typical corpora; see BM25DeviceIndex.from_stats' cap policy) + the
+        # true max doc length bounding the program's require/exclude encode
+        self._ov_max_len = int(self.bm25.max_doc_len)
         if mesh is None:
             self._bm25_dense = self.bm25.to_device_dense()
+            self._bm25_overflow = self.bm25.overflow_device()
             self._matrix_dev = self.index._device()
             self._norms_dev = jnp.asarray(np.asarray(norms, dtype=np.float32))
             self._num_padded = self._num_real
@@ -189,6 +194,17 @@ class SearchEngine:
                 put_global(term_mat, mat_sharding),
                 put_global(contrib_mat.astype(np.float32), mat_sharding),
             )
+            # overflow rows are tiny; replicate them (the scatter into the
+            # row-sharded score vector is GSPMD's to place)
+            if len(self.bm25.ov_doc):
+                rep = NamedSharding(mesh, P())
+                self._bm25_overflow = (
+                    put_global(np.ascontiguousarray(self.bm25.ov_doc), rep),
+                    put_global(np.ascontiguousarray(self.bm25.ov_term), rep),
+                    put_global(np.ascontiguousarray(self.bm25.ov_contrib), rep),
+                )
+            else:
+                self._bm25_overflow = None
             self._num_padded = matrix.shape[0]
 
     # ---------------------------------------------------------- lazy tag dicts
@@ -409,6 +425,7 @@ class SearchEngine:
             vocab_size=self.bm25.vocab_size,
             num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
             num_real=self._num_real, diff_thresh=s.diff_filter_thresh,
+            overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
         )
 
     def _find_similar_fused(self, new_doc: str, topn: int) -> List[Result]:
@@ -462,6 +479,7 @@ class SearchEngine:
             s.bm25_weight, s.doc2vec_weight,
             vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
             k=k, num_real=self._num_real,
+            overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
         ))
         top10_sims = [(int(i), float(v)) for v, i in zip(out[:k], out[k:])]
         self.character_fused_dispatches += 1
@@ -552,6 +570,7 @@ class SearchEngine:
                 vocab_size=self.bm25.vocab_size,
                 num_docs=self._num_padded, topn=topn, k=s.rerank_top_k,
                 num_real=self._num_real, diff_thresh=s.diff_filter_thresh,
+                overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
             ))
             for j, i in enumerate(chunk_pos):
                 p = batch[j]
@@ -620,6 +639,7 @@ class SearchEngine:
                 s.bm25_weight, s.doc2vec_weight,
                 vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
                 k=k, num_real=self._num_real,
+                overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
             ))
             tops = [
                 [(int(d), float(v)) for v, d in zip(out[j][:k], out[j][k:])]

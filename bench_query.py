@@ -185,7 +185,8 @@ def run_device_only_bench(engine, queries, repeats: int = 3) -> dict:
 
 def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
                               dim: int = 300, n_queries: int = 50,
-                              terms_per_doc: int = 30) -> dict:
+                              terms_per_doc: int = 30,
+                              overflow_nnz: int = 0) -> dict:
     """Device-side query cost at corpus scale N, on synthetic device arrays.
 
     The fused program's cost depends only on array shapes, not data provenance,
@@ -221,6 +222,20 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
         return matrix, norms, term_mat, contrib_mat
 
     index_args = list(jax.block_until_ready(gen_index()))
+    # optional COO spill (the capped-width layout's side path): sizes the cost
+    # of scoring overflow pairs via scatter-add next to a small dense W —
+    # `terms_per_doc` then plays the CAPPED width, e.g. terms_per_doc=64 +
+    # overflow_nnz=4096 models a 300-tag-outlier corpus after the cap
+    overflow = None
+    ov_max_len = 0
+    if overflow_nnz:
+        k5, k6, k7 = jax.random.split(jax.random.PRNGKey(9), 3)
+        overflow = (
+            jax.random.randint(k5, (overflow_nnz,), 0, n_docs, jnp.int32),
+            jax.random.randint(k6, (overflow_nnz,), 0, vocab, jnp.int32),
+            jnp.abs(jax.random.normal(k7, (overflow_nnz,), jnp.float32)),
+        )
+        ov_max_len = terms_per_doc + 256
     rng = np.random.RandomState(0)
     queries = [(rng.standard_normal(dim).astype(np.float32),
                 {int(t): 1.0 for t in rng.randint(0, 200, rng.randint(1, 4))})
@@ -236,6 +251,7 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
             return fused_normal_query_serial(
                 *index_args, packed, 0.5, 0.5, 0.7, 0.3,
                 vocab_size=vocab, num_docs=n_docs, topn=800, k=10,
+                overflow=overflow, ov_max_len=ov_max_len,
             )
 
         np.asarray(dispatch())  # warm/compile

@@ -209,6 +209,74 @@ print("SHARDED_CHAR_OK")
     assert "SHARDED_CHAR_OK" in out
 
 
+def test_sharded_query_with_bm25_overflow_matches_single_device():
+    """The fused query with a COO BM25 overflow (capped dense width; scatter
+    into the row-sharded score vector) must match single-device results over
+    the 8-device mesh — the scatter's GSPMD placement is the only new moving
+    part vs the plain sharded test above. The overflow triple rides
+    replicated, like the packed query buffer."""
+    code = """
+import numpy as np, jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from anime_illust_image_searcher_tpu.ops.fused_query import (
+    fused_normal_query, pack_query, unpack_result)
+from anime_illust_image_searcher_tpu.parallel.mesh import (
+    DATA_AXIS, make_mesh, pad_to_multiple)
+
+rng = np.random.RandomState(4)
+D, F, V, W = 203, 24, 90, 8      # deliberately not divisible by 8
+matrix = rng.randn(D, F).astype(np.float32)
+matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
+norms = np.abs(rng.randn(D)).astype(np.float32) + 0.5
+term_mat = rng.randint(0, 60, (D, W)).astype(np.int32)
+contrib = np.abs(rng.randn(D, W)).astype(np.float32)
+# doc 7 spills ids 60..79 (nowhere in the dense region) to the overflow
+ov_doc = np.full(20, 7, np.int32)
+ov_term = np.arange(60, 80, dtype=np.int32)
+ov_contrib = np.abs(rng.randn(20)).astype(np.float32)
+ov = (jnp.asarray(ov_doc), jnp.asarray(ov_term), jnp.asarray(ov_contrib))
+
+for tw in [{3: 1.0, 70: 2.0},               # weight in the overflow region
+           {3: 1.0, 70: -1.0},              # exclude via overflow
+           {70: 1001.0, 3: 1.0}]:           # require via overflow
+    packed = pack_query(rng.randn(F).astype(np.float32), tw, V,
+                        magic=1000, max_terms=8)
+    single = np.asarray(fused_normal_query(
+        jnp.asarray(matrix), jnp.asarray(norms), jnp.asarray(term_mat),
+        jnp.asarray(contrib), packed, 0.5, 0.5, 0.7, 0.3,
+        vocab_size=V, num_docs=D, topn=50, k=10, num_real=D,
+        overflow=ov, ov_max_len=28))
+
+    mesh = make_mesh(n_data=8)
+    mat_p, _ = pad_to_multiple(matrix, 8)
+    nm_p, _ = pad_to_multiple(norms, 8)
+    tm_p, _ = pad_to_multiple(term_mat, 8)
+    tm_p = tm_p.copy(); tm_p[D:] = V          # sentinel ids on padding rows
+    cb_p, _ = pad_to_multiple(contrib, 8)
+    rs = NamedSharding(mesh, P(DATA_AXIS, None))
+    rs1 = NamedSharding(mesh, P(DATA_AXIS))
+    sharded = np.asarray(fused_normal_query(
+        jax.device_put(mat_p, rs), jax.device_put(nm_p, rs1),
+        jax.device_put(tm_p, rs), jax.device_put(cb_p, rs),
+        packed, 0.5, 0.5, 0.7, 0.3,
+        vocab_size=V, num_docs=mat_p.shape[0], topn=50, k=10, num_real=D,
+        overflow=ov, ov_max_len=28))
+
+    tv_s, ti_s, rv_s, ri_s, _ = unpack_result(single, 10)
+    tv_m, ti_m, rv_m, ri_m, _ = unpack_result(sharded, 10)
+    np.testing.assert_array_equal(ti_s, ti_m)
+    np.testing.assert_array_equal(ri_s, ri_m)
+    np.testing.assert_allclose(tv_s, tv_m, rtol=1e-5, atol=1e-6)
+    finite = np.isfinite(rv_s)
+    np.testing.assert_array_equal(finite, np.isfinite(rv_m))
+    np.testing.assert_allclose(rv_s[finite], rv_m[finite], rtol=1e-5, atol=1e-6)
+print("SHARDED_OVERFLOW_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "SHARDED_OVERFLOW_OK" in out
+
+
 def test_dp_doc2vec_training_matches_single_device():
     """genmodel --data-parallel: mesh-sharded PV-DBOW training must reproduce the
     single-device run (same batches, same keys; GSPMD only re-tiles the math)."""
