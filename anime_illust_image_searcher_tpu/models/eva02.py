@@ -73,6 +73,17 @@ class Eva02Config:
     # outputs bit-identical and B=128 timing unchanged). Kept for config-surface
     # stability; both settings are parity-safe.
     norm_in_f32: bool = True
+    # How the cls token is exempted from rope. "sliced": rope rows 1..N then
+    # concat row 0 back. "idrow": sin/cos carry an identity row 0 (sin=0,
+    # cos=1) and rope applies to all N rows with no row slice/concat —
+    # BIT-IDENTICAL outputs (row 0: x·1 + rot·0 = x exactly, rot is finite),
+    # pinned by tests/test_eva02.py. Measured IN-MODEL on v5e at B=128
+    # (round 4): sliced 147.2 img/s vs idrow 75.4 — the unaligned 1025-row
+    # rope multiply forces relayouts XLA avoids in the lane-aligned 1024-row
+    # sliced form, even though STANDALONE the idrow span times ~0.9 ms/tensor
+    # FASTER (ARCHITECTURE §7: standalone piece timing measures materialized
+    # boundaries, not in-model fusion — it can invert the verdict).
+    rope_variant: str = "sliced"
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16  # compute dtype; params stay f32
     # "none" (bf16 MXU) or "int8" (v5e double-rate MXU via ops/quant.Int8Dense;
@@ -191,9 +202,15 @@ class EvaAttention(nn.Module):
             sin, cos = rope
             sin = sin.astype(q.dtype)
             cos = cos.astype(q.dtype)
-            # cls token (index 0) is exempt from rotation
-            q = jnp.concatenate([q[:, :, :1], apply_rope_cat(q[:, :, 1:], sin, cos)], axis=2)
-            k = jnp.concatenate([k[:, :, :1], apply_rope_cat(k[:, :, 1:], sin, cos)], axis=2)
+            if sin.shape[0] == n:
+                # identity-row layout: row 0 is (sin=0, cos=1), so the cls
+                # token passes through exactly — no row slice/concat.
+                q = apply_rope_cat(q, sin, cos)
+                k = apply_rope_cat(k, sin, cos)
+            else:
+                # cls token (index 0) is exempt from rotation
+                q = jnp.concatenate([q[:, :, :1], apply_rope_cat(q[:, :, 1:], sin, cos)], axis=2)
+                k = jnp.concatenate([k[:, :, :1], apply_rope_cat(k[:, :, 1:], sin, cos)], axis=2)
 
         if self.use_pallas:
             out = mha_attention(q, k, v)
@@ -288,6 +305,9 @@ class Eva02(nn.Module):
             sin, cos = build_rope_cat(
                 cfg.grid_size, cfg.head_dim, cfg.rope_temperature, cfg.ref_feat_shape
             )
+            if cfg.rope_variant == "idrow":
+                sin = jnp.concatenate([jnp.zeros((1, cfg.head_dim), sin.dtype), sin], axis=0)
+                cos = jnp.concatenate([jnp.ones((1, cfg.head_dim), cos.dtype), cos], axis=0)
             rope = (sin, cos)
 
         for i in range(cfg.depth):

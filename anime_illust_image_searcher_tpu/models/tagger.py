@@ -65,6 +65,20 @@ def _category_thresholds(
     return g_thresh, c_thresh
 
 
+def _is_compile_memory_error(exc: BaseException) -> bool:
+    """A device compile that failed on MEMORY (not on a bad program). Seen in
+    the wild: the axon relay's AOT compiler rejects the fresh B=256 EVA02
+    program with 'Allocation (size=19478347776) would exceed memory' during
+    buffer assignment (an XLA auto-remat regression — the same program
+    compiled and ran in earlier sessions and still runs from the persistent
+    cache). Matching on the message keeps genuine program bugs loud."""
+    msg = str(exc)
+    return ("would exceed memory" in msg
+            or "RESOURCE_EXHAUSTED" in msg
+            or "Resource exhausted" in msg
+            or "Out of memory" in msg)
+
+
 class TaggerPredictor:
     """Predictor facade: loads weights/labels once, then tags uint8 batches."""
 
@@ -101,6 +115,9 @@ class TaggerPredictor:
         self.mesh = mesh
         self.params = None
         self.labels: Optional[LabelSet] = None
+        # Set after a compile-memory failure: forward dispatches split into
+        # chunks of this size (see _forward_probs_dev).
+        self._max_device_batch: Optional[int] = None
 
     def load_model(self) -> None:
         if self.params is not None:
@@ -196,12 +213,37 @@ class TaggerPredictor:
 
     def predict_probs(self, images_u8: np.ndarray) -> np.ndarray:
         self.load_model()
-        return np.asarray(
-            _predict_probs(
-                self.params, jnp.asarray(images_u8), self._mean, self._std,
-                self.model_cfg, self.use_pallas,
-            )
-        )
+        return np.asarray(self._forward_probs_dev(jnp.asarray(images_u8)))
+
+    def _forward_probs_dev(self, images_dev) -> jax.Array:
+        """``_predict_probs`` with a one-time halved-batch fallback.
+
+        If the device cannot COMPILE the configured batch width (compile-time
+        memory rejection — see _is_compile_memory_error), the batch is split
+        into half-width dispatches from then on; outputs concatenate lazily
+        on device so callers and the depth-1 pipeline are unaffected. The
+        fallback only engages for even batches >= 64 so tiny custom batches
+        still surface real errors."""
+        b = images_dev.shape[0]
+        cap = self._max_device_batch
+        if cap is None or b <= cap:
+            try:
+                return _predict_probs(
+                    self.params, images_dev, self._mean, self._std,
+                    self.model_cfg, self.use_pallas,
+                )
+            except Exception as exc:
+                if b < 64 or b % 2 or not _is_compile_memory_error(exc):
+                    raise
+                self._max_device_batch = b // 2
+                print(
+                    f"WARNING: device rejected the B={b} program at compile "
+                    f"time ({type(exc).__name__}); splitting into B={b // 2} "
+                    "dispatches from here on")
+        cap = self._max_device_batch
+        parts = [self._forward_probs_dev(images_dev[i:i + cap])
+                 for i in range(0, b, cap)]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     def predict_device(self, images_u8: np.ndarray):
         """Dispatch the device part (forward + thresholds) WITHOUT syncing — lets the
@@ -214,10 +256,7 @@ class TaggerPredictor:
             images_dev = jax.device_put(np.asarray(images_u8), self._batch_sharding)
         else:
             images_dev = jnp.asarray(images_u8)
-        probs_dev = _predict_probs(
-            self.params, images_dev, self._mean, self._std,
-            self.model_cfg, self.use_pallas,
-        )
+        probs_dev = self._forward_probs_dev(images_dev)
         g_thresh_dev, c_thresh_dev = _category_thresholds(
             probs_dev, self._general_gather, self._character_gather,
             self.config.character_thresh_floor,

@@ -186,11 +186,6 @@ def main() -> None:
     mean = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
     std = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
 
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.randint(0, 255, size=(BATCH, cfg.img_size, cfg.img_size, 3), dtype=np.uint8)
-    )
-
     import os
 
     use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
@@ -200,10 +195,32 @@ def main() -> None:
         g, c = _category_thresholds(probs, general, character, 0.15)
         return probs, g, c
 
-    for _ in range(WARMUP_STEPS):
-        # one dispatch per iteration; np.asarray both syncs and exercises the
-        # D2H path the measured loop uses
-        _ = [np.asarray(x) for x in step(images)]
+    # The relay's AOT compiler can reject a FRESH compile of the B=256 program
+    # on memory during buffer assignment (an XLA auto-remat regression first
+    # seen 2026-08; cached artifacts still run). The bench must degrade to
+    # B=128 (+~0-3% is all 256 buys, ARCHITECTURE §7) rather than zero the
+    # headline metric on such machines — mirrors TaggerPredictor's fallback.
+    from anime_illust_image_searcher_tpu.models.tagger import (
+        _is_compile_memory_error,
+    )
+
+    rng = np.random.RandomState(0)
+    batch = BATCH
+    while True:
+        images = jnp.asarray(rng.randint(
+            0, 255, size=(batch, cfg.img_size, cfg.img_size, 3), dtype=np.uint8))
+        try:
+            for _ in range(WARMUP_STEPS):
+                # one dispatch per iteration; np.asarray both syncs and
+                # exercises the D2H path the measured loop uses
+                _ = [np.asarray(x) for x in step(images)]
+            break
+        except Exception as exc:
+            if batch <= 64 or not _is_compile_memory_error(exc):
+                raise
+            print(f"batch {batch} failed device compile on memory; "
+                  f"retrying at {batch // 2}")
+            batch //= 2
 
     # FLOPs per image, derived analytically from the model config (VERDICT r3
     # #10: publish the MFU math; full derivation in ARCHITECTURE §7). XLA's
@@ -223,7 +240,7 @@ def main() -> None:
         pending = out
     _ = [np.asarray(x) for x in pending]
     dt = (time.perf_counter() - t0) / MEASURE_STEPS
-    images_per_sec = BATCH / dt
+    images_per_sec = batch / dt
 
     # Secondary metric: end-to-end query latency on the 100k-doc index
     # (VERDICT r1 #4: the driver artifact must carry both numbers). Printed
@@ -302,6 +319,7 @@ def main() -> None:
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
+        "batch": batch,
     }
     if flops_per_image is not None:
         headline["gflops_per_image"] = round(flops_per_image / 1e9, 1)

@@ -80,6 +80,23 @@ def test_rope_half_split_matches_timm_interleaved(rng):
     np.testing.assert_allclose(sin_h, sin_i[:, perm], rtol=0, atol=0)
 
 
+def test_rope_variant_idrow_bit_identical(tiny, rng):
+    """The 'idrow' cls-row handling (identity sin/cos row 0, no row
+    slice/concat) must produce BIT-IDENTICAL logits to the 'sliced' form:
+    row 0 computes x·1 + rot·0 = x exactly, every other row evaluates the
+    same per-element expression. Both variants share one param tree, so the
+    measured winner (ARCHITECTURE §7) can be the default without regolding."""
+    import dataclasses
+
+    cfg, params = tiny
+    x = rng.rand(2, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+    out = {}
+    for variant in ("sliced", "idrow"):
+        vcfg = dataclasses.replace(cfg, rope_variant=variant)
+        out[variant] = np.asarray(forward_logits(params, x, vcfg, use_pallas=False))
+    np.testing.assert_array_equal(out["sliced"], out["idrow"])
+
+
 def test_rope_ref_shape_rescales():
     sin_a, _ = build_rope_cat((8, 8), 32, 10000.0, (4, 4))
     sin_b, _ = build_rope_cat((4, 4), 32, 10000.0, (4, 4))
@@ -340,6 +357,68 @@ def test_detect_config_rope_only_checkpoint():
     cfg = detect_config_from_state_dict(_fake_sd(pos_embed=False), base=base)
     assert not cfg.use_abs_pos_emb
     assert cfg.img_size == 56  # not recoverable from weights: base wins
+
+
+def test_forward_batch_fallback_on_compile_memory_error(tiny, monkeypatch):
+    """A compile-time memory rejection of the configured batch must degrade to
+    half-width dispatches with identical concatenated output — and must NOT
+    retry the rejected width on later batches (seen live: the relay's AOT
+    compiler rejects fresh B=256 EVA02 compiles on memory)."""
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.config import TaggerConfig
+    from anime_illust_image_searcher_tpu.models import tagger
+    from anime_illust_image_searcher_tpu.models.tagger import TaggerPredictor
+
+    cfg, params = tiny
+    predictor = TaggerPredictor(config=TaggerConfig(batch_size=64),
+                                use_pallas=False, model_cfg=cfg)
+    predictor.load_model()
+    predictor.params = params  # shared fixture weights
+
+    images = (np.random.RandomState(0)
+              .randint(0, 255, size=(64, cfg.img_size, cfg.img_size, 3))
+              .astype(np.uint8))
+    # expected = two real half-width forwards (the fallback's dispatch plan);
+    # a B=64 forward can differ in final ulps from B=32 halves (different
+    # vectorization of the same reductions), so exactness is pinned against
+    # the plan, not across program widths
+    expected = np.concatenate([
+        np.asarray(tagger._predict_probs(
+            params, jnp.asarray(images[i:i + 32]), predictor._mean,
+            predictor._std, cfg, False))
+        for i in (0, 32)
+    ])
+
+    real = tagger._predict_probs
+    calls = []
+
+    def flaky(params_, images_, mean_, std_, cfg_, use_pallas_):
+        calls.append(int(images_.shape[0]))
+        if images_.shape[0] >= 64:
+            raise RuntimeError(
+                "INTERNAL: AOT PJRT error: Allocation (size=19478347776) "
+                "would exceed memory (size=17179869184)")
+        return real(params_, images_, mean_, std_, cfg_, use_pallas_)
+
+    monkeypatch.setattr(tagger, "_predict_probs", flaky)
+    got = predictor.predict_probs(images)
+    np.testing.assert_array_equal(got, expected)
+    assert predictor._max_device_batch == 32
+    assert calls == [64, 32, 32]
+
+    calls.clear()
+    predictor.predict_probs(images)  # the rejected width is not retried
+    assert calls == [32, 32]
+
+    # a genuine program bug must still surface, not silently halve the batch
+    def broken(*a, **k):
+        raise RuntimeError("something unrelated")
+
+    monkeypatch.setattr(tagger, "_predict_probs", broken)
+    predictor._max_device_batch = None
+    with pytest.raises(RuntimeError, match="unrelated"):
+        predictor.predict_probs(images)
 
 
 def test_category_thresholds_tolerates_tiny_categories():
