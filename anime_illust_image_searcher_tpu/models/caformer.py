@@ -355,6 +355,63 @@ ccip_rerank_matches_from_rows_op = partial(
     jax.jit, static_argnames=("cap",))(_matches_from_rows)
 
 
+def _character_query_matches_impl(
+    doc_matrix: jax.Array,    # (D, F) doc2vec unit rows
+    term_mat: jax.Array,      # (D, W) BM25 dense term ids
+    contrib_mat: jax.Array,   # (D, W) BM25 contributions
+    packed: jax.Array,        # ops.fused_query.pack_query buffer
+    bm25_weight: float,
+    doc2vec_weight: float,
+    cf_matrix: jax.Array,     # (C, Fc) cfeature unit rows
+    cf_norms: jax.Array,      # (C,) pre-normalization norms
+    docid_to_row: jax.Array,  # (D,) int32: doc id -> cfeature row, -1 = not gatherable
+    thresh: jax.Array,        # f32 scalar, rounded UP from the f64 threshold
+    vocab_size: int,
+    num_docs: int,
+    k: int,
+    cap: int,
+    num_real: int = 0,
+    overflow=None,
+    ov_max_len: int = 0,
+) -> jax.Array:
+    """The WHOLE common-case character query in ONE device call: stage A
+    (fused BM25+Doc2Vec scores + exact top-k, ops.fused_query semantics)
+    feeding the row-gather CCIP rerank (gather + masked mean + all-rows
+    1−cos metric + capped candidates) without returning to the host between
+    stages. The two-dispatch form pays a host round trip just to map the
+    top-k doc ids to cfeature rows — that map is a static (D,) int32 array,
+    so it lives on device and the query becomes one H2D / one exec / one D2H
+    (through a relay that charges ~30 ms per round trip this halves the
+    character-query wall; reference hot spot: webui.py:255-342).
+
+    Returns [top_vals(k) | top_ids(k) | ok(1) | count(1) | cand_idx(cap) |
+    cand_diffs(cap)]. ``ok``=1 iff every top-k doc id mapped to a gatherable
+    row (present, unique, reconstructible); the host must ALSO validate file
+    freshness (mtime vs row stamps) before consuming the candidates — on any
+    failure it falls back to the classic second dispatch, reusing the top-k
+    from this one. Candidate semantics match ccip_rerank_matches_from_rows_op
+    (count over-approximates via the rounded-up threshold; (diff asc, index
+    asc) order)."""
+    from ..ops.fused_query import _fused_final, exact_top_k
+
+    final = _fused_final(doc_matrix, term_mat, contrib_mat, packed,
+                         bm25_weight, doc2vec_weight, num_docs, num_real,
+                         overflow=overflow, ov_max_len=ov_max_len)
+    top_vals, top_idx = exact_top_k(final, k)
+    rows = docid_to_row[top_idx]                       # (k,) int32
+    ok = jnp.all(rows >= 0).astype(jnp.float32)
+    # clamp so the gather stays in range when !ok (result is discarded then)
+    body = _matches_from_rows(cf_matrix, cf_norms, jnp.maximum(rows, 0),
+                              jnp.ones((k,), bool), thresh, cap)
+    return jnp.concatenate([
+        top_vals, top_idx.astype(jnp.float32), ok[None], body])
+
+
+ccip_character_query_matches_op = partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "k", "cap", "num_real", "ov_max_len",
+))(_character_query_matches_impl)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def ccip_rerank_matches_from_rows_batch_op(
     index_matrix: jax.Array,  # (D, F)

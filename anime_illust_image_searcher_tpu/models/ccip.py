@@ -190,6 +190,14 @@ class CCIPPredictor:
                                        self.params)
             self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
 
+    def uses_learned_metric(self) -> bool:
+        """True when the checkpoint ships a converted non-cosine metric graph —
+        callers with 1−cos-only fused programs must take the per-query metric
+        path instead (same gate the rerank_matches_* methods apply)."""
+        self.load_model()
+        self._ensure_metric()
+        return self._metric_vs_index is not None
+
     def ccip_default_threshold(self) -> float:
         """Published metrics.json threshold of ccip-caformer-24-randaug-pruned
         (gen_cfeatures.py:183-202); a converted checkpoint carries its own.

@@ -96,6 +96,9 @@ class SearchEngine:
         # How often character-mode stage A ran as the one-dispatch fused
         # program (observability + test hook).
         self.character_fused_dispatches = 0
+        # How often the WHOLE character query (stage A + rerank) ran as a
+        # single device call (ccip_character_query_matches_op).
+        self.character_one_dispatch_queries = 0
 
         def p(name: str) -> str:
             return os.path.join(directory, name)
@@ -466,6 +469,21 @@ class SearchEngine:
         packed, query = self._pack_fused_with_query(new_doc)
         return self._character_fused_from_packed(packed, query, topn)
 
+    def _character_one_dispatch_inputs(self):
+        """Inputs for the whole-query one-dispatch character program, or None
+        when it can't serve: reranker without the hook (caller-injected plain
+        callable), reranker-side ineligibility (fused_query_inputs: learned
+        metric, live mode forced, empty/oversized cfeature index), the
+        AIIS_CHAR_ONE_DISPATCH=0 escape hatch, or a mesh engine — the doc
+        arrays are row-sharded there while the cfeature arrays are
+        single-device, and one program cannot mix the two placements (the
+        SPMD path keeps the two-dispatch form)."""
+        if (self.mesh is not None
+                or os.environ.get("AIIS_CHAR_ONE_DISPATCH", "1") != "1"
+                or not hasattr(self.cfeature_reranker, "fused_query_inputs")):
+            return None
+        return self.cfeature_reranker.fused_query_inputs(self._num_padded)
+
     def _character_fused_from_packed(
         self, packed: np.ndarray, query: BM25Query, topn: int
     ) -> List[Result]:
@@ -474,6 +492,34 @@ class SearchEngine:
         s = self.cfg.search
         term_mat, contrib_mat = self._bm25_dense
         k = s.rerank_top_k
+
+        inputs = self._character_one_dispatch_inputs()
+        if inputs is not None:
+            # The whole query in ONE device call: stage A top-k + row-gather
+            # CCIP rerank (models/caformer.ccip_character_query_matches_op);
+            # the host validates file freshness afterwards and only falls
+            # back to the classic second dispatch when that fails.
+            from ..models.caformer import ccip_character_query_matches_op
+
+            cf_matrix, cf_norms, docid_to_row, thresh_up, cap = inputs
+            out = np.asarray(ccip_character_query_matches_op(
+                self._matrix_dev, term_mat, contrib_mat, packed,
+                s.bm25_weight, s.doc2vec_weight,
+                cf_matrix, cf_norms, docid_to_row, np.float32(thresh_up),
+                vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
+                k=k, cap=cap, num_real=self._num_real,
+                overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
+            ))
+            top10_sims = [(int(i), float(v))
+                          for v, i in zip(out[:k], out[k:2 * k])]
+            self.character_fused_dispatches += 1
+            self.character_one_dispatch_queries += 1
+            return self.cfeature_reranker.resolve_fused(
+                top10_sims, bool(out[2 * k] > 0), int(out[2 * k + 1]),
+                out[2 * k + 2: 2 * k + 2 + cap].astype(np.int64),
+                out[2 * k + 2 + cap:], cap,
+                topn, query.required_tags, query.exclude_tags)
+
         out = np.asarray(fused_character_top(
             self._matrix_dev, term_mat, contrib_mat, packed,
             s.bm25_weight, s.doc2vec_weight,

@@ -80,6 +80,9 @@ class CCIPReranker:
         self._row_of: Optional[Dict[str, int]] = None
         self._row_stamps: Optional[np.ndarray] = None
         self._all_norms_known: bool = False
+        # one-dispatch character-query inputs (fused_query_inputs cache)
+        self._fused_inputs = None
+        self._fused_inputs_key = None
 
     @property
     def image_files_name_tags_arr(self) -> List[str]:
@@ -254,6 +257,92 @@ class CCIPReranker:
             matches.append((self.filepath_docid_dict[fpath], 1.0 - d64))
         return matches
 
+    def fused_query_inputs(self, num_padded: int):
+        """Device-resident inputs for the ONE-dispatch character query
+        (models/caformer.ccip_character_query_matches_op), or None when the
+        fused rerank half can't run: forced-live mode, a converted learned
+        metric (the fused op hardcodes 1−cos), an empty cfeature index, or a
+        row count at/beyond the f32 id-encoding bound. Returns
+        (cf_matrix_dev, cf_norms_dev, docid_to_row_dev, thresh_up, cap).
+
+        ``docid_to_row`` maps every engine doc id to its cfeature row, −1
+        where the row can't serve a gather (path absent from the cfeature
+        index, duplicated there, or stored without a reconstructible norm) —
+        the STATIC half of ``_gather_rows``; per-file freshness (mtime vs row
+        stamps) stays a host-side post-check in ``resolve_fused`` because
+        files can change between queries."""
+        if os.environ.get("AIIS_RERANK_LIVE", "0") == "1":
+            return None
+        self._lazy_load()
+        if self._row_of is None or self.predictor.uses_learned_metric():
+            return None
+        n_rows = len(self.cfeatures_idx)
+        if n_rows == 0 or n_rows >= 2 ** 24:
+            return None
+        key = (id(self.image_files_name_tags_arr), num_padded,
+               id(self.cfeatures_idx))
+        if self._fused_inputs_key != key:
+            import jax.numpy as jnp
+
+            norms = np.asarray(self.cfeatures_idx.norms)
+            recon = norms > 0
+            zero_rows = np.flatnonzero(~recon)
+            if len(zero_rows):
+                # zero-norm rows reconstruct correctly iff truly zero vectors
+                recon[zero_rows] = ~np.asarray(
+                    self.cfeatures_idx.matrix[zero_rows]).any(axis=1)
+            row_of = self._row_of
+            rows = np.full(num_padded, -1, np.int32)
+            for d, line in enumerate(self.image_files_name_tags_arr):
+                r = row_of.get(line.split(",", 1)[0], -1)
+                if r >= 0 and recon[r]:
+                    rows[d] = r
+            thresh_up = self._thresh_up(
+                self.predictor.ccip_default_threshold() / 1.5)
+            self._fused_inputs = (
+                self.cfeatures_idx._device(),
+                self.cfeatures_idx._device_norms_arr(),
+                jnp.asarray(rows),
+                thresh_up,
+                min(self.MATCH_CAP, n_rows),
+            )
+            self._fused_inputs_key = key
+        return self._fused_inputs
+
+    def resolve_fused(
+        self,
+        top10_sims: List[Result],
+        ok_dev: bool,
+        count: int,
+        cand_idx: np.ndarray,
+        cand_diffs: np.ndarray,
+        cap: int,
+        topn: int,
+        required_tags: List[str],
+        exclude_tags: List[str],
+    ) -> List[Result]:
+        """Consume the one-dispatch program's rerank half. The candidates are
+        only trusted when the device mapped every top-k doc (``ok_dev``) AND
+        the host freshness check passes (``_gather_rows``: files still
+        present, unmodified since their rows' extraction, live mode not
+        forced); otherwise this degrades to the classic second dispatch,
+        reusing the top-k stage A already produced. Over-cap counts take one
+        exact full-diffs dispatch directly (re-running the capped program
+        would return the same over-cap verdict)."""
+        self._lazy_load()
+        rows = self._gather_rows(self._top_files(top10_sims))
+        if ok_dev and rows is not None:
+            threshold = self.predictor.ccip_default_threshold() / 1.5
+            if count <= cap:
+                return list(top10_sims) + self._matches_from_candidates(
+                    cand_idx, cand_diffs, threshold,
+                    required_tags, exclude_tags)
+            diffs = self.predictor.rerank_diffs_from_rows(
+                np.asarray(rows, np.int32), len(rows), self.cfeatures_idx)
+            return list(top10_sims) + self._matches_from_diffs(
+                np.asarray(diffs), threshold, required_tags, exclude_tags)
+        return self.rerank_top(top10_sims, topn, required_tags, exclude_tags)
+
     def warm_fallback_programs(self) -> None:
         """Compile the full-diffs programs the capped candidate path falls
         back to (over-cap queries; also the small-index batch path). Regular
@@ -267,6 +356,14 @@ class CCIPReranker:
         k = self.cfg.search.rerank_top_k
         rows = np.zeros(k, np.int32)
         self.predictor.rerank_diffs_from_rows(rows, k, self.cfeatures_idx)
+        if self._capped_eligible():
+            # the single capped program: since the one-dispatch path took over
+            # the common case, this only runs on its freshness-check fallback —
+            # which must not pay a cold compile mid-serving either
+            self.predictor.rerank_matches_from_rows(
+                rows, k, self.cfeatures_idx,
+                self._thresh_up(self.predictor.ccip_default_threshold() / 1.5),
+                self.MATCH_CAP)
         b = 2
         while b <= 8:  # the power-of-two bpad shapes rerank_top_batch emits
             self.predictor.rerank_diffs_from_rows_batch(

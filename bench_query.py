@@ -443,8 +443,10 @@ def run_character_e2e_bench(n_docs: int = 100_000, vocab: int = 10_000,
         return np.asarray(lat)
 
     assert engine.character_fused_available(queries[0])
+    one_before = engine.character_one_dispatch_queries
     fused_lat = time_queries()
     fused_dispatches = engine.character_fused_dispatches
+    one_dispatch = engine.character_one_dispatch_queries - one_before
 
     engine.character_fused_available = lambda doc: False  # type: ignore[method-assign]
     try:
@@ -457,11 +459,14 @@ def run_character_e2e_bench(n_docs: int = 100_000, vocab: int = 10_000,
     return {
         "metric": "character_query_p50",
         "value": round(float(np.percentile(fused_lat, 50)), 2),
-        "unit": "ms end-to-end @ %dk docs (fused stage A + row-gather rerank)"
+        "unit": "ms end-to-end @ %dk docs (one-dispatch fused query)"
                 % (n_docs // 1000),
         "p95_ms": round(float(np.percentile(fused_lat, 95)), 2),
         "multicall_p50_ms": round(float(np.percentile(multi_lat, 50)), 2),
         "n_queries": n_queries,
+        # how many of the timed queries ran as a SINGLE device call (stage A +
+        # rerank fused, ccip_character_query_matches_op) vs two dispatches
+        "one_dispatch_queries": int(one_dispatch),
         "vs_baseline": None,
     }
 

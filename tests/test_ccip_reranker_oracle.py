@@ -408,6 +408,127 @@ def test_character_fused_unknown_tag_raises_keyerror(setup):
 @pytest.mark.parametrize("query", [
     "1girl", "solo smile", "1boy:+1", "smile:-1 1girl", "1girl:2 sword",
 ])
+def test_character_one_dispatch_matches_two_dispatch(setup, query, monkeypatch):
+    """The whole-query ONE-dispatch program (stage A + row-gather rerank in a
+    single device call, ccip_character_query_matches_op) must return the
+    identical result list as the two-dispatch form it replaces — and must
+    actually RUN (counter check), since a silent eligibility miss would make
+    this test vacuously compare the fallback against itself."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    try:
+        before = engine.character_one_dispatch_queries
+        one = engine.find_similar_documents(
+            query, topn=800, search_mode="character oriented")
+        assert engine.character_one_dispatch_queries == before + 1
+
+        monkeypatch.setenv("AIIS_CHAR_ONE_DISPATCH", "0")  # escape hatch
+        two = engine.find_similar_documents(
+            query, topn=800, search_mode="character oriented")
+        assert engine.character_one_dispatch_queries == before + 1
+        # ulp-tie-robust: the fused and standalone programs may schedule the
+        # metric matvec's reductions differently (same caveat as batched)
+        _assert_equivalent_ranking(one, two, query)
+    finally:
+        engine.cfeature_reranker = None
+
+
+def test_one_dispatch_falls_back_on_stale_file(setup):
+    """A top-10 file modified since its row's extraction must NOT be served
+    from the one-dispatch candidates: the host freshness post-check fails and
+    the query resolves through the classic second dispatch (live extraction),
+    identical to the forced-live result."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    query = "1girl"
+    try:
+        fresh = engine.find_similar_documents(
+            query, topn=800, search_mode="character oriented")
+        # stale-stamp one of the query's top-10 files
+        k = engine.cfg.search.rerank_top_k
+        top_doc = fresh[0][0]
+        path = engine.image_files_name_tags_arr[top_doc].split(",")[0]
+        row = reranker._row_of[path]
+        stamp = reranker._row_stamps[row]
+        os.utime(path, (stamp + 10, stamp + 10))
+        try:
+            before = engine.character_one_dispatch_queries
+            stale = engine.find_similar_documents(
+                query, topn=800, search_mode="character oriented")
+            # the one-dispatch program still ran (stage A came from it) ...
+            assert engine.character_one_dispatch_queries == before + 1
+            # ... but the result came from the live path
+            os.environ["AIIS_RERANK_LIVE"] = "1"
+            try:
+                live = engine.find_similar_documents(
+                    query, topn=800, search_mode="character oriented")
+            finally:
+                del os.environ["AIIS_RERANK_LIVE"]
+            assert [d for d, _ in stale] == [d for d, _ in live]
+        finally:
+            os.utime(path, (stamp - 10, stamp - 10))
+    finally:
+        engine.cfeature_reranker = None
+
+
+def test_one_dispatch_over_cap_falls_back_to_full_diffs(setup, monkeypatch):
+    """A sub-threshold count beyond the candidate cap must resolve through the
+    exact full-diffs dispatch (the capped candidate list can't prove it holds
+    every match), with results identical to the uncapped path."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    query = "1girl"
+    try:
+        # random tiny features rarely beat the real threshold — inflate it so
+        # every indexed row matches (diff = 1-cos < 2.0 for non-antipodal
+        # rows). Patch the INSTANCE: an earlier test's monkeypatch undo can
+        # leave the original method planted as an instance attribute, which
+        # would shadow a class-level patch.
+        monkeypatch.setattr(reranker.predictor, "ccip_default_threshold",
+                            lambda: 3.0)
+        reranker._fused_inputs_key = None  # threshold is baked into the cache
+        baseline = engine.find_similar_documents(
+            query, topn=800, search_mode="character oriented")
+        n_matches = len(baseline) - engine.cfg.search.rerank_top_k
+        assert n_matches >= 2, "inflated threshold must produce matches"
+        monkeypatch.setattr(CCIPReranker, "MATCH_CAP", 1)
+        reranker._fused_inputs_key = None  # cap is baked into the cache
+        before = engine.character_one_dispatch_queries
+        capped = engine.find_similar_documents(
+            query, topn=800, search_mode="character oriented")
+        assert engine.character_one_dispatch_queries == before + 1
+        # the fused program's diffs and the standalone full-diffs program can
+        # differ in final ulps (different XLA reduction scheduling) — same
+        # caveat as the batched-vs-sequential comparison
+        _assert_equivalent_ranking(capped, baseline, query)
+    finally:
+        reranker._fused_inputs_key = None
+        engine.cfeature_reranker = None
+
+
+def test_one_dispatch_ineligible_for_learned_metric(setup, monkeypatch):
+    """A converted learned metric disables the fused 1−cos program; the query
+    must resolve through the two-dispatch path with the metric applied."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    try:
+        monkeypatch.setattr(reranker.predictor, "uses_learned_metric",
+                            lambda: True)
+        reranker._fused_inputs_key = None
+        assert engine._character_one_dispatch_inputs() is None
+        before = engine.character_one_dispatch_queries
+        out = engine.find_similar_documents(
+            "1girl", topn=800, search_mode="character oriented")
+        assert engine.character_one_dispatch_queries == before
+        assert len(out) >= engine.cfg.search.rerank_top_k
+    finally:
+        reranker._fused_inputs_key = None
+        engine.cfeature_reranker = None
+
+
+@pytest.mark.parametrize("query", [
+    "1girl", "solo smile", "1boy:+1", "smile:-1 1girl", "1girl:2 sword",
+])
 def test_character_fused_stage_a_matches_multicall(setup, query):
     """The one-dispatch character stage A (fused scores + device top-k,
     engine._find_similar_character_fused) must return the identical result
