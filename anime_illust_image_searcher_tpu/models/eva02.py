@@ -302,6 +302,12 @@ class Eva02(nn.Module):
 
         rope = None
         if cfg.use_rope:
+            if cfg.rope_variant not in ("sliced", "idrow"):
+                # a typo'd variant must not silently measure "sliced" — this
+                # knob exists to reproduce an A/B result (ARCHITECTURE §7)
+                raise ValueError(
+                    f"unknown rope_variant {cfg.rope_variant!r}; "
+                    "expected 'sliced' or 'idrow'")
             sin, cos = build_rope_cat(
                 cfg.grid_size, cfg.head_dim, cfg.rope_temperature, cfg.ref_feat_shape
             )

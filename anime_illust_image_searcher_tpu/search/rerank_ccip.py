@@ -279,8 +279,13 @@ class CCIPReranker:
         n_rows = len(self.cfeatures_idx)
         if n_rows == 0 or n_rows >= 2 ** 24:
             return None
-        key = (id(self.image_files_name_tags_arr), num_padded,
-               id(self.cfeatures_idx))
+        # identity alone is unsafe as a cache key (a freed object's address
+        # can be reused by its replacement); pair it with content facts a
+        # rebuilt index or reloaded doc list would change
+        key = (id(self.image_files_name_tags_arr),
+               len(self.image_files_name_tags_arr), num_padded,
+               id(self.cfeatures_idx), len(self.cfeatures_idx),
+               float(self.cfeatures_idx.build_started()))
         if self._fused_inputs_key != key:
             import jax.numpy as jnp
 

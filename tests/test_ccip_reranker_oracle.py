@@ -445,7 +445,6 @@ def test_one_dispatch_falls_back_on_stale_file(setup):
         fresh = engine.find_similar_documents(
             query, topn=800, search_mode="character oriented")
         # stale-stamp one of the query's top-10 files
-        k = engine.cfg.search.rerank_top_k
         top_doc = fresh[0][0]
         path = engine.image_files_name_tags_arr[top_doc].split(",")[0]
         row = reranker._row_of[path]
