@@ -459,13 +459,15 @@ class SearchEngine:
         )
 
     def _find_similar_character_fused(self, new_doc: str, topn: int) -> List[Result]:
-        """Character-mode query in two device calls total (webui.py:345-390 +
-        255-342 semantics): stage A = fused scores + exact top-k in ONE program
-        (ops/fused_query.fused_character_top — no corpus-length D2H, no full
-        host sort, no COO BM25 upload); stage B = the reranker's one-dispatch
-        CCIP metric stage (row-gather or live). The multi-call path computes
-        identical results (pinned by tests/test_ccip_reranker_oracle.py::
-        test_character_fused_stage_a_matches_multicall)."""
+        """Character-mode query (webui.py:345-390 + 255-342 semantics): ONE
+        device call in the common case (stage A scores + top-k + row-gather
+        CCIP rerank fused, _character_fused_from_packed), degrading to two —
+        stage A program (ops/fused_query.fused_character_top) + the reranker's
+        rerank dispatch (row-gather or live) — when the one-dispatch inputs
+        are unavailable or the host freshness post-check fails. Either way: no
+        corpus-length D2H, no full host sort, no COO BM25 upload. The
+        multi-call path computes identical results (pinned by
+        tests/test_ccip_reranker_oracle.py)."""
         packed, query = self._pack_fused_with_query(new_doc)
         return self._character_fused_from_packed(packed, query, topn)
 
