@@ -412,6 +412,47 @@ ccip_character_query_matches_op = partial(jax.jit, static_argnames=(
 ))(_character_query_matches_impl)
 
 
+@partial(jax.jit, static_argnames=(
+    "vocab_size", "num_docs", "k", "cap", "num_real", "ov_max_len",
+))
+def ccip_character_query_matches_batch_op(
+    doc_matrix: jax.Array,
+    term_mat: jax.Array,
+    contrib_mat: jax.Array,
+    packed_batch: jax.Array,  # (B, buflen)
+    bm25_weight: float,
+    doc2vec_weight: float,
+    cf_matrix: jax.Array,
+    cf_norms: jax.Array,
+    docid_to_row: jax.Array,
+    thresh: jax.Array,
+    vocab_size: int,
+    num_docs: int,
+    k: int,
+    cap: int,
+    num_real: int = 0,
+    overflow=None,
+    ov_max_len: int = 0,
+) -> jax.Array:
+    """B concurrent whole-character-queries in ONE device program (vmapped
+    over the packed buffers; every index array broadcasts): (B, 2k+2+2·cap).
+    A burst previously cost two relay round trips (batched stage A, then the
+    batched gather rerank after a host hop to map rows); this is the batched
+    counterpart of ``ccip_character_query_matches_op`` — one round trip per
+    burst. Same per-query semantics; XLA may schedule the batched matvecs'
+    reductions differently, so last-ulp diffs vs single-query are possible
+    (the standing batched-program caveat)."""
+
+    def one(p):
+        return _character_query_matches_impl(
+            doc_matrix, term_mat, contrib_mat, p, bm25_weight, doc2vec_weight,
+            cf_matrix, cf_norms, docid_to_row, thresh,
+            vocab_size=vocab_size, num_docs=num_docs, k=k, cap=cap,
+            num_real=num_real, overflow=overflow, ov_max_len=ov_max_len)
+
+    return jax.vmap(one)(packed_batch)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def ccip_rerank_matches_from_rows_batch_op(
     index_matrix: jax.Array,  # (D, F)

@@ -682,6 +682,42 @@ class SearchEngine:
                 continue
             bucket = next(b for b in self.QUERY_BATCH_BUCKETS if take <= b)
             batch = np.stack(chunk_packed + [chunk_packed[0]] * (bucket - take))
+
+            inputs = self._character_one_dispatch_inputs()
+            if inputs is not None:
+                # the whole BURST in one device call: vmapped stage A +
+                # row-gather rerank (one relay round trip instead of two)
+                from ..models.caformer import (
+                    ccip_character_query_matches_batch_op,
+                )
+
+                cf_matrix, cf_norms, docid_to_row, thresh_up, cap = inputs
+                out = np.asarray(ccip_character_query_matches_batch_op(
+                    self._matrix_dev, term_mat, contrib_mat, batch,
+                    s.bm25_weight, s.doc2vec_weight,
+                    cf_matrix, cf_norms, docid_to_row, np.float32(thresh_up),
+                    vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
+                    k=k, cap=cap, num_real=self._num_real,
+                    overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
+                ))
+                self.character_fused_dispatches += take
+                self.character_one_dispatch_queries += take
+                for j, i in enumerate(chunk_pos):
+                    q = chunk_queries[j]
+                    row = out[j]
+                    top10_sims = [(int(d), float(v))
+                                  for v, d in zip(row[:k], row[k:2 * k])]
+                    try:
+                        results[i] = self.cfeature_reranker.resolve_fused(
+                            top10_sims, bool(row[2 * k] > 0),
+                            int(row[2 * k + 1]),
+                            row[2 * k + 2: 2 * k + 2 + cap].astype(np.int64),
+                            row[2 * k + 2 + cap:], cap,
+                            topn, q.required_tags, q.exclude_tags)
+                    except Exception as e:  # noqa: BLE001 — per-query isolation
+                        results[i] = e
+                continue
+
             out = np.asarray(fused_character_top_batch(
                 self._matrix_dev, term_mat, contrib_mat, batch,
                 s.bm25_weight, s.doc2vec_weight,

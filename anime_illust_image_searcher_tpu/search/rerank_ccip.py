@@ -287,8 +287,20 @@ class CCIPReranker:
                id(self.cfeatures_idx), len(self.cfeatures_idx),
                float(self.cfeatures_idx.build_started()))
         if self._fused_inputs_key != key:
+            # serialize the (idempotent but ~seconds-at-1M) map build: two
+            # concurrent first character queries under ThreadingHTTPServer
+            # must not both run the python doc loop
+            with self._load_lock:
+                self._fused_inputs_build(key, num_padded)
+        return self._fused_inputs
+
+    def _fused_inputs_build(self, key, num_padded: int) -> None:
+        """The locked half of ``fused_query_inputs``: rebuild and publish the
+        device-resident inputs unless another thread already did."""
+        if self._fused_inputs_key != key:
             import jax.numpy as jnp
 
+            n_rows = len(self.cfeatures_idx)
             norms = np.asarray(self.cfeatures_idx.norms)
             recon = norms > 0
             zero_rows = np.flatnonzero(~recon)
@@ -312,7 +324,6 @@ class CCIPReranker:
                 min(self.MATCH_CAP, n_rows),
             )
             self._fused_inputs_key = key
-        return self._fused_inputs
 
     def resolve_fused(
         self,

@@ -285,9 +285,12 @@ def test_capped_matches_path_equals_full_diffs(setup, monkeypatch):
 def test_capped_matches_batch_equals_full(setup, monkeypatch):
     """Batched candidate-only rerank agrees with the batched full-diffs path —
     and provably ran (spy on the batch op; every query's count under the cap
-    so the capped results are the ones compared)."""
+    so the capped results are the ones compared). Runs with the one-dispatch
+    program disabled: this exercises the two-dispatch batched machinery that
+    remains the fallback for mesh/learned-metric/forced-live serving."""
     engine, reranker = setup
     engine.cfeature_reranker = reranker
+    monkeypatch.setenv("AIIS_CHAR_ONE_DISPATCH", "0")
     mode = "character oriented"
     queries = ["1girl", "solo smile", "1boy sword", "black_hair"]
     seen = []
@@ -327,9 +330,13 @@ def test_character_batch_matches_sequential(setup):
         queries = ["1girl", "solo smile", "1boy:+1", "zzz_not_a_tag",
                    "smile:-1 1girl", "1girl:2 sword"]
         before = engine.character_fused_dispatches
+        before_one = engine.character_one_dispatch_queries
         outs = engine.find_similar_documents_batch(queries, topn=800,
                                                    search_mode=mode)
         assert engine.character_fused_dispatches == before + 5
+        # the burst rode the batched ONE-dispatch program (stage A + rerank
+        # in one device call per chunk), not the two-dispatch fallback
+        assert engine.character_one_dispatch_queries == before_one + 5
         for q, out in zip(queries, outs):
             if q == "zzz_not_a_tag":
                 assert isinstance(out, KeyError)
