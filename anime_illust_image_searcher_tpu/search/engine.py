@@ -96,8 +96,11 @@ class SearchEngine:
         # How often character-mode stage A ran as the one-dispatch fused
         # program (observability + test hook).
         self.character_fused_dispatches = 0
-        # How often the WHOLE character query (stage A + rerank) ran as a
-        # single device call (ccip_character_query_matches_op).
+        # How often the whole-query one-dispatch character program was
+        # DISPATCHED (ccip_character_query_matches_op / its batched form).
+        # The host freshness post-check may still resolve a dispatch through
+        # a second device call — the reranker's one_dispatch_fallbacks counts
+        # those, so resolved-in-one = this minus that.
         self.character_one_dispatch_queries = 0
 
         def p(name: str) -> str:
@@ -512,15 +515,9 @@ class SearchEngine:
                 k=k, cap=cap, num_real=self._num_real,
                 overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
             ))
-            top10_sims = [(int(i), float(v))
-                          for v, i in zip(out[:k], out[k:2 * k])]
             self.character_fused_dispatches += 1
             self.character_one_dispatch_queries += 1
-            return self.cfeature_reranker.resolve_fused(
-                top10_sims, bool(out[2 * k] > 0), int(out[2 * k + 1]),
-                out[2 * k + 2: 2 * k + 2 + cap].astype(np.int64),
-                out[2 * k + 2 + cap:], cap,
-                topn, query.required_tags, query.exclude_tags)
+            return self._resolve_one_dispatch_row(out, k, cap, query, topn)
 
         out = np.asarray(fused_character_top(
             self._matrix_dev, term_mat, contrib_mat, packed,
@@ -533,6 +530,20 @@ class SearchEngine:
         self.character_fused_dispatches += 1
         return self.cfeature_reranker.rerank_top(
             top10_sims, topn, query.required_tags, query.exclude_tags)
+
+    def _resolve_one_dispatch_row(self, row: np.ndarray, k: int, cap: int,
+                                  query: BM25Query, topn: int) -> List[Result]:
+        """Unpack ONE output row of the one-dispatch character program —
+        [top_vals(k) | top_ids(k) | ok | count | cand_idx(cap) |
+        cand_diffs(cap)], mirroring _character_query_matches_impl's
+        concatenate — and hand it to the reranker's resolver. The single and
+        batched dispatch sites must share this slicing: a layout change
+        edited in one copy would silently corrupt the other."""
+        top10_sims = [(int(d), float(v)) for v, d in zip(row[:k], row[k:2 * k])]
+        return self.cfeature_reranker.resolve_fused(
+            top10_sims, bool(row[2 * k] > 0), int(row[2 * k + 1]),
+            row[2 * k + 2: 2 * k + 2 + cap], row[2 * k + 2 + cap:], cap,
+            topn, query.required_tags, query.exclude_tags)
 
     # Micro-batch size buckets: each compiles once; a batch pads up to its bucket.
     QUERY_BATCH_BUCKETS = (2, 4, 8)
@@ -665,6 +676,9 @@ class SearchEngine:
         s = self.cfg.search
         k = s.rerank_top_k
         term_mat, contrib_mat = self._bm25_dense
+        # loop-invariant: the one-dispatch inputs can't change mid-batch
+        one_dispatch_inputs = (
+            self._character_one_dispatch_inputs() if packed else None)
         while packed:
             take = min(len(packed), self.QUERY_BATCH_BUCKETS[-1])
             chunk_pos, chunk_packed = fused_pos[:take], packed[:take]
@@ -683,15 +697,15 @@ class SearchEngine:
             bucket = next(b for b in self.QUERY_BATCH_BUCKETS if take <= b)
             batch = np.stack(chunk_packed + [chunk_packed[0]] * (bucket - take))
 
-            inputs = self._character_one_dispatch_inputs()
-            if inputs is not None:
+            if one_dispatch_inputs is not None:
                 # the whole BURST in one device call: vmapped stage A +
                 # row-gather rerank (one relay round trip instead of two)
                 from ..models.caformer import (
                     ccip_character_query_matches_batch_op,
                 )
 
-                cf_matrix, cf_norms, docid_to_row, thresh_up, cap = inputs
+                cf_matrix, cf_norms, docid_to_row, thresh_up, cap = \
+                    one_dispatch_inputs
                 out = np.asarray(ccip_character_query_matches_batch_op(
                     self._matrix_dev, term_mat, contrib_mat, batch,
                     s.bm25_weight, s.doc2vec_weight,
@@ -703,17 +717,9 @@ class SearchEngine:
                 self.character_fused_dispatches += take
                 self.character_one_dispatch_queries += take
                 for j, i in enumerate(chunk_pos):
-                    q = chunk_queries[j]
-                    row = out[j]
-                    top10_sims = [(int(d), float(v))
-                                  for v, d in zip(row[:k], row[k:2 * k])]
                     try:
-                        results[i] = self.cfeature_reranker.resolve_fused(
-                            top10_sims, bool(row[2 * k] > 0),
-                            int(row[2 * k + 1]),
-                            row[2 * k + 2: 2 * k + 2 + cap].astype(np.int64),
-                            row[2 * k + 2 + cap:], cap,
-                            topn, q.required_tags, q.exclude_tags)
+                        results[i] = self._resolve_one_dispatch_row(
+                            out[j], k, cap, chunk_queries[j], topn)
                     except Exception as e:  # noqa: BLE001 — per-query isolation
                         results[i] = e
                 continue

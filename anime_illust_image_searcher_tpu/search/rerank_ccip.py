@@ -83,6 +83,10 @@ class CCIPReranker:
         # one-dispatch character-query inputs (fused_query_inputs cache)
         self._fused_inputs = None
         self._fused_inputs_key = None
+        # how often a one-dispatch result failed the host freshness check and
+        # resolved through a second dispatch (observability + test hook; the
+        # engine's character_one_dispatch_queries counts DISPATCHES)
+        self.one_dispatch_fallbacks = 0
 
     @property
     def image_files_name_tags_arr(self) -> List[str]:
@@ -314,6 +318,14 @@ class CCIPReranker:
                 r = row_of.get(line.split(",", 1)[0], -1)
                 if r >= 0 and recon[r]:
                     rows[d] = r
+            if not (rows >= 0).any():
+                # nothing is gatherable (e.g. a pre-v1.1 index with no stored
+                # norms, or doc paths that never match the cfeature index):
+                # every dispatch would run the expensive rerank half only to
+                # be discarded by ok=0 — publish "disabled" instead
+                self._fused_inputs = None
+                self._fused_inputs_key = key
+                return
             thresh_up = self._thresh_up(
                 self.predictor.ccip_default_threshold() / 1.5)
             self._fused_inputs = (
@@ -351,12 +363,13 @@ class CCIPReranker:
             threshold = self.predictor.ccip_default_threshold() / 1.5
             if count <= cap:
                 return list(top10_sims) + self._matches_from_candidates(
-                    cand_idx, cand_diffs, threshold,
+                    cand_idx.astype(np.int64), cand_diffs, threshold,
                     required_tags, exclude_tags)
             diffs = self.predictor.rerank_diffs_from_rows(
                 np.asarray(rows, np.int32), len(rows), self.cfeatures_idx)
             return list(top10_sims) + self._matches_from_diffs(
                 np.asarray(diffs), threshold, required_tags, exclude_tags)
+        self.one_dispatch_fallbacks += 1
         return self.rerank_top(top10_sims, topn, required_tags, exclude_tags)
 
     def warm_fallback_programs(self) -> None:
@@ -373,9 +386,11 @@ class CCIPReranker:
         rows = np.zeros(k, np.int32)
         self.predictor.rerank_diffs_from_rows(rows, k, self.cfeatures_idx)
         if self._capped_eligible():
-            # the single capped program: since the one-dispatch path took over
-            # the common case, this only runs on its freshness-check fallback —
-            # which must not pay a cold compile mid-serving either
+            # the single capped program: reachable via mesh engines,
+            # AIIS_CHAR_ONE_DISPATCH=0, and the multi-call path (a
+            # freshness-check fallback takes the LIVE path instead — its
+            # _gather_rows re-check fails the same way) — none of which may
+            # pay a cold compile mid-serving
             self.predictor.rerank_matches_from_rows(
                 rows, k, self.cfeatures_idx,
                 self._thresh_up(self.predictor.ccip_default_threshold() / 1.5),

@@ -459,10 +459,13 @@ def test_one_dispatch_falls_back_on_stale_file(setup):
         os.utime(path, (stamp + 10, stamp + 10))
         try:
             before = engine.character_one_dispatch_queries
+            before_fb = reranker.one_dispatch_fallbacks
             stale = engine.find_similar_documents(
                 query, topn=800, search_mode="character oriented")
             # the one-dispatch program still ran (stage A came from it) ...
             assert engine.character_one_dispatch_queries == before + 1
+            # ... and the freshness fallback is observable
+            assert reranker.one_dispatch_fallbacks == before_fb + 1
             # ... but the result came from the live path
             os.environ["AIIS_RERANK_LIVE"] = "1"
             try:
@@ -508,6 +511,30 @@ def test_one_dispatch_over_cap_falls_back_to_full_diffs(setup, monkeypatch):
         # caveat as the batched-vs-sequential comparison
         _assert_equivalent_ranking(capped, baseline, query)
     finally:
+        reranker._fused_inputs_key = None
+        engine.cfeature_reranker = None
+
+
+def test_one_dispatch_disabled_when_nothing_gatherable(setup):
+    """An index where NO row can serve a gather (e.g. pre-v1.1: all norms
+    unknown with nonzero rows) must publish a disabled sentinel instead of
+    dispatching the fused rerank half just to discard it every query."""
+    engine, reranker = setup
+    engine.cfeature_reranker = reranker
+    idx = reranker.cfeatures_idx
+    idx._norms = np.array(idx._norms)
+    saved = idx._norms.copy()
+    try:
+        idx._norms[:] = 0.0
+        reranker._fused_inputs_key = None
+        assert engine._character_one_dispatch_inputs() is None
+        before = engine.character_one_dispatch_queries
+        out = engine.find_similar_documents(
+            "1girl", topn=800, search_mode="character oriented")
+        assert engine.character_one_dispatch_queries == before
+        assert len(out) >= engine.cfg.search.rerank_top_k
+    finally:
+        idx._norms[:] = saved
         reranker._fused_inputs_key = None
         engine.cfeature_reranker = None
 
