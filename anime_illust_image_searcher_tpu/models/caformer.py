@@ -332,6 +332,7 @@ def _matches_from_rows(
     valid: jax.Array,         # (k,) bool
     thresh: jax.Array,        # f32 scalar, rounded UP from the f64 threshold
     cap: int,
+    num_real: int = 0,
 ) -> jax.Array:
     """Row-gather rerank returning only the threshold CANDIDATES instead of
     the corpus-length diff vector: [count(1) | idx(cap) | diff(cap)], where
@@ -346,13 +347,20 @@ def _matches_from_rows(
     from ..ops.fused_query import exact_top_k
 
     diffs = _rerank_diffs_from_rows(index_matrix, norms, row_ids, valid)
+    if num_real and num_real < index_matrix.shape[0]:
+        # mesh layouts pad the row dim to the shard multiple; padding rows
+        # (zero vectors -> diff exactly 1.0) must neither count nor surface
+        # as candidate indices (``cap <= num_real`` by the caller's contract,
+        # so +inf rows can never enter the top-cap)
+        diffs = jnp.where(jnp.arange(diffs.shape[0]) < num_real,
+                          diffs, jnp.inf)
     count = jnp.sum((diffs < thresh).astype(jnp.int32)).astype(jnp.float32)
     vals, idx = exact_top_k(-diffs, cap)  # smallest diffs, lowest-index ties
     return jnp.concatenate([count[None], idx.astype(jnp.float32), -vals])
 
 
 ccip_rerank_matches_from_rows_op = partial(
-    jax.jit, static_argnames=("cap",))(_matches_from_rows)
+    jax.jit, static_argnames=("cap", "num_real"))(_matches_from_rows)
 
 
 def _character_query_matches_impl(
@@ -373,6 +381,7 @@ def _character_query_matches_impl(
     num_real: int = 0,
     overflow=None,
     ov_max_len: int = 0,
+    cf_num_real: int = 0,
 ) -> jax.Array:
     """The WHOLE common-case character query in ONE device call: stage A
     (fused BM25+Doc2Vec scores + exact top-k, ops.fused_query semantics)
@@ -402,18 +411,21 @@ def _character_query_matches_impl(
     ok = jnp.all(rows >= 0).astype(jnp.float32)
     # clamp so the gather stays in range when !ok (result is discarded then)
     body = _matches_from_rows(cf_matrix, cf_norms, jnp.maximum(rows, 0),
-                              jnp.ones((k,), bool), thresh, cap)
+                              jnp.ones((k,), bool), thresh, cap,
+                              num_real=cf_num_real)
     return jnp.concatenate([
         top_vals, top_idx.astype(jnp.float32), ok[None], body])
 
 
 ccip_character_query_matches_op = partial(jax.jit, static_argnames=(
     "vocab_size", "num_docs", "k", "cap", "num_real", "ov_max_len",
+    "cf_num_real",
 ))(_character_query_matches_impl)
 
 
 @partial(jax.jit, static_argnames=(
     "vocab_size", "num_docs", "k", "cap", "num_real", "ov_max_len",
+    "cf_num_real",
 ))
 def ccip_character_query_matches_batch_op(
     doc_matrix: jax.Array,
@@ -433,6 +445,7 @@ def ccip_character_query_matches_batch_op(
     num_real: int = 0,
     overflow=None,
     ov_max_len: int = 0,
+    cf_num_real: int = 0,
 ) -> jax.Array:
     """B concurrent whole-character-queries in ONE device program (vmapped
     over the packed buffers; every index array broadcasts): (B, 2k+2+2·cap).
@@ -448,7 +461,8 @@ def ccip_character_query_matches_batch_op(
             doc_matrix, term_mat, contrib_mat, p, bm25_weight, doc2vec_weight,
             cf_matrix, cf_norms, docid_to_row, thresh,
             vocab_size=vocab_size, num_docs=num_docs, k=k, cap=cap,
-            num_real=num_real, overflow=overflow, ov_max_len=ov_max_len)
+            num_real=num_real, overflow=overflow, ov_max_len=ov_max_len,
+            cf_num_real=cf_num_real)
 
     return jax.vmap(one)(packed_batch)
 

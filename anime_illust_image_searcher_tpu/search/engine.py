@@ -478,16 +478,16 @@ class SearchEngine:
         """Inputs for the whole-query one-dispatch character program, or None
         when it can't serve: reranker without the hook (caller-injected plain
         callable), reranker-side ineligibility (fused_query_inputs: learned
-        metric, live mode forced, empty/oversized cfeature index), the
-        AIIS_CHAR_ONE_DISPATCH=0 escape hatch, or a mesh engine — the doc
-        arrays are row-sharded there while the cfeature arrays are
-        single-device, and one program cannot mix the two placements (the
-        SPMD path keeps the two-dispatch form)."""
-        if (self.mesh is not None
-                or os.environ.get("AIIS_CHAR_ONE_DISPATCH", "1") != "1"
+        metric, live mode forced, empty/oversized/ungatherable cfeature
+        index), or the AIIS_CHAR_ONE_DISPATCH=0 escape hatch. Mesh engines
+        get mesh-placed inputs (cfeature arrays row-sharded over the data
+        axis, the doc→row map replicated) so the program runs SPMD like the
+        rest of the fused query family."""
+        if (os.environ.get("AIIS_CHAR_ONE_DISPATCH", "1") != "1"
                 or not hasattr(self.cfeature_reranker, "fused_query_inputs")):
             return None
-        return self.cfeature_reranker.fused_query_inputs(self._num_padded)
+        return self.cfeature_reranker.fused_query_inputs(
+            self._num_padded, mesh=self.mesh)
 
     def _character_fused_from_packed(
         self, packed: np.ndarray, query: BM25Query, topn: int
@@ -506,7 +506,7 @@ class SearchEngine:
             # back to the classic second dispatch when that fails.
             from ..models.caformer import ccip_character_query_matches_op
 
-            cf_matrix, cf_norms, docid_to_row, thresh_up, cap = inputs
+            cf_matrix, cf_norms, docid_to_row, thresh_up, cap, cf_real = inputs
             out = np.asarray(ccip_character_query_matches_op(
                 self._matrix_dev, term_mat, contrib_mat, packed,
                 s.bm25_weight, s.doc2vec_weight,
@@ -514,6 +514,7 @@ class SearchEngine:
                 vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
                 k=k, cap=cap, num_real=self._num_real,
                 overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
+                cf_num_real=cf_real,
             ))
             self.character_fused_dispatches += 1
             self.character_one_dispatch_queries += 1
@@ -704,7 +705,7 @@ class SearchEngine:
                     ccip_character_query_matches_batch_op,
                 )
 
-                cf_matrix, cf_norms, docid_to_row, thresh_up, cap = \
+                cf_matrix, cf_norms, docid_to_row, thresh_up, cap, cf_real = \
                     one_dispatch_inputs
                 out = np.asarray(ccip_character_query_matches_batch_op(
                     self._matrix_dev, term_mat, contrib_mat, batch,
@@ -713,6 +714,7 @@ class SearchEngine:
                     vocab_size=self.bm25.vocab_size, num_docs=self._num_padded,
                     k=k, cap=cap, num_real=self._num_real,
                     overflow=self._bm25_overflow, ov_max_len=self._ov_max_len,
+                    cf_num_real=cf_real,
                 ))
                 self.character_fused_dispatches += take
                 self.character_one_dispatch_queries += take

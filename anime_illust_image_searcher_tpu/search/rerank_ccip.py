@@ -261,20 +261,27 @@ class CCIPReranker:
             matches.append((self.filepath_docid_dict[fpath], 1.0 - d64))
         return matches
 
-    def fused_query_inputs(self, num_padded: int):
+    def fused_query_inputs(self, num_padded: int, mesh=None):
         """Device-resident inputs for the ONE-dispatch character query
         (models/caformer.ccip_character_query_matches_op), or None when the
         fused rerank half can't run: forced-live mode, a converted learned
         metric (the fused op hardcodes 1−cos), an empty cfeature index, or a
         row count at/beyond the f32 id-encoding bound. Returns
-        (cf_matrix_dev, cf_norms_dev, docid_to_row_dev, thresh_up, cap).
+        (cf_matrix_dev, cf_norms_dev, docid_to_row_dev, thresh_up, cap,
+        cf_num_real).
 
         ``docid_to_row`` maps every engine doc id to its cfeature row, −1
         where the row can't serve a gather (path absent from the cfeature
         index, duplicated there, or stored without a reconstructible norm) —
         the STATIC half of ``_gather_rows``; per-file freshness (mtime vs row
         stamps) stays a host-side post-check in ``resolve_fused`` because
-        files can change between queries."""
+        files can change between queries.
+
+        ``mesh``: a SearchEngine(mesh=...) passes its mesh — the cfeature
+        matrix/norms then pad to the shard multiple and row-shard over the
+        data axis (GSPMD runs the metric matvec per shard and all-gathers the
+        candidate top-k exactly like stage A), the doc→row map replicates,
+        and ``cf_num_real`` masks the padding rows inside the program."""
         if os.environ.get("AIIS_RERANK_LIVE", "0") == "1":
             return None
         self._lazy_load()
@@ -289,16 +296,16 @@ class CCIPReranker:
         key = (id(self.image_files_name_tags_arr),
                len(self.image_files_name_tags_arr), num_padded,
                id(self.cfeatures_idx), len(self.cfeatures_idx),
-               float(self.cfeatures_idx.build_started()))
+               float(self.cfeatures_idx.build_started()), id(mesh))
         if self._fused_inputs_key != key:
             # serialize the (idempotent but ~seconds-at-1M) map build: two
             # concurrent first character queries under ThreadingHTTPServer
             # must not both run the python doc loop
             with self._load_lock:
-                self._fused_inputs_build(key, num_padded)
+                self._fused_inputs_build(key, num_padded, mesh)
         return self._fused_inputs
 
-    def _fused_inputs_build(self, key, num_padded: int) -> None:
+    def _fused_inputs_build(self, key, num_padded: int, mesh=None) -> None:
         """The locked half of ``fused_query_inputs``: rebuild and publish the
         device-resident inputs unless another thread already did."""
         if self._fused_inputs_key != key:
@@ -328,13 +335,33 @@ class CCIPReranker:
                 return
             thresh_up = self._thresh_up(
                 self.predictor.ccip_default_threshold() / 1.5)
-            self._fused_inputs = (
-                self.cfeatures_idx._device(),
-                self.cfeatures_idx._device_norms_arr(),
-                jnp.asarray(rows),
-                thresh_up,
-                min(self.MATCH_CAP, n_rows),
-            )
+            cap = min(self.MATCH_CAP, n_rows)
+            if mesh is None:
+                self._fused_inputs = (
+                    self.cfeatures_idx._device(),
+                    self.cfeatures_idx._device_norms_arr(),
+                    jnp.asarray(rows),
+                    thresh_up, cap, 0,
+                )
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.mesh import (
+                    DATA_AXIS, pad_to_multiple, put_global,
+                )
+
+                n_data = mesh.shape[DATA_AXIS]
+                mat, _ = pad_to_multiple(
+                    np.asarray(self.cfeatures_idx.matrix, np.float32), n_data)
+                nor, _ = pad_to_multiple(
+                    np.asarray(self.cfeatures_idx.norms, np.float32), n_data)
+                self._fused_inputs = (
+                    put_global(mat, NamedSharding(mesh, P(DATA_AXIS, None))),
+                    put_global(nor, NamedSharding(mesh, P(DATA_AXIS))),
+                    put_global(rows, NamedSharding(mesh, P())),
+                    thresh_up, cap,
+                    n_rows if mat.shape[0] != n_rows else 0,
+                )
             self._fused_inputs_key = key
 
     def resolve_fused(

@@ -209,6 +209,80 @@ print("SHARDED_CHAR_OK")
     assert "SHARDED_CHAR_OK" in out
 
 
+def test_sharded_character_one_dispatch_matches_single_device(tmp_path):
+    """The WHOLE-query one-dispatch character program over a mesh engine
+    (doc arrays row-sharded, cfeature arrays row-sharded, doc→row map
+    replicated, padding masked) must return what the single-device engine
+    returns — and must actually dispatch as one call on BOTH engines."""
+    code = f"""
+import os
+os.chdir({str(tmp_path)!r})
+import numpy as np
+from PIL import Image
+from anime_illust_image_searcher_tpu.cli import gen_cfeatures, genmodel
+from anime_illust_image_searcher_tpu.config import CCIPConfig, DEFAULT_CONFIG
+from anime_illust_image_searcher_tpu.index import artifacts
+from anime_illust_image_searcher_tpu.models.caformer import tiny_test_config
+from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+from anime_illust_image_searcher_tpu.search.engine import SearchEngine
+from anime_illust_image_searcher_tpu.search.rerank_ccip import CCIPReranker
+
+TINY = tiny_test_config()
+CFG = CCIPConfig(image_size=TINY.img_size, feature_dim=TINY.feature_dim,
+                 batch_size=4, decode_workers=2)
+rng = np.random.RandomState(3)
+os.makedirs("imgs")
+pools = [["1girl", "solo", "smile", "black_hair"],
+         ["1boy", "sword", "armor", "standing"]]
+lines = []
+for i in range(27):   # deliberately not divisible by 8
+    p = os.path.abspath(f"imgs/{{i:02d}}.png")
+    Image.fromarray(rng.randint(
+        0, 255, (TINY.img_size, TINY.img_size, 3), dtype=np.uint8)).save(p)
+    tags = list(rng.choice(pools[i % 2], size=3, replace=False))
+    lines.append(f"{{p}},{{','.join(tags)}}")
+with open(artifacts.TAGS_FILE, "w", encoding="utf-8") as f:
+    f.write("\\n".join(lines) + "\\n")
+genmodel.main(["--epochs", "5"])
+# absolute dir: the gather map keys on EXACT path equality between the tag
+# file and the cfeature CSV
+gen_cfeatures.Predictor(config=CFG, model_cfg=TINY,
+                        use_pallas=False).process_directory(
+                            os.path.abspath("imgs"))
+
+def build(mesh):
+    eng = SearchEngine(".", mesh=mesh)
+    eng.cfeature_reranker = CCIPReranker(
+        directory=".", engine=eng,
+        predictor=gen_cfeatures.Predictor(config=CFG, model_cfg=TINY,
+                                          use_pallas=False))
+    assert eng._character_one_dispatch_inputs() is not None
+    return eng
+
+single = build(None)
+sharded = build(make_mesh(n_data=8))
+mode = "character oriented"
+for q in ["1girl", "solo smile", "1boy:+1", "smile:-1 1girl"]:
+    a = single.find_similar_documents(q, 800, mode)
+    b = sharded.find_similar_documents(q, 800, mode)
+    ids_a, ids_b = [d for d, _ in a], [d for d, _ in b]
+    if ids_a != ids_b:  # any order difference must be an ulp-level tie swap
+        assert sorted(ids_a) == sorted(ids_b), (q, ids_a, ids_b)
+        for (da, va), (db, vb) in zip(a, b):
+            if da != db:
+                assert abs(va - vb) <= 1e-5 + 1e-4 * abs(va), (q, da, db)
+    np.testing.assert_allclose([s for _, s in a], [s for _, s in b],
+                               rtol=1e-4, atol=1e-5, err_msg=q)
+assert single.character_one_dispatch_queries == 4
+assert sharded.character_one_dispatch_queries == 4
+assert single.cfeature_reranker.one_dispatch_fallbacks == 0
+assert sharded.cfeature_reranker.one_dispatch_fallbacks == 0
+print("SHARDED_CHAR_ONE_DISPATCH_OK")
+"""
+    out = run_in_clean_env(code)
+    assert "SHARDED_CHAR_ONE_DISPATCH_OK" in out
+
+
 def test_sharded_query_with_bm25_overflow_matches_single_device():
     """The fused query with a COO BM25 overflow (capped dense width; scatter
     into the row-sharded score vector) must match single-device results over
