@@ -10,8 +10,14 @@ cd "$(dirname "$0")"
 # atomic for concurrent builders.
 TMP="libaiis_ingest.so.tmp.$$"
 trap 'rm -f "$TMP"' EXIT
+# libdeflate powers the fast PNG path when present (ingest.cpp degrades to
+# the plain libpng path via __has_include when it isn't)
+EXTRA=""
+if printf 'int main(){return 0;}' | g++ -x c++ - -ldeflate -o /dev/null 2>/dev/null; then
+  EXTRA="-ldeflate"
+fi
 g++ -O3 -march=native -fPIC -shared -std=c++17 \
     ingest.cpp -o "$TMP" \
-    -ljpeg -lpng -lpthread
+    -ljpeg -lpng $EXTRA -lpthread
 mv -f "$TMP" libaiis_ingest.so
 echo "built $(pwd)/libaiis_ingest.so"

@@ -8,6 +8,12 @@
 // (data/native_ingest.py); built by runtime/build.sh with g++ against the system
 // libjpeg/libpng.
 //
+// PNG decode has two paths: a fast one (own chunk parse + libdeflate
+// whole-buffer inflate + own defilter, ~1.5x libpng on this host — PNG is
+// the worst-case ingest corpus, ARCHITECTURE §6) for the common
+// non-interlaced 8-bit formats, byte-identical to libpng and falling back to
+// it for everything else; AIIS_NO_FAST_PNG=1 forces libpng.
+//
 // Resampling replicates PIL's convolution resampling EXACTLY (Pillow
 // src/libImaging/Resample.c, 8-bit path): the same coefficient windows,
 // the same int32 fixed-point quantization (PRECISION_BITS = 32-8-2), the
@@ -38,6 +44,13 @@
 
 #include <jpeglib.h>
 #include <png.h>
+
+#if defined(__has_include)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define AIIS_HAVE_LIBDEFLATE 1
+#endif
+#endif
 
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -217,6 +230,186 @@ bool decode_png(FILE* f, ImageU8* out) {
   return true;
 }
 
+#ifdef AIIS_HAVE_LIBDEFLATE
+// ---------------------------------------------------------------------------
+// Fast PNG path: own chunk parse + libdeflate one-shot inflate + own defilter.
+//
+// libpng inflates IDAT through zlib's streaming inflate; libdeflate's
+// whole-buffer decoder is ~2-3x faster, and PNG is the worst-case host-ingest
+// corpus (no DCT-domain shortcut — ARCHITECTURE §6). This path handles the
+// common non-interlaced 8-bit formats and produces BYTE-IDENTICAL pixels to
+// the libpng path (same defilter math, same expansion rules, same tRNS-drop
+// semantics); anything else — 16-bit, sub-8-bit, Adam7, out-of-range palette
+// indexes, CRC/stream errors — returns false and the caller falls back to
+// decode_png, so failure behavior is exactly the old path's. Chunk CRCs of
+// every consumed chunk are verified (the round-4 decision: critical-chunk
+// CRCs guard PLTE/IHDR, which the zlib adler check does not cover).
+// ---------------------------------------------------------------------------
+
+inline uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+bool decode_png_fast(const uint8_t* buf, size_t n, ImageU8* out) {
+  if (n < 8 + 25) return false;
+  size_t off = 8;  // signature checked by the caller
+  uint32_t w = 0, h = 0;
+  int bit_depth = 0, color = -1, interlace = 0;
+  const uint8_t* plte = nullptr;
+  uint32_t plte_entries = 0;
+  std::vector<std::pair<const uint8_t*, size_t>> idat;
+  size_t idat_total = 0;
+  bool saw_ihdr = false, saw_iend = false;
+
+  while (off + 12 <= n && !saw_iend) {
+    const uint32_t len = be32(buf + off);
+    if (len > 0x7fffffff || off + 12 + size_t(len) > n) return false;
+    const uint8_t* type = buf + off + 4;
+    const uint8_t* data = buf + off + 8;
+    const uint32_t crc = be32(data + len);
+    auto check_crc = [&]() {
+      return libdeflate_crc32(0, type, size_t(len) + 4) == crc;
+    };
+    if (!memcmp(type, "IHDR", 4)) {
+      if (len != 13 || !check_crc()) return false;
+      w = be32(data); h = be32(data + 4);
+      bit_depth = data[8]; color = data[9];
+      if (data[10] != 0 || data[11] != 0) return false;  // compression/filter
+      interlace = data[12];
+      saw_ihdr = true;
+    } else if (!memcmp(type, "PLTE", 4)) {
+      if (!check_crc() || len % 3) return false;
+      plte = data; plte_entries = len / 3;
+    } else if (!memcmp(type, "IDAT", 4)) {
+      if (!check_crc()) return false;
+      idat.emplace_back(data, len);
+      idat_total += len;
+    } else if (!memcmp(type, "IEND", 4)) {
+      saw_iend = true;
+    }
+    // ancillary chunks (incl. tRNS) are skipped: the pipeline drops PNG
+    // transparency for non-alpha color types exactly like PIL (see the
+    // decode_png tRNS note), and libpng only warns on ancillary CRC errors
+    off += 12 + size_t(len);
+  }
+  if (!saw_ihdr || !saw_iend || idat.empty()) return false;
+  if (bit_depth != 8 || interlace != 0) return false;
+  if (w == 0 || h == 0 || uint64_t(w) * h > kMaxPixels) return false;
+  int bpp;
+  switch (color) {
+    case 0: bpp = 1; break;             // gray
+    case 2: bpp = 3; break;             // RGB
+    case 3: bpp = 1; if (!plte) return false; break;  // palette
+    case 4: bpp = 2; break;             // gray+alpha
+    case 6: bpp = 4; break;             // RGBA
+    default: return false;
+  }
+
+  const size_t rowbytes = size_t(w) * bpp;
+  const size_t stride = rowbytes + 1;  // +1 filter byte
+  std::vector<uint8_t> raw(stride * h);
+  std::vector<uint8_t> zbuf;
+  const uint8_t* zdata;
+  if (idat.size() == 1) {
+    zdata = idat[0].first;
+  } else {
+    zbuf.reserve(idat_total);
+    for (auto& s : idat) zbuf.insert(zbuf.end(), s.first, s.first + s.second);
+    zdata = zbuf.data();
+  }
+  thread_local libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+  if (!dec) return false;
+  size_t actual = 0;
+  if (libdeflate_zlib_decompress(dec, zdata, idat_total, raw.data(),
+                                 raw.size(), &actual) != LIBDEFLATE_SUCCESS ||
+      actual != raw.size())
+    return false;
+
+  // defilter in place (PNG spec filters; byte-exact integer math)
+  for (uint32_t y = 0; y < h; ++y) {
+    uint8_t* row = raw.data() + size_t(y) * stride + 1;
+    const uint8_t* prev = y ? row - stride : nullptr;
+    switch (raw[size_t(y) * stride]) {
+      case 0: break;
+      case 1:  // Sub
+        for (size_t i = bpp; i < rowbytes; ++i) row[i] += row[i - bpp];
+        break;
+      case 2:  // Up
+        if (prev) for (size_t i = 0; i < rowbytes; ++i) row[i] += prev[i];
+        break;
+      case 3:  // Average
+        if (prev) {
+          for (size_t i = 0; i < size_t(bpp) && i < rowbytes; ++i)
+            row[i] += prev[i] >> 1;
+          for (size_t i = bpp; i < rowbytes; ++i)
+            row[i] += uint8_t((row[i - bpp] + prev[i]) >> 1);
+        } else {
+          for (size_t i = bpp; i < rowbytes; ++i) row[i] += row[i - bpp] >> 1;
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t i = 0; i < rowbytes; ++i) {
+          const int a = i >= size_t(bpp) ? row[i - bpp] : 0;
+          const int b = prev ? prev[i] : 0;
+          const int c = (prev && i >= size_t(bpp)) ? prev[i - bpp] : 0;
+          const int p = a + b - c;
+          const int pa = std::abs(p - a), pb = std::abs(p - b),
+                    pc = std::abs(p - c);
+          row[i] += uint8_t((pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c));
+        }
+        break;
+      default:
+        return false;  // invalid filter id: let libpng produce the error
+    }
+  }
+
+  // expand to the pipeline's RGBX layout
+  out->w = int(w);
+  out->h = int(h);
+  out->has_alpha = (color == 4 || color == 6);
+  out->data.resize(size_t(w) * h * 4);
+  for (uint32_t y = 0; y < h; ++y) {
+    const uint8_t* src = raw.data() + size_t(y) * stride + 1;
+    uint8_t* dst = out->data.data() + size_t(y) * w * 4;
+    switch (color) {
+      case 0:
+        for (uint32_t x = 0; x < w; ++x) {
+          const uint8_t g = src[x];
+          dst[4 * x] = g; dst[4 * x + 1] = g; dst[4 * x + 2] = g;
+          dst[4 * x + 3] = 0xFF;
+        }
+        break;
+      case 2:
+        for (uint32_t x = 0; x < w; ++x) {
+          dst[4 * x] = src[3 * x]; dst[4 * x + 1] = src[3 * x + 1];
+          dst[4 * x + 2] = src[3 * x + 2]; dst[4 * x + 3] = 0xFF;
+        }
+        break;
+      case 3:
+        for (uint32_t x = 0; x < w; ++x) {
+          const uint32_t idx = src[x];
+          if (idx >= plte_entries) return false;  // libpng decides these
+          dst[4 * x] = plte[3 * idx]; dst[4 * x + 1] = plte[3 * idx + 1];
+          dst[4 * x + 2] = plte[3 * idx + 2]; dst[4 * x + 3] = 0xFF;
+        }
+        break;
+      case 4:
+        for (uint32_t x = 0; x < w; ++x) {
+          const uint8_t g = src[2 * x];
+          dst[4 * x] = g; dst[4 * x + 1] = g; dst[4 * x + 2] = g;
+          dst[4 * x + 3] = src[2 * x + 1];
+        }
+        break;
+      case 6:
+        memcpy(dst, src, size_t(w) * 4);
+        break;
+    }
+  }
+  return true;
+}
+#endif  // AIIS_HAVE_LIBDEFLATE
+
 bool decode_file(const char* path, ImageU8* out, int min_dim) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -227,7 +420,27 @@ bool decode_file(const char* path, ImageU8* out, int min_dim) {
   if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8 && magic[2] == 0xFF) {
     ok = decode_jpeg(f, out, min_dim);
   } else if (got >= 8 && !png_sig_cmp(magic, 0, 8)) {
-    ok = decode_png(f, out);  // libpng has no scaled decode
+#ifdef AIIS_HAVE_LIBDEFLATE
+    // fast path: slurp + libdeflate inflate + own defilter; byte-identical
+    // for the formats it accepts, everything else falls through to libpng.
+    // AIIS_NO_FAST_PNG=1 forces the libpng path (A/B + safety hatch).
+    static const bool fast_png_disabled = [] {
+      const char* v = getenv("AIIS_NO_FAST_PNG");
+      return v && v[0] == '1';
+    }();
+    if (!fast_png_disabled && fseek(f, 0, SEEK_END) == 0) {
+      const long fsz = ftell(f);
+      if (fsz > 8 && uint64_t(fsz) <= (uint64_t(kMaxPixels) * 8 + (1 << 20))) {
+        std::vector<uint8_t> buf(static_cast<size_t>(fsz));
+        rewind(f);
+        if (fread(buf.data(), 1, buf.size(), f) == buf.size())
+          ok = decode_png_fast(buf.data(), buf.size(), out);
+      }
+      rewind(f);
+    }
+    if (!ok)
+#endif
+      ok = decode_png(f, out);  // libpng has no scaled decode
   }
   fclose(f);
   return ok;
