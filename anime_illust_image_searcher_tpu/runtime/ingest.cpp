@@ -272,12 +272,16 @@ bool decode_png_fast(const uint8_t* buf, size_t n, ImageU8* out) {
       return libdeflate_crc32(0, type, size_t(len) + 4) == crc;
     };
     if (!memcmp(type, "IHDR", 4)) {
-      if (len != 13 || !check_crc()) return false;
+      // spec: IHDR must be the FIRST chunk, exactly once — a file violating
+      // that is rejected by libpng/PIL, so the fast path must not decode it
+      if (off != 8 || saw_ihdr || len != 13 || !check_crc()) return false;
       w = be32(data); h = be32(data + 4);
       bit_depth = data[8]; color = data[9];
       if (data[10] != 0 || data[11] != 0) return false;  // compression/filter
       interlace = data[12];
       saw_ihdr = true;
+    } else if (!saw_ihdr) {
+      return false;  // any chunk before IHDR: malformed, let libpng reject
     } else if (!memcmp(type, "PLTE", 4)) {
       if (!check_crc() || len % 3) return false;
       plte = data; plte_entries = len / 3;

@@ -245,3 +245,27 @@ def test_corrupt_plte_rejected_like_pil(tmp_path, rng):
     open(p, "wb").write(bytes(data))
     assert native_ingest.decode_resize(p, 32) is None
     assert load_rgb_square(p, 32) is None  # PIL rejects it too
+
+
+def test_chunk_before_ihdr_declines_to_pil(tmp_path, rng):
+    """A crafted PNG whose first chunk is not IHDR must DECLINE native decode
+    (the fast chunk parser requires IHDR first, and libpng also rejects the
+    ordering) — the fast path must never be LAXER than libpng on malformed
+    files. PIL happens to tolerate this ordering, so the decline→PIL-fallback
+    contract still serves the file with the correct pixels."""
+    p = str(tmp_path / "ok.png")
+    Image.fromarray(rng.randint(0, 256, (16, 16, 3), np.uint8)).save(p)
+    want = load_rgb_square(p, 32)
+    raw = open(p, "rb").read()
+    sig, rest = raw[:8], raw[8:]
+    ihdr_len = 12 + int.from_bytes(rest[:4], "big")
+    ihdr, tail = rest[:ihdr_len], rest[ihdr_len:]
+    # a valid ancillary chunk (zero-length, correct CRC) ahead of IHDR
+    import zlib
+    body = b"eXIf"
+    bogus = (0).to_bytes(4, "big") + body + zlib.crc32(body).to_bytes(4, "big")
+    bad = str(tmp_path / "bad_order.png")
+    open(bad, "wb").write(sig + bogus + ihdr + tail)
+    assert native_ingest.decode_resize(bad, 32) is None  # native declines
+    got = load_rgb_square(bad, 32)  # full loader: PIL fallback serves it
+    np.testing.assert_array_equal(got, want)
