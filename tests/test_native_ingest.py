@@ -85,10 +85,10 @@ def test_identity_size_bitexact(tmp_path, rng):
 def test_bitexact_fuzz_random_geometry(tmp_path, rng):
     """Seeded differential fuzz: random sizes/modes/targets, native == PIL
     bit-for-bit (incl. 1-pixel images and extreme aspect ratios)."""
-    for trial in range(24):
+    for trial in range(30):
         w = int(rng.randint(1, 160))
         h = int(rng.randint(1, 160))
-        mode_pick = trial % 4
+        mode_pick = trial % 6
         if mode_pick == 0:
             img = Image.fromarray(rng.randint(0, 256, (h, w, 3), np.uint8))
             name, kw = f"f{trial}.jpg", dict(quality=int(rng.randint(60, 99)))
@@ -98,8 +98,17 @@ def test_bitexact_fuzz_random_geometry(tmp_path, rng):
         elif mode_pick == 2:
             img = Image.fromarray(rng.randint(0, 256, (h, w, 4), np.uint8), "RGBA")
             name, kw = f"f{trial}.png", {}
-        else:
+        elif mode_pick == 3:
             img = Image.fromarray(rng.randint(0, 256, (h, w), np.uint8), "L")
+            name, kw = f"f{trial}.png", {}
+        elif mode_pick == 4:
+            img = Image.fromarray(
+                rng.randint(0, 256, (h, w, 2), np.uint8), "LA")
+            name, kw = f"f{trial}.png", {}
+        else:
+            img = Image.fromarray(
+                rng.randint(0, 256, (h, w, 3), np.uint8)).convert(
+                    "P", palette=Image.ADAPTIVE)
             name, kw = f"f{trial}.png", {}
         p = str(tmp_path / name)
         img.save(p, **kw)
