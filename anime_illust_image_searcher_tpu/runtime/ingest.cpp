@@ -283,13 +283,22 @@ bool decode_png_fast(const uint8_t* buf, size_t n, ImageU8* out) {
     } else if (!saw_ihdr) {
       return false;  // any chunk before IHDR: malformed, let libpng reject
     } else if (!memcmp(type, "PLTE", 4)) {
-      if (!check_crc() || len % 3) return false;
+      // spec: at most one PLTE, and it must precede IDAT — libpng hard-errors
+      // on both violations, so the fast path must not be laxer
+      if (!check_crc() || len % 3 || plte || !idat.empty()) return false;
       plte = data; plte_entries = len / 3;
     } else if (!memcmp(type, "IDAT", 4)) {
-      if (!check_crc()) return false;
+      // spec: IDAT chunks must be consecutive; libpng errors on a resumed
+      // IDAT run ("Too many IDATs found"), so a gap rejects here too
+      if (!check_crc() || (!idat.empty() && idat.back().first +
+                           idat.back().second + 12 != data))
+        return false;
       idat.emplace_back(data, len);
       idat_total += len;
     } else if (!memcmp(type, "IEND", 4)) {
+      // consumed (terminates the parse), so its CRC is verified like every
+      // other consumed chunk; libpng/PIL also reject a corrupt IEND CRC
+      if (len != 0 || !check_crc()) return false;
       saw_iend = true;
     }
     // ancillary chunks (incl. tRNS) are skipped: the pipeline drops PNG

@@ -278,3 +278,94 @@ def test_chunk_before_ihdr_declines_to_pil(tmp_path, rng):
     assert native_ingest.decode_resize(bad, 32) is None  # native declines
     got = load_rgb_square(bad, 32)  # full loader: PIL fallback serves it
     np.testing.assert_array_equal(got, want)
+
+
+def _png_chunks(raw):
+    """Split a PNG byte string into (signature, [whole chunk bytes])."""
+    sig, rest = raw[:8], raw[8:]
+    chunks, off = [], 0
+    while off < len(rest):
+        ln = int.from_bytes(rest[off:off + 4], "big")
+        chunks.append(rest[off:off + 12 + ln])
+        off += 12 + ln
+    return sig, chunks
+
+
+def _png_chunk(ctype, body):
+    import zlib
+
+    return (len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big"))
+
+
+def test_gapped_idat_rejected_like_pil(tmp_path, rng):
+    """IDAT chunks interrupted by another chunk: libpng errors ("Not enough
+    image data") and PIL errors ("image file is truncated") because both stop
+    consuming image data at the gap — so the fast parser, which concatenates
+    ALL IDAT chunks, must reject the gap rather than decode a file the rest
+    of the stack refuses (it did once; this is the regression pin)."""
+    p = str(tmp_path / "ok.png")
+    Image.fromarray(rng.randint(0, 256, (16, 16, 3), np.uint8)).save(p)
+    sig, chunks = _png_chunks(open(p, "rb").read())
+    types = [c[4:8] for c in chunks]
+    i = types.index(b"IDAT")
+    body = chunks[i][8:-4]
+    assert len(body) > 2
+    gapped = (chunks[:i]
+              + [_png_chunk(b"IDAT", body[:len(body) // 2]),
+                 _png_chunk(b"eXIf", b""),
+                 _png_chunk(b"IDAT", body[len(body) // 2:])]
+              + chunks[i + 1:])
+    bad = str(tmp_path / "gapped.png")
+    open(bad, "wb").write(sig + b"".join(gapped))
+    assert native_ingest.decode_resize(bad, 32) is None
+    assert load_rgb_square(bad, 32) is None  # PIL refuses it too
+
+
+@pytest.mark.parametrize("placement", ["duplicate", "after_idat"])
+def test_out_of_place_plte_declines_to_pil(tmp_path, rng, placement):
+    """A duplicate PLTE, or PLTE after IDAT, hard-errors in libpng
+    ("PLTE: duplicate" / "Missing PLTE before IDAT") — the fast parser must
+    reject both orderings too (never be laxer than libpng). PIL tolerates
+    them (its chunk scan stops at IDAT, so a LATE palette is simply never
+    applied and those pixels come out through the default black palette) —
+    the decline→PIL-fallback contract is that the loader serves exactly
+    what PIL decodes for the file, whatever that is."""
+    p = str(tmp_path / "pal.png")
+    im = Image.fromarray(rng.randint(0, 256, (16, 16, 3), np.uint8)).convert("P")
+    im.save(p)
+    sig, chunks = _png_chunks(open(p, "rb").read())
+    types = [c[4:8] for c in chunks]
+    pi, ii = types.index(b"PLTE"), types.index(b"IDAT")
+    if placement == "duplicate":
+        reordered = chunks[:pi + 1] + [chunks[pi]] + chunks[pi + 1:]
+    else:
+        reordered = (chunks[:pi] + chunks[pi + 1:ii]
+                     + [chunks[ii], chunks[pi]] + chunks[ii + 1:])
+    bad = str(tmp_path / "plte.png")
+    open(bad, "wb").write(sig + b"".join(reordered))
+    assert native_ingest.decode_resize(bad, 32) is None  # native declines
+    got = load_rgb_square(bad, 32)  # PIL fallback serves it
+    assert got is not None
+    if placement == "duplicate":
+        # the duplicated palette is identical, so PIL's pixels are unchanged
+        np.testing.assert_array_equal(got, load_rgb_square(p, 32))
+
+
+def test_corrupt_iend_crc_decodes_like_the_rest_of_the_stack(tmp_path, rng):
+    """A bit-flipped IEND CRC: libpng never reads IEND on this decode path
+    (the image is complete after the last IDAT row) and PIL tolerates it, so
+    the file decodes everywhere. The fast parser DOES consume IEND (it
+    terminates the parse), so per the consumed-chunk-CRC policy it declines
+    to libpng — pixels must come out identical to PIL's either way."""
+    p = str(tmp_path / "ok.png")
+    Image.fromarray(rng.randint(0, 256, (16, 16, 3), np.uint8)).save(p)
+    want = load_rgb_square(p, 32)
+    data = bytearray(open(p, "rb").read())
+    assert data[-12:-8] == b"\x00\x00\x00\x00" and data[-8:-4] == b"IEND"
+    data[-1] ^= 0xFF
+    bad = str(tmp_path / "iend.png")
+    open(bad, "wb").write(bytes(data))
+    got_native = native_ingest.decode_resize(bad, 32)
+    assert got_native is not None  # libpng path serves it
+    np.testing.assert_array_equal(got_native, want)
