@@ -369,3 +369,26 @@ def test_corrupt_iend_crc_decodes_like_the_rest_of_the_stack(tmp_path, rng):
     got_native = native_ingest.decode_resize(bad, 32)
     assert got_native is not None  # libpng path serves it
     np.testing.assert_array_equal(got_native, want)
+
+
+def test_multi_idat_consecutive_still_fast_and_bitexact(tmp_path, rng):
+    """Splitting a valid IDAT stream into several CONSECUTIVE chunks is legal
+    PNG (encoders emit ~8-64 KiB IDATs routinely) — the fast parser must
+    concatenate them and decode bit-identically to PIL, and the gap check
+    added for out-of-order IDAT runs must NOT reject adjacency."""
+    p = str(tmp_path / "ok.png")
+    Image.fromarray(rng.randint(0, 256, (48, 40, 3), np.uint8)).save(p)
+    want = load_rgb_square(p, 32)
+    sig, chunks = _png_chunks(open(p, "rb").read())
+    types = [c[4:8] for c in chunks]
+    i = types.index(b"IDAT")
+    body = chunks[i][8:-4]
+    assert len(body) >= 9
+    third = len(body) // 3
+    parts = [_png_chunk(b"IDAT", body[j * third:(j + 1) * third if j < 2 else len(body)])
+             for j in range(3)]
+    multi = str(tmp_path / "multi.png")
+    open(multi, "wb").write(sig + b"".join(chunks[:i] + parts + chunks[i + 1:]))
+    got = native_ingest.decode_resize(multi, 32)
+    assert got is not None  # fast path (or libpng) serves it natively
+    np.testing.assert_array_equal(got, want)
