@@ -45,7 +45,10 @@
 #include <jpeglib.h>
 #include <png.h>
 
-#if defined(__has_include)
+// AIIS_FORCE_NO_LIBDEFLATE: set by build.sh when its include+link probe
+// fails, so a header-present/library-absent host still links (the fast PNG
+// path is simply compiled out and libpng handles everything).
+#if defined(__has_include) && !defined(AIIS_FORCE_NO_LIBDEFLATE)
 #if __has_include(<libdeflate.h>)
 #include <libdeflate.h>
 #define AIIS_HAVE_LIBDEFLATE 1
