@@ -154,8 +154,16 @@ bool decode_jpeg(FILE* f, ImageU8* out, int min_dim) {
   }
 #endif
   jpeg_finish_decompress(&cinfo);
+  // Pillow fails a decode that produced ANY corrupt-data warning
+  // ("broken data stream when reading image file" on num_warnings > 0 unless
+  // LOAD_TRUNCATED_IMAGES) — plain libjpeg instead pads truncated scans with
+  // blank rows and carries on. Returning such pixels would TAG a file the
+  // PIL-loader pipeline (and the reference, tagging.py:245-252) skips, so a
+  // warned decode declines to PIL, which then applies its own policy
+  // (including the user's LOAD_TRUNCATED_IMAGES opt-in).
+  const bool warned = cinfo.err->num_warnings > 0;
   jpeg_destroy_decompress(&cinfo);
-  return true;
+  return !warned;
 }
 
 // ---------------------------------------------------------------------------

@@ -392,3 +392,54 @@ def test_multi_idat_consecutive_still_fast_and_bitexact(tmp_path, rng):
     got = native_ingest.decode_resize(multi, 32)
     assert got is not None  # fast path (or libpng) serves it natively
     np.testing.assert_array_equal(got, want)
+
+
+def test_corruption_differential_fuzz(tmp_path, rng):
+    """Adversarial decode fuzz over the WHOLE chain (fast PNG -> libpng ->
+    PIL fallback): for ANY input bytes — a valid file with random byte flips,
+    or a random-point truncation — the native-enabled loader must agree with
+    the pure-PIL loader bit-for-bit, or both must skip (None). This is the
+    contract decode_rgb_square and the batch producer rely on: the native
+    layer may only ever ACCELERATE the PIL answer, never change it
+    (reference skip semantics tagging.py:245-252)."""
+    from anime_illust_image_searcher_tpu.data.ingest import decode_rgb_square
+
+    bases = {
+        "rgb.png": Image.fromarray(rng.randint(0, 256, (40, 56, 3), np.uint8)),
+        "rgba.png": Image.fromarray(rng.randint(0, 256, (32, 48, 4), np.uint8),
+                                    "RGBA"),
+        "gray.png": Image.fromarray(rng.randint(0, 256, (45, 33), np.uint8), "L"),
+        "la.png": Image.fromarray(rng.randint(0, 256, (30, 30, 2), np.uint8), "LA"),
+        "pal.png": Image.fromarray(
+            rng.randint(0, 256, (36, 36, 3), np.uint8)).convert(
+                "P", palette=Image.ADAPTIVE),
+        "rgb.jpg": Image.fromarray(rng.randint(0, 256, (40, 56, 3), np.uint8)),
+    }
+    for name, img in bases.items():
+        clean = tmp_path / name
+        img.save(str(clean), **(dict(quality=90) if name.endswith(".jpg") else {}))
+        data = bytearray(open(str(clean), "rb").read())
+        for trial in range(25):
+            mutated = bytearray(data)
+            if trial % 5 == 4:
+                cut = int(rng.randint(1, len(mutated)))
+                mutated = mutated[:cut]
+                desc = f"truncate@{cut}"
+            else:
+                nflips = int(rng.randint(1, 5))
+                offs = [int(o) for o in rng.randint(0, len(mutated), size=nflips)]
+                for o in offs:
+                    mutated[o] ^= int(rng.randint(1, 256))
+                desc = f"flip@{offs}"
+            p = str(tmp_path / ("mut_" + name))
+            open(p, "wb").write(bytes(mutated))
+            native = decode_rgb_square(p, 48)
+            pil = load_rgb_square(p, 48)
+            if pil is None:
+                assert native is None, (
+                    f"{name} {desc}: native decoded where PIL skips")
+            else:
+                assert native is not None, (
+                    f"{name} {desc}: native skipped where PIL decodes")
+                np.testing.assert_array_equal(native, pil,
+                                              err_msg=f"{name} {desc}")
