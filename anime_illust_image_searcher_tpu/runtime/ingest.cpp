@@ -192,6 +192,15 @@ bool decode_png(FILE* f, ImageU8* out) {
   // palette would then decode to silently wrong colors where PIL (and the
   // decline→PIL-fallback contract) rejects the file. No API granularity
   // exists to skip only IDAT CRCs, so correctness wins.
+  //
+  // Ancillary CRC errors HARD-FAIL instead of libpng's default warn+discard:
+  // Pillow rejects a file whose pre-IDAT chunks (tRNS, pHYs, tEXt, unknown —
+  // anything it walks during open()) carry a bad CRC, so decoding it here
+  // would tag a file the PIL pipeline skips (found by the corruption
+  // differential fuzz). Failing declines to PIL, which stays the arbiter.
+  // Post-IDAT chunks are never read on this path (no png_read_end), matching
+  // Pillow's load(), which ignores post-IDAT CRCs (incl. IEND).
+  png_set_crc_action(png, PNG_CRC_DEFAULT, PNG_CRC_ERROR_QUIT);
   png_init_io(png, f);
   png_read_info(png, info);
 
@@ -312,9 +321,16 @@ bool decode_png_fast(const uint8_t* buf, size_t n, ImageU8* out) {
       if (len != 0 || !check_crc()) return false;
       saw_iend = true;
     }
-    // ancillary chunks (incl. tRNS) are skipped: the pipeline drops PNG
-    // transparency for non-alpha color types exactly like PIL (see the
-    // decode_png tRNS note), and libpng only warns on ancillary CRC errors
+    else {
+      // ancillary chunks (incl. tRNS) are skipped DATA-wise — the pipeline
+      // drops PNG transparency for non-alpha color types exactly like PIL
+      // (see the decode_png tRNS note) — but their CRCs are still verified:
+      // Pillow rejects any pre-IDAT chunk with a bad CRC, so accepting one
+      // here would decode a file the PIL pipeline skips. Post-IDAT ancillary
+      // corruption (which Pillow ignores) declines to the libpng path, which
+      // never reads past the image data and decodes it like Pillow does.
+      if (!check_crc()) return false;
+    }
     off += 12 + size_t(len);
   }
   if (!saw_ihdr || !saw_iend || idat.empty()) return false;

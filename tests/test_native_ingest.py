@@ -443,3 +443,48 @@ def test_corruption_differential_fuzz(tmp_path, rng):
                     f"{name} {desc}: native skipped where PIL decodes")
                 np.testing.assert_array_equal(native, pil,
                                               err_msg=f"{name} {desc}")
+
+
+def test_pre_idat_corrupt_ancillary_crc_rejected_like_pil(tmp_path, rng):
+    """Pillow rejects a file whose pre-IDAT chunks carry a bad CRC — even
+    ancillary ones it merely walks (tRNS, pHYs, tEXt, unknown) — while plain
+    libpng only warns and discards. Found by the corruption differential
+    fuzz on a P+tRNS image: the native stack must skip exactly like PIL
+    (ancillary CRC errors hard-fail -> decline -> PIL rejects)."""
+    from anime_illust_image_searcher_tpu.data.ingest import decode_rgb_square
+
+    img = Image.fromarray(rng.randint(0, 256, (24, 24, 3), np.uint8)).convert("P")
+    p = str(tmp_path / "t.png")
+    img.save(p, transparency=5)
+    sig, chunks = _png_chunks(open(p, "rb").read())
+    types = [c[4:8] for c in chunks]
+    i = types.index(b"tRNS")
+    bad = bytearray(chunks[i]); bad[-1] ^= 0xFF
+    pbad = str(tmp_path / "bad_trns.png")
+    open(pbad, "wb").write(sig + b"".join(
+        chunks[:i] + [bytes(bad)] + chunks[i + 1:]))
+    assert load_rgb_square(pbad, 32) is None          # PIL rejects
+    assert native_ingest.decode_resize(pbad, 32) is None  # so must native
+    assert decode_rgb_square(pbad, 32) is None        # and the whole chain
+
+
+def test_post_idat_corrupt_ancillary_decodes_like_pil(tmp_path, rng):
+    """Pillow IGNORES CRCs after the image data (its load() never verifies
+    post-IDAT chunks) — a corrupt tEXt chunk after IDAT must therefore still
+    decode, bit-identically, through the native stack (the fast parser
+    declines on any bad CRC it walks; the libpng path never reads past the
+    last IDAT row and serves it)."""
+    p = str(tmp_path / "ok.png")
+    Image.fromarray(rng.randint(0, 256, (20, 28, 3), np.uint8)).save(p)
+    want = load_rgb_square(p, 32)
+    sig, chunks = _png_chunks(open(p, "rb").read())
+    types = [c[4:8] for c in chunks]
+    i = types.index(b"IDAT")
+    bad = bytearray(_png_chunk(b"tEXt", b"k\x00v")); bad[-1] ^= 0xFF
+    pbad = str(tmp_path / "bad_text.png")
+    open(pbad, "wb").write(sig + b"".join(
+        chunks[:i + 1] + [bytes(bad)] + chunks[i + 1:]))
+    assert load_rgb_square(pbad, 32) is not None      # PIL tolerates
+    got = native_ingest.decode_resize(pbad, 32)
+    assert got is not None                            # so must native
+    np.testing.assert_array_equal(got, want)
