@@ -153,7 +153,26 @@ bool decode_jpeg(FILE* f, ImageU8* out, int min_dim) {
     }
   }
 #endif
+  // Decline progressive files whose scan script never completed (a stray
+  // mid-stream EOI — e.g. one corrupted SOS marker byte — legally ends the
+  // image early; both libjpeg and Pillow then render from partial
+  // coefficients, but their partial-progressive paths differ by ±1-2 LSB,
+  // found by the corruption fuzz). coef_bits tracks the successive-
+  // approximation state per coefficient: a COMPLETE progression leaves every
+  // entry at Al=0, so anything else (-1 = never coded, >0 = unrefined) means
+  // partial data — decline and let PIL be the arbiter. Complete progressive
+  // decodes are unaffected (bit-exact vs PIL, pinned by tests).
+  bool incomplete_progression = false;
+  if (cinfo.progressive_mode && cinfo.coef_bits) {
+    for (int ci = 0; ci < cinfo.num_components; ++ci)
+      for (int k = 0; k < DCTSIZE2; ++k)
+        if (cinfo.coef_bits[ci][k] != 0) incomplete_progression = true;
+  }
   jpeg_finish_decompress(&cinfo);
+  if (incomplete_progression) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   // Pillow fails a decode that produced ANY corrupt-data warning
   // ("broken data stream when reading image file" on num_warnings > 0 unless
   // LOAD_TRUNCATED_IMAGES) — plain libjpeg instead pads truncated scans with

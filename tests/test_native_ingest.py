@@ -488,3 +488,35 @@ def test_post_idat_corrupt_ancillary_decodes_like_pil(tmp_path, rng):
     got = native_ingest.decode_resize(pbad, 32)
     assert got is not None                            # so must native
     np.testing.assert_array_equal(got, want)
+
+
+def test_incomplete_progressive_declines_to_pil(tmp_path, rng):
+    """A mid-stream EOI (one corrupted SOS marker byte) legally ends a
+    progressive JPEG before its scan script completes; libjpeg and Pillow
+    both render the partial coefficients but their partial-progressive
+    paths differ by a couple of LSBs (found by the corruption fuzz). The
+    native decoder detects the incomplete progression via coef_bits and
+    declines, so PIL stays the arbiter; COMPLETE progressive files keep
+    the native bit-exact fast path."""
+    from anime_illust_image_searcher_tpu.data.ingest import decode_rgb_square
+
+    p = str(tmp_path / "prog.jpg")
+    Image.fromarray(rng.randint(0, 256, (64, 80, 3), np.uint8)).save(
+        p, quality=85, progressive=True)
+    want = load_rgb_square(p, 48)
+    got = native_ingest.decode_resize(p, 48)
+    assert got is not None  # complete progressive: native serves it
+    np.testing.assert_array_equal(got, want)
+
+    data = bytearray(open(p, "rb").read())
+    sos = [i for i in range(2, len(data) - 1)
+           if data[i] == 0xFF and data[i + 1] == 0xDA]
+    assert len(sos) >= 3  # progressive: many scans
+    data[sos[len(sos) // 2] + 1] = 0xD9  # middle SOS -> premature EOI
+    pbad = str(tmp_path / "eoi.jpg")
+    open(pbad, "wb").write(bytes(data))
+    pil = load_rgb_square(pbad, 48)
+    assert pil is not None  # Pillow renders the partial progression
+    assert native_ingest.decode_resize(pbad, 48) is None  # native declines
+    chain = decode_rgb_square(pbad, 48)
+    np.testing.assert_array_equal(chain, pil)  # chain serves PIL's pixels
