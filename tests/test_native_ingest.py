@@ -414,10 +414,13 @@ def test_corruption_differential_fuzz(tmp_path, rng):
             rng.randint(0, 256, (36, 36, 3), np.uint8)).convert(
                 "P", palette=Image.ADAPTIVE),
         "rgb.jpg": Image.fromarray(rng.randint(0, 256, (40, 56, 3), np.uint8)),
+        "prog.jpg": Image.fromarray(rng.randint(0, 256, (40, 56, 3), np.uint8)),
     }
+    save_kw = {"rgb.jpg": dict(quality=90),
+               "prog.jpg": dict(quality=85, progressive=True)}
     for name, img in bases.items():
         clean = tmp_path / name
-        img.save(str(clean), **(dict(quality=90) if name.endswith(".jpg") else {}))
+        img.save(str(clean), **save_kw.get(name, {}))
         data = bytearray(open(str(clean), "rb").read())
         for trial in range(25):
             mutated = bytearray(data)
