@@ -52,6 +52,9 @@ def _mode_images(rng):
         dict(transparency=5))
     out["gray.png"] = (Image.fromarray(rng.randint(0, 255, (90, 45), np.uint8), "L"),
                        {})
+    # Adam7: the fast parser declines interlace, so this pins the libpng path
+    out["interlaced.png"] = (Image.fromarray(
+        rng.randint(0, 255, (47, 61, 3), np.uint8)), dict(interlace=True))
     return out
 
 
