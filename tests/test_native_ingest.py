@@ -526,3 +526,39 @@ def test_incomplete_progressive_declines_to_pil(tmp_path, rng):
     assert native_ingest.decode_resize(pbad, 48) is None  # native declines
     chain = decode_rgb_square(pbad, 48)
     np.testing.assert_array_equal(chain, pil)  # chain serves PIL's pixels
+
+
+def test_exotic_valid_png_variants_bitexact(tmp_path, rng):
+    """Sub-8-bit and 16-bit PNGs take the libpng path (the fast parser only
+    handles 8-bit): 1-bit gray (expand_gray_1_2_4_to_8), 4-bit palette, and
+    16-bit RGB/RGBA (png_set_strip_16 keeping the high byte == PIL's ';16B'
+    unpack) must all be bit-identical to the PIL loader."""
+    import struct
+    import zlib
+
+    p1 = str(tmp_path / "g1.png")
+    Image.fromarray((rng.randint(0, 2, (40, 40)) * 255).astype(np.uint8),
+                    "L").convert("1").save(p1)
+    p4 = str(tmp_path / "p4.png")
+    Image.fromarray(rng.randint(0, 256, (30, 30, 3), np.uint8)).convert(
+        "P", palette=Image.ADAPTIVE, colors=16).save(p4, bits=4)
+
+    def png16(path, color_type, channels):
+        h, w = 20, 24
+        raw = rng.randint(0, 65536, (h, w, channels)).astype(">u2")
+        rows = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+        blob = (b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR",
+                             struct.pack(">IIBBBBB", w, h, 16, color_type,
+                                         0, 0, 0))
+                + _png_chunk(b"IDAT", zlib.compress(rows))
+                + _png_chunk(b"IEND", b""))
+        open(path, "wb").write(blob)
+
+    p16 = str(tmp_path / "rgb16.png"); png16(p16, 2, 3)
+    p16a = str(tmp_path / "rgba16.png"); png16(p16a, 6, 4)
+    for p in (p1, p4, p16, p16a):
+        pil = load_rgb_square(p, 64)
+        nat = native_ingest.decode_resize(p, 64)
+        assert pil is not None and nat is not None, p
+        np.testing.assert_array_equal(nat, pil, err_msg=p)
