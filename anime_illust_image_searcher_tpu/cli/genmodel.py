@@ -65,6 +65,12 @@ def main(arg_str: List[str]) -> None:
                         help="shard Doc2Vec training batches across all visible chips")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the run to DIR")
+    parser.add_argument("--checkpoint-every", type=int, default=10, metavar="N",
+                        help="snapshot training state every N epochs for crash "
+                             "resume (0 disables; default 10). Each snapshot "
+                             "ships the full doc-vector table device-to-host "
+                             "(~1.2 GB at 1M docs), so raise N or disable on "
+                             "hosts with slow device links")
     args = parser.parse_args(arg_str)
 
     mesh = None
@@ -131,7 +137,9 @@ def _build(args, cfg, mesh, processed_docs) -> None:
         dictionary.save(artifacts.DOC2VEC_DICTIONARY)
         model = Doc2VecModel.train(
             processed_docs, cfg, log_every=10,
-            checkpoint_path=artifacts.DOC2VEC_MODEL, checkpoint_every=10,
+            checkpoint_path=(artifacts.DOC2VEC_MODEL
+                             if args.checkpoint_every > 0 else None),
+            checkpoint_every=args.checkpoint_every,
             mesh=mesh,
         )
         model.save(artifacts.DOC2VEC_MODEL)

@@ -89,3 +89,14 @@ def test_update_vectors_match_fresh_inference(fresh_build):
     expected = expected / np.linalg.norm(expected)
     idx = SimilarityIndex.load(artifacts.DOC2VEC_INDEX)
     np.testing.assert_allclose(idx.vector_by_id(3), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_every_zero_disables_snapshots(tmp_cwd):
+    """--checkpoint-every 0 must train without writing (or needing) the
+    .ckpt.npz snapshot — at production scale a snapshot D2H-copies the full
+    doc-vector table (~1.2 GB at 1M docs), which slow device links can't
+    afford every 10 epochs."""
+    write_tags(LINES)
+    genmodel.main(["--epochs", "25", "--checkpoint-every", "0"])
+    assert not os.path.exists(artifacts.DOC2VEC_MODEL + ".ckpt.npz")
+    assert os.path.exists(artifacts.DOC2VEC_MODEL)
