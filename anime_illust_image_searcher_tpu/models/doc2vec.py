@@ -374,6 +374,22 @@ _infer_vectors = partial(jax.jit, static_argnames=("epochs", "negative"))(
 )
 
 
+def _d2h_chunked(x, budget_bytes: int = 64 << 20) -> np.ndarray:
+    """Device-to-host copy in bounded row slices. A single GB-sized D2H can
+    exceed transport limits on relay-fronted hosts (observed: the transport
+    worker crashes mid-copy pulling the 1.2 GB docvecs table of a 1M-doc
+    model); row-chunked copies are byte-identical and bounded. Direct-attach
+    hosts pay nothing: arrays under the budget take the single-copy path."""
+    nbytes = int(x.size) * np.dtype(x.dtype).itemsize
+    if x.ndim == 0 or x.shape[0] <= 1 or nbytes <= budget_bytes:
+        return np.asarray(x)
+    rows = max(1, int(budget_bytes // max(1, nbytes // x.shape[0])))
+    out = np.empty(x.shape, dtype=np.dtype(x.dtype))
+    for i in range(0, x.shape[0], rows):
+        out[i:i + rows] = np.asarray(x[i:i + rows])
+    return out
+
+
 @partial(jax.jit, static_argnames=("epochs", "negative"))
 def _infer_vectors_chunked(
     syn1: jax.Array,        # (V, dim) frozen
@@ -597,7 +613,7 @@ class Doc2VecModel:
                 # .npz suffix: np.savez appends one to any other name
                 tmp = f"{ckpt_file}.tmp{os.getpid()}.npz"
                 try:
-                    np.savez(tmp, docvecs=np.asarray(docvecs),
+                    np.savez(tmp, docvecs=_d2h_chunked(docvecs),
                              syn1=np.asarray(syn1), epoch=epoch, fp=ckpt_fp)
                     os.replace(tmp, ckpt_file)
                 except BaseException:
@@ -607,7 +623,7 @@ class Doc2VecModel:
         if ckpt_file and os.path.exists(ckpt_file):
             os.remove(ckpt_file)  # training completed; snapshot no longer needed
 
-        docvecs_np = np.asarray(docvecs[:n_docs])
+        docvecs_np = _d2h_chunked(docvecs[:n_docs])
         return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np,
                             corpus_count=n_docs, mesh=mesh)
 

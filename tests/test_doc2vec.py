@@ -213,3 +213,20 @@ def test_stable_doc_seed_semantics(model):
     v_tok0 = model.infer_vector([tok0])
     v_empty = model.infer_vector([])
     assert not np.array_equal(v_tok0, v_empty)
+
+
+def test_d2h_chunked_identical_to_single_copy():
+    """Bounded-slice device-to-host copies must be byte-identical to one
+    np.asarray — the 1M-doc docvecs pull (1.2 GB) uses this path because a
+    single GB-sized transfer can crash relay-fronted transports."""
+    import jax.numpy as jnp
+
+    from anime_illust_image_searcher_tpu.models.doc2vec import _d2h_chunked
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(257, 19).astype(np.float32))
+    # tiny budget forces many chunks incl. a ragged tail
+    out = _d2h_chunked(x, budget_bytes=1024)
+    np.testing.assert_array_equal(out, np.asarray(x))
+    # under-budget path returns the single-copy result
+    np.testing.assert_array_equal(_d2h_chunked(x), np.asarray(x))

@@ -145,10 +145,15 @@ def oracle_elbow(sorted_scores):
             for i in range(int(t)) if sorted_scores[i][1] > 0]
 
 
-def oracle_pinned_list(engine, matrix, bm25_pack, query):
+def oracle_pinned_list(engine, matrix, bm25_pack, query, top10_override=None):
     """webui.py:345-390 + 189-235 with the intended PRF math: the full
     pinned-top-10 + reranked-tail list, BEFORE the elbow filter (exposed so
-    precision-sensitivity tests can replay the elbow at f32)."""
+    precision-sensitivity tests can replay the elbow at f32).
+
+    ``top10_override``: doc ids to seed the PRF with instead of the oracle's
+    own top-10 — the REPLAY instrument for adjudicating f32-unresolvable
+    rank-10 near-ties (the engine legally picks a different 10th member; the
+    oracle tail must then be recomputed from the engine's choice)."""
     corpus, dl, avgdl, idf, D = bm25_pack
     vec = oracle_doc2vec_vector(engine, query)
     sims = matrix @ unitvec(vec.astype(np.float64))
@@ -166,7 +171,8 @@ def oracle_pinned_list(engine, matrix, bm25_pack, query):
     if len(sims_list) <= 10:
         return sims_list, final
 
-    top10 = sims_list[:10]
+    top10 = (sims_list[:10] if top10_override is None
+             else [(d, final[d]) for d in top10_override])
     top10_ids = [d for d, _ in top10]
     weights = np.array([s for _, s in top10], dtype=np.float64)
     docs = [engine.image_files_name_tags_arr[d].split(",")[1:] for d in top10_ids]
@@ -364,30 +370,126 @@ def neartie_setup(tmp_path_factory):
     return engine, matrix, bm25_pack, str(tmp)
 
 
-def test_pipeline_near_tie_divergence_is_precision_only(neartie_setup):
-    """Engine vs oracle on a near-tie-heavy corpus, decomposed into three
-    DECIDABLE invariants (a 450-query round-4 campaign showed every raw
-    list difference here is f32-vs-f64 precision at the reference's
-    tie-sensitive elbow — this pins that claim in CI):
+def engine_full_pinned_list(engine, q):
+    """The engine's OWN full pinned list — every real doc, including <= 0
+    scores — via the raw fused dispatch. The elbow-replay invariant needs
+    this unfiltered view: the reference elbow (webui.py:63-80) computes its
+    diff flags over the full sorted list and only drops non-positive scores
+    AFTER the cut, so a sub-threshold diff among <= 0-score docs legally
+    moves the cut for the positive head (first observed at campaign scale:
+    flags at positions 13 AND 18 with only 16 positive docs — an instrument
+    replaying on the positive-only output misses the second flag)."""
+    from anime_illust_image_searcher_tpu.ops.fused_query import unpack_result
 
+    k = engine.cfg.search.rerank_top_k
+    packed = engine._pack_fused(q)
+    out = np.asarray(engine._dispatch_fused(packed, 10 ** 6))
+    _, top_idx, r_vals, r_idx, _ = unpack_result(out, k)
+    top10 = set(int(d) for d in top_idx)
+    pinned = [(int(d), 1.0) for d in top_idx]
+    tail = [(int(d), float(v)) for d, v in zip(r_idx, r_vals)
+            if int(d) not in top10 and int(d) < engine._num_real]
+    return pinned + tail
+
+
+def make_uncut_engine(tmpdir):
+    """Engine with the elbow disabled (diff_filter_thresh=0) — exposes the
+    uncut ranked list the invariants below replay the reference elbow on."""
+    import dataclasses
+
+    from anime_illust_image_searcher_tpu.config import DEFAULT_CONFIG
+    cfg0 = dataclasses.replace(
+        DEFAULT_CONFIG,
+        search=dataclasses.replace(DEFAULT_CONFIG.search,
+                                   diff_filter_thresh=0.0))
+    return SearchEngine(tmpdir, config=cfg0)
+
+
+def assert_normal_invariants(engine, eng0, matrix, bm25_pack, q):
+    """The DECIDABLE invariants the round-4 450-query campaign reduced every
+    raw normal-mode engine/oracle divergence to (all were f32-vs-f64
+    precision at the reference's tie-sensitive boundaries):
+
+    0. TOP-10 PARITY modulo precision: top-10 differences (order or
+       membership) only across f32-unresolvable oracle fused-score gaps
+       (<1e-5); when the *set* legally differs (an f64-ulp near-tie at rank
+       10 the f32 engine cannot see — first observed at campaign scale
+       18x25), the oracle tail is REPLAYED seeded by the engine's own top-10
+       before the remaining checks.
     1. ELBOW PARITY, exact: the reference elbow transliteration applied to
-       the engine's own uncut list (diff_filter_thresh=0 engine) must
+       the engine's own FULL pinned list (raw fused dispatch — all real
+       docs, including <= 0 scores, see engine_full_pinned_list) must
        reproduce the filtered engine output id-for-id — catches any bug in
        the device prefix-elbow/exact re-dispatch path.
     2. SCORE PARITY: engine and oracle agree per-doc within 5e-4 over the
        whole uncut list.
     3. ORDER PARITY modulo precision: any rank inversion between the uncut
        lists must sit across an f32-unresolvable oracle-score gap (<1e-5).
-    """
-    import dataclasses
 
+    Returns True when the engine/oracle lists diverged in length or top-10
+    (the regime the campaign adjudicated).
+    """
+    def gap(a, b):
+        a, b = float(a), float(b)
+        return 0.0 if a == b else abs(a - b)
+
+    got = engine.find_similar_documents(q, topn=800)
+    got_full = eng0.find_similar_documents(q, topn=100000)
+    full, fused = oracle_pinned_list(engine, matrix, bm25_pack, q)
+    want = oracle_elbow(full)[:800]
+
+    # (0) top-10 parity modulo f32-unresolvable near-ties, with replay
+    got_top10 = [d for d, _ in got_full[:10]]
+    want_top10 = [d for d, _ in full[:10]]
+    top10_diff = len(full) > 10 and got_top10 != want_top10
+    if top10_diff:
+        srt10 = sorted(fused, reverse=True)[9]  # oracle rank-10 score
+        for g, w in zip(got_top10, want_top10):
+            if g != w:
+                assert gap(fused[g], fused[w]) < 1e-5, (q, g, w)
+        if set(got_top10) != set(want_top10):
+            for d in set(got_top10) ^ set(want_top10):
+                assert gap(fused[d], srt10) < 1e-5, (q, d, fused[d], srt10)
+            full, _ = oracle_pinned_list(engine, matrix, bm25_pack, q,
+                                         top10_override=got_top10)
+            want = oracle_elbow(full)[:800]
+
+    # (1) elbow parity on the engine's own scores (max is the pinned 1.0,
+    # so the oracle elbow's normalization is a no-op). The replay input must
+    # be the FULL unfiltered list — flags among <= 0-score docs move the cut.
+    replay = oracle_elbow(engine_full_pinned_list(engine, q))[:800]
+    assert [d for d, _ in got] == [d for d, _ in replay], q
+    for (d, s), (_, rs) in zip(got, replay):
+        assert abs(s - rs) < 1e-6, (q, d)
+
+    # oracle uncut list, same normalization + positive filter as elbow
+    mx = max((s for _, s in full), default=1.0)
+    if not np.isfinite(mx) or mx == 0:
+        mx = 1.0
+    full_pos = [(d, s / mx) for d, s in full if s > 0]
+
+    # (2) score parity over the whole uncut list
+    wmap = dict(full_pos)
+    gmap = dict(got_full)
+    assert set(gmap) == set(wmap), q
+    for d, s in got_full:
+        assert abs(s - wmap[d]) < 5e-4, (q, d, s, wmap[d])
+
+    # (3) inversions only across f32-unresolvable oracle gaps
+    pos_g = {d: i for i, d in enumerate(d for d, _ in got_full)}
+    order_w = [d for d, _ in full_pos]
+    for i, a in enumerate(order_w):
+        for b in order_w[i + 1:]:
+            if pos_g[a] > pos_g[b]:  # inverted vs oracle order
+                assert abs(wmap[a] - wmap[b]) < 1e-5, (q, a, b)
+    return len(got) != len(want) or top10_diff
+
+
+def test_pipeline_near_tie_divergence_is_precision_only(neartie_setup):
+    """Engine vs oracle on a near-tie-heavy corpus via the three decidable
+    invariants (see assert_normal_invariants)."""
     engine, matrix, bm25_pack, tmpdir = neartie_setup
-    from anime_illust_image_searcher_tpu.config import DEFAULT_CONFIG
-    cfg0 = dataclasses.replace(
-        DEFAULT_CONFIG,
-        search=dataclasses.replace(DEFAULT_CONFIG.search,
-                                   diff_filter_thresh=0.0))
-    eng0 = SearchEngine(tmpdir, config=cfg0)
+    eng0 = make_uncut_engine(tmpdir)
 
     rng = np.random.RandomState(7)
     vocab_pool = [t for t in (f"tag{i:03d}" for i in range(40))
@@ -402,38 +504,7 @@ def test_pipeline_near_tie_divergence_is_precision_only(neartie_setup):
 
     any_len_diff = False
     for q in queries:
-        got = engine.find_similar_documents(q, topn=800)
-        got_full = eng0.find_similar_documents(q, topn=100000)
-        full, fused = oracle_pinned_list(engine, matrix, bm25_pack, q)
-        want = oracle_elbow(full)[:800]
-        any_len_diff = any_len_diff or len(got) != len(want)
-
-        # (1) elbow parity on the engine's own scores (max is the pinned 1.0,
-        # so the oracle elbow's normalization is a no-op)
-        replay = oracle_elbow(got_full)[:800]
-        assert [d for d, _ in got] == [d for d, _ in replay], q
-        for (d, s), (_, rs) in zip(got, replay):
-            assert abs(s - rs) < 1e-6, (q, d)
-
-        # oracle uncut list, same normalization + positive filter as elbow
-        mx = max((s for _, s in full), default=1.0)
-        if not np.isfinite(mx) or mx == 0:
-            mx = 1.0
-        full_pos = [(d, s / mx) for d, s in full if s > 0]
-
-        # (2) score parity over the whole uncut list
-        wmap = dict(full_pos)
-        gmap = dict(got_full)
-        assert set(gmap) == set(wmap), q
-        for d, s in got_full:
-            assert abs(s - wmap[d]) < 5e-4, (q, d, s, wmap[d])
-
-        # (3) inversions only across f32-unresolvable oracle gaps
-        pos_g = {d: i for i, d in enumerate(d for d, _ in got_full)}
-        order_w = [d for d, _ in full_pos]
-        for i, a in enumerate(order_w):
-            for b in order_w[i + 1:]:
-                if pos_g[a] > pos_g[b]:  # inverted vs oracle order
-                    assert abs(wmap[a] - wmap[b]) < 1e-5, (q, a, b)
+        any_len_diff |= assert_normal_invariants(
+            engine, eng0, matrix, bm25_pack, q)
     # the corpus must actually exercise the divergent regime
     assert any_len_diff
