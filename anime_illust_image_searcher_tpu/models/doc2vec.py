@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import pickle
 from dataclasses import dataclass, field
@@ -41,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Doc2VecConfig
+
+logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -374,19 +377,57 @@ _infer_vectors = partial(jax.jit, static_argnames=("epochs", "negative"))(
 )
 
 
+@partial(jax.jit, static_argnames=("rows",))
+def _slice_rows(x, start, rows: int):
+    # one program serves every chunk offset (start is traced); dynamic_slice
+    # clamps start to [0, n-rows], so the ragged tail pulls a full window
+    # ending at n and the host takes the suffix it needs
+    return jax.lax.dynamic_slice_in_dim(x, start, rows, axis=0)
+
+
+def _d2h_rows(nbytes: int, nrows: int, budget_bytes: int) -> int:
+    return max(1, int(budget_bytes // max(1, nbytes // nrows)))
+
+
+def warm_d2h_chunked(x, budget_bytes: int = 64 << 20) -> None:
+    """Compile (and once-execute) the chunk-pull program for ``x``'s shape.
+
+    Call while the device worker is fresh: on relay-fronted hosts the first
+    compile AFTER a long training run has been observed to hang past the
+    relay's watchdog and kill the worker — losing the very training state the
+    pull was for. Warming at allocation time makes the post-training pull
+    pure execution."""
+    nbytes = int(x.size) * np.dtype(x.dtype).itemsize
+    if x.ndim == 0 or x.shape[0] <= 1 or nbytes <= budget_bytes:
+        return
+    rows = _d2h_rows(nbytes, x.shape[0], budget_bytes)
+    np.asarray(_slice_rows(x, 0, min(rows, x.shape[0])))
+
+
 def _d2h_chunked(x, budget_bytes: int = 64 << 20) -> np.ndarray:
     """Device-to-host copy in bounded row slices. A single GB-sized D2H can
     exceed transport limits on relay-fronted hosts (observed: the transport
     worker crashes mid-copy pulling the 1.2 GB docvecs table of a 1M-doc
     model); row-chunked copies are byte-identical and bounded. Direct-attach
-    hosts pay nothing: arrays under the budget take the single-copy path."""
+    hosts pay nothing: arrays under the budget take the single-copy path.
+    All chunks ride ONE jitted dynamic-slice program (see warm_d2h_chunked)."""
     nbytes = int(x.size) * np.dtype(x.dtype).itemsize
     if x.ndim == 0 or x.shape[0] <= 1 or nbytes <= budget_bytes:
         return np.asarray(x)
-    rows = max(1, int(budget_bytes // max(1, nbytes // x.shape[0])))
+    n = x.shape[0]
+    rows = _d2h_rows(nbytes, n, budget_bytes)
     out = np.empty(x.shape, dtype=np.dtype(x.dtype))
-    for i in range(0, x.shape[0], rows):
-        out[i:i + rows] = np.asarray(x[i:i + rows])
+    n_chunks = (n + rows - 1) // rows
+    for ci, i in enumerate(range(0, n, rows)):
+        take = min(rows, n - i)
+        chunk = np.asarray(_slice_rows(x, i, rows))
+        # dynamic_slice clamped the ragged tail's start to n-rows: the wanted
+        # rows are the window's suffix
+        out[i:i + take] = chunk[rows - take:]
+        # progress at debug level: GB-scale pulls take minutes on slow
+        # transports and a mid-pull transport death needs an attribution trail
+        logger.debug("d2h chunk %d/%d (%.0f MB done)", ci + 1, n_chunks,
+                     min((ci + 1) * rows, n) * (nbytes / n) / 1e6)
     return out
 
 
@@ -514,6 +555,13 @@ class Doc2VecModel:
         )
         n_batches = len(doc_index) // batch_size
 
+        # Compile the end-of-training chunk-pull program NOW, while the device
+        # worker is fresh: a first compile issued right after a long training
+        # run has been observed to hang a relay's compile helper past its
+        # watchdog, killing the worker WITH the trained state (see
+        # warm_d2h_chunked). No-op for under-budget (sub-GB) tables.
+        warm_d2h_chunked(docvecs)
+
         base_key = jax.random.PRNGKey(cfg.seed)
         start_epoch = 0
         ckpt_file = (checkpoint_path + ".ckpt.npz") if checkpoint_path else None
@@ -623,7 +671,9 @@ class Doc2VecModel:
         if ckpt_file and os.path.exists(ckpt_file):
             os.remove(ckpt_file)  # training completed; snapshot no longer needed
 
-        docvecs_np = _d2h_chunked(docvecs[:n_docs])
+        # pull the PADDED table (same shape the warm compiled; a [:n_docs]
+        # device slice would be a fresh post-training compile) and trim on host
+        docvecs_np = _d2h_chunked(docvecs)[:n_docs]
         return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np,
                             corpus_count=n_docs, mesh=mesh)
 
