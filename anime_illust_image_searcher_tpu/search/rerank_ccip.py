@@ -30,7 +30,7 @@ corpus scores (the multi-call fallback path) and reduces them to the top-k.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import os
 
@@ -48,7 +48,7 @@ Result = Tuple[int, float]
 class CCIPReranker:
     def __init__(
         self,
-        image_files_name_tags_arr: Optional[List[str]] = None,
+        image_files_name_tags_arr: Optional[Sequence[str]] = None,
         file_tag_index_dict: Optional[Dict[str, Dict[str, bool]]] = None,
         filepath_docid_dict: Optional[Dict[str, int]] = None,
         directory: str = ".",
@@ -89,7 +89,7 @@ class CCIPReranker:
         self.one_dispatch_fallbacks = 0
 
     @property
-    def image_files_name_tags_arr(self) -> List[str]:
+    def image_files_name_tags_arr(self) -> Sequence[str]:
         if self._image_files_name_tags_arr is None:
             self._image_files_name_tags_arr = self._engine.image_files_name_tags_arr
         return self._image_files_name_tags_arr
