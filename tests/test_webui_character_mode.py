@@ -109,3 +109,43 @@ def test_character_mode_search(server_url):
 def test_normal_mode_still_works(server_url):
     data = post(server_url, "/api/search", {"query": "sword", "search_mode": "normal"})
     assert len(data["results"]) > 0
+
+
+def test_concurrent_mixed_mode_burst_matches_sequential(server_url):
+    """A concurrent burst of interleaved normal + character queries through
+    the live server must return what each query returns alone. The
+    QueryBatcher coalesces per mode (normal rides the batched PRF program,
+    character the batched one-dispatch program); a burst exercises the
+    group-isolation path that sequential tests never hit. Comparison is
+    tie-robust: doc-id SET + per-doc scores (vmap retiles f32 accumulation,
+    which can permute exact ties across program variants)."""
+    import concurrent.futures
+
+    burst = [
+        ("sword", "normal"),
+        ("1girl", "character oriented"),
+        ("1girl smile", "normal"),
+        ("1boy", "character oriented"),
+        ("armor standing", "normal"),
+        ("smile", "normal"),
+    ] * 2
+
+    sequential = {}
+    for q, mode in burst:
+        if (q, mode) not in sequential:
+            sequential[(q, mode)] = post(
+                server_url, "/api/search", {"query": q, "search_mode": mode})
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(burst)) as ex:
+        futs = [ex.submit(post, server_url, "/api/search",
+                          {"query": q, "search_mode": mode})
+                for q, mode in burst]
+        got = [f.result(timeout=300) for f in futs]
+
+    for (q, mode), data in zip(burst, got):
+        ref = sequential[(q, mode)]
+        got_scores = {r["doc_id"]: r["similarity"] for r in data["results"]}
+        ref_scores = {r["doc_id"]: r["similarity"] for r in ref["results"]}
+        assert set(got_scores) == set(ref_scores), (q, mode)
+        for d, v in got_scores.items():
+            assert abs(v - ref_scores[d]) < 1e-4, (q, mode, d)
