@@ -84,6 +84,14 @@ def build_artifacts(directory: str, n_docs: int, vocab: int, tags_per_doc: int =
     print("building bm25 ...")
     stats = build_bm25_stats(docs, dictionary)
     save_bm25_artifacts(stats, directory)
+    # pre-derive the mmap'd serve caches like genmodel does at build time —
+    # otherwise the FIRST engine load pays the full pickle-unpickle +
+    # device-form derivation (~250 s at 1M docs, measured)
+    from anime_illust_image_searcher_tpu.index.bm25_index import BM25DeviceIndex
+
+    model.write_serve_cache(os.path.join(directory, artifacts.DOC2VEC_MODEL))
+    BM25DeviceIndex.from_stats(stats, vocab_size=len(dictionary)).write_cache(
+        directory)
     # completion marker written LAST: an interrupted build must not be
     # mistaken for a reusable artifact dir on the next run
     with open(os.path.join(directory, ".bench_build_complete"), "w") as f:
@@ -556,6 +564,10 @@ def run_query_bench(n_docs: int = 100_000, vocab: int = 10_000,
         # serving cold start with the mmap'd serve caches (warm after the
         # first-ever load; 1M docs: 2-4 min -> ~1 s, ARCHITECTURE §3)
         "engine_load_s": round(engine_load_s, 2),
+        # ambiguous-elbow re-dispatches during the timed loop: each first one
+        # compiles the exact full-sort program (~30 s through the relay) and
+        # lands in mean_ms as a huge outlier; p50/p95 are robust to it
+        "exact_cut_dispatches": engine.exact_cut_dispatches,
         "vs_baseline": None,
     }
 
