@@ -638,6 +638,23 @@ class Doc2VecModel:
         # no boundaries -> one segment to the end, even resuming mid-run
         # (epoch + stride - epoch%stride lands exactly on cfg.epochs)
         stride = math.gcd(*intervals) if intervals else max(cfg.epochs, 1)
+        # Relay-safe dispatch length: ONE scan dispatch of ~19.5k train steps
+        # (10 epochs x 1954 batches at 1M docs) reproducibly crashes the
+        # relay-fronted device worker mid-program, while the SAME training as
+        # shorter dispatches completes — bisected at 1M docs: 1,954-step
+        # dispatches succeed end-to-end incl. the 1.2 GB docvecs pull. Cap
+        # epochs-per-dispatch near the validated step count; results are
+        # bit-identical across dispatch boundaries (epoch keys fold absolute
+        # epoch numbers), so this only changes how often the host re-enters.
+        max_steps = int(os.environ.get("AIIS_TRAIN_STEPS_PER_DISPATCH", "4096"))
+        cap = max(1, max_steps // max(n_batches, 1)) if max_steps > 0 else stride
+        if stride > cap:
+            if intervals:
+                # keep every log/checkpoint boundary exact: the shortened
+                # stride must still divide the boundary gcd
+                stride = max(d for d in range(1, cap + 1) if stride % d == 0)
+            else:
+                stride = cap
 
         epoch = start_epoch
         while epoch < cfg.epochs:

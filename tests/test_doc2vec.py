@@ -51,6 +51,33 @@ def test_training_is_deterministic():
     np.testing.assert_array_equal(m1.docvecs, m2.docvecs)
 
 
+def test_capped_dispatch_stride_is_bit_identical(monkeypatch):
+    """AIIS_TRAIN_STEPS_PER_DISPATCH splits training into shorter device
+    dispatches (a ~19.5k-step single dispatch crashes relay-fronted workers at
+    1M docs — doc2vec.py train() bisect note). The split must be invisible:
+    bit-identical model, and every log boundary still lands exactly (the
+    capped stride divides the boundary gcd)."""
+    from anime_illust_image_searcher_tpu.models import doc2vec as d2v
+
+    baseline = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+
+    calls = []
+    orig = d2v._train_epochs
+
+    def recording(*args, **kwargs):
+        calls.append(int(args[8].shape[0]))  # epoch_ids length = segment epochs
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(d2v, "_train_epochs", recording)
+    # 2 batches/epoch, cap 2 steps/dispatch -> 1 epoch per dispatch; the
+    # log_every=10 gcd stride (10) must shorten to a divisor (1)
+    monkeypatch.setenv("AIIS_TRAIN_STEPS_PER_DISPATCH", "2")
+    capped = Doc2VecModel.train(CORPUS, CFG, batch_size=8, log_every=10)
+    assert calls and max(calls) == 1 and len(calls) == CFG.epochs
+    np.testing.assert_array_equal(capped.syn1neg, baseline.syn1neg)
+    np.testing.assert_array_equal(capped.docvecs, baseline.docvecs)
+
+
 def test_topic_separation(model):
     """A 'cat' query vector must rank cat docs above dog docs — the core retrieval
     property the engine depends on (webui.py:106,352)."""
