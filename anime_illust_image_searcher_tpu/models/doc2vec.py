@@ -851,38 +851,55 @@ class Doc2VecModel:
         words_np, mask_np, seeds, init = self._infer_inputs(padded_ids, len_bucket)
         c = len(padded_ids) // chunk
         syn1, keep_prob, cum_table = self._device_consts()
-        inputs = [
+        chunked = [
             words_np.reshape(c, chunk, len_bucket),
             mask_np.reshape(c, chunk, len_bucket),
             init.reshape(c, chunk, cfg.vector_size),
             seeds.reshape(c, chunk, 2),
         ]
-        if self.mesh is not None:
-            # dp over each chunk's doc axis (genmodel --data-parallel); per-doc
-            # math is independent along that axis (matches single-device to
-            # GSPMD-retiling ulps; pinned by tests/test_parallel.py)
-            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..parallel.mesh import DATA_AXIS, put_global
+        def place(arrs):
+            if self.mesh is not None:
+                # dp over each chunk's doc axis (genmodel --data-parallel);
+                # per-doc math is independent along that axis (matches
+                # single-device to GSPMD-retiling ulps; tests/test_parallel.py)
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_data = self.mesh.shape[DATA_AXIS]
-            if chunk % n_data == 0:
-                dp = NamedSharding(self.mesh, P(None, DATA_AXIS))
-                inputs = [put_global(a, dp) for a in inputs]
-            else:
+                from ..parallel.mesh import DATA_AXIS, put_global
+
+                n_data = self.mesh.shape[DATA_AXIS]
+                if chunk % n_data == 0:
+                    dp = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                    return [put_global(a, dp) for a in arrs]
                 # Non-divisible chunk: replicate explicitly. On a multi-process
                 # mesh a bare jnp.asarray would build process-LOCAL arrays that
                 # cannot mix with the globally-sharded syn1 consts (ADVICE r2);
                 # replication degrades throughput, never correctness.
                 rep = NamedSharding(self.mesh, P())
-                inputs = [put_global(a, rep) for a in inputs]
-        words_d, mask_d, init_d, seeds_d = [jnp.asarray(a) for a in inputs]
-        out = _infer_vectors_chunked(
-            syn1, words_d, mask_d, keep_prob, cum_table, init_d, seeds_d,
-            alpha=cfg.alpha, min_alpha=cfg.min_alpha,
-            epochs=epochs, negative=cfg.negative,
-        )
-        return np.asarray(out).reshape(-1, cfg.vector_size)[:n]
+                return [put_global(a, rep) for a in arrs]
+            return [jnp.asarray(a) for a in arrs]
+
+        # Bound the scan length per dispatch: a 1M-doc corpus would otherwise
+        # run ~2k chunks (an hour of device work) in ONE program — the same
+        # relay-worker crash class bisected in train() — and pull the whole
+        # (C, B, dim) result in a single GB-sized D2H. Super-chunk splits are
+        # result-identical (per-doc seeding makes vectors batch-invariant;
+        # pinned by tests) and keep each result pull tens of MB. At most two
+        # program shapes compile (step + final remainder). 0 disables.
+        max_docs = int(os.environ.get("AIIS_INFER_DOCS_PER_DISPATCH", "32768"))
+        step = c if max_docs <= 0 else max(1, max_docs // chunk)
+        out = np.empty((c * chunk, cfg.vector_size), np.float32)
+        for s in range(0, c, step):
+            e = min(s + step, c)
+            words_d, mask_d, init_d, seeds_d = place([a[s:e] for a in chunked])
+            res = _infer_vectors_chunked(
+                syn1, words_d, mask_d, keep_prob, cum_table, init_d, seeds_d,
+                alpha=cfg.alpha, min_alpha=cfg.min_alpha,
+                epochs=epochs, negative=cfg.negative,
+            )
+            out[s * chunk:e * chunk] = np.asarray(res).reshape(
+                -1, cfg.vector_size)
+        return out[:n]
 
     def _infer_bucket(self, ids: List[List[int]], bucket: int, epochs: int,
                       len_bucket: int) -> np.ndarray:

@@ -51,6 +51,25 @@ def test_training_is_deterministic():
     np.testing.assert_array_equal(m1.docvecs, m2.docvecs)
 
 
+def test_infer_super_chunk_split_is_bit_identical(model, monkeypatch):
+    """AIIS_INFER_DOCS_PER_DISPATCH splits the index build's big inference
+    scan into bounded dispatches (same relay-worker crash class as training;
+    a 1M-doc corpus is ~2k scan chunks in one program otherwise). Per-doc
+    seeding makes vectors batch-invariant, so every split must be
+    bit-identical to the single-dispatch form."""
+    rng = np.random.RandomState(4)
+    vocab_tokens = ["cat", "whiskers", "feline", "meow",
+                    "dog", "bark", "canine", "fetch"]
+    docs = [[vocab_tokens[j] for j in rng.randint(0, 8, size=4)]
+            for _ in range(1100)]  # > 2 full 512-doc chunks + remainder
+
+    monkeypatch.setenv("AIIS_INFER_DOCS_PER_DISPATCH", "0")
+    single = model.infer_vectors(docs)
+    monkeypatch.setenv("AIIS_INFER_DOCS_PER_DISPATCH", "512")
+    split = model.infer_vectors(docs)
+    np.testing.assert_array_equal(single, split)
+
+
 def test_capped_dispatch_stride_is_bit_identical(monkeypatch):
     """AIIS_TRAIN_STEPS_PER_DISPATCH splits training into shorter device
     dispatches (a ~19.5k-step single dispatch crashes relay-fronted workers at
