@@ -342,18 +342,75 @@ def main() -> None:
     print(json.dumps(headline))
 
 
+def _error_line(metric: str, unit: str, detail: str) -> str:
+    return json.dumps({"metric": metric, "value": 0.0, "unit": unit,
+                       "vs_baseline": 0.0, "error": detail})
+
+
+def _run_guarded(fn, metric: str, unit: str) -> None:
+    """Run the bench body so it can NEVER hang forever or die without its JSON
+    line. Two relay failure modes are covered beyond `_probe_device`'s
+    fully-down case (both observed live, round-4 ninth session):
+
+    - half-up relay: device enumeration answers (so the probe passes) but a
+      later compile/execute wedges indefinitely in this process, beyond any
+      per-call bound -> a watchdog thread prints the error line and exits.
+    - mid-run worker crash: a dispatch raises JaxRuntimeError
+      (FAILED_PRECONDITION) -> without this guard the traceback escaped with
+      no JSON at all. The worker usually restarts, so retry ONCE in a fresh
+      process (in-process backend state is poisoned after a crash), then
+      fail with the error line.
+    """
+    import os
+    import sys
+    import threading
+
+    # Default leaves headroom for cold compiles on a healthy relay; a wedged
+    # run still ends with a parseable line well inside the driver's patience.
+    deadline = float(os.environ.get("AIIS_BENCH_DEADLINE_S", "2700"))
+
+    def _expire() -> None:
+        print(_error_line(metric, unit,
+                          f"bench exceeded {deadline:.0f}s watchdog "
+                          "(relay wedged mid-run?)"), flush=True)
+        os._exit(1)
+
+    if deadline > 0:
+        timer = threading.Timer(deadline, _expire)
+        timer.daemon = True
+        timer.start()
+    try:
+        fn()
+    except SystemExit:
+        raise
+    except Exception as exc:
+        if os.environ.get("AIIS_BENCH_RETRIED") != "1":
+            os.environ["AIIS_BENCH_RETRIED"] = "1"
+            delay = float(os.environ.get("AIIS_BENCH_RETRY_DELAY_S", "60"))
+            print(f"bench attempt failed ({exc!r}); retrying once in a "
+                  f"fresh process after {delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        print(_error_line(metric, unit, f"bench failed after retry: {exc!r}"),
+              flush=True)
+        sys.exit(1)
+
+
 if __name__ == "__main__":
     import sys
 
     if "--e2e" in sys.argv:
-        # e2e-only mode: just the real-CLI decode->device->CSV measurement
-        from anime_illust_image_searcher_tpu.utils.jax_setup import (
-            enable_persistent_compile_cache,
-        )
+        def _e2e_main() -> None:
+            # e2e-only mode: just the real-CLI decode->device->CSV measurement
+            from anime_illust_image_searcher_tpu.utils.jax_setup import (
+                enable_persistent_compile_cache,
+            )
 
-        # fail fast on a dead relay here too
-        _probe_device(metric="tagging_e2e", unit="images/sec")
-        enable_persistent_compile_cache()
-        print(json.dumps({"metric": "tagging_e2e", **run_e2e_bench()}))
+            # fail fast on a dead relay here too
+            _probe_device(metric="tagging_e2e", unit="images/sec")
+            enable_persistent_compile_cache()
+            print(json.dumps({"metric": "tagging_e2e", **run_e2e_bench()}))
+
+        _run_guarded(_e2e_main, "tagging_e2e", "images/sec")
     else:
-        main()
+        _run_guarded(main, "wd_vit_tagging_throughput", "images/sec/chip")

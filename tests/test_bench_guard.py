@@ -1,0 +1,80 @@
+"""bench.py must never hang forever or exit without its one JSON line.
+
+Round-4 ninth session: a live half-up relay (device enumeration answered, the
+first compile wedged indefinitely) and a mid-run worker crash
+(JaxRuntimeError FAILED_PRECONDITION escaping as a bare traceback) both
+produced bench runs with NO parseable output. `_run_guarded` covers both:
+a watchdog bounds total wall time, and a crash retries once in a fresh
+process before emitting the error line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+import bench
+
+
+def test_success_path_is_silent(capsys):
+    bench._run_guarded(lambda: None, "m", "u")
+    assert capsys.readouterr().out == ""
+
+
+def test_crash_retries_once_in_fresh_process(monkeypatch):
+    calls = {}
+
+    def fake_execv(exe, argv):
+        calls["argv"] = (exe, argv)
+        raise SystemExit(99)  # stand-in for the process image swap
+
+    monkeypatch.delenv("AIIS_BENCH_RETRIED", raising=False)
+    monkeypatch.setenv("AIIS_BENCH_RETRY_DELAY_S", "0")
+    monkeypatch.setenv("AIIS_BENCH_DEADLINE_S", "0")
+    monkeypatch.setattr(os, "execv", fake_execv)
+
+    def boom():
+        raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+
+    with pytest.raises(SystemExit):
+        bench._run_guarded(boom, "m", "u")
+    assert calls["argv"][0] == sys.executable
+    # the retried process must know it is the retry
+    assert os.environ["AIIS_BENCH_RETRIED"] == "1"
+
+
+def test_second_crash_emits_error_json(monkeypatch, capsys):
+    monkeypatch.setenv("AIIS_BENCH_RETRIED", "1")
+    monkeypatch.setenv("AIIS_BENCH_DEADLINE_S", "0")
+
+    def boom():
+        raise RuntimeError("still down")
+
+    with pytest.raises(SystemExit) as exc_info:
+        bench._run_guarded(boom, "wd_vit_tagging_throughput",
+                           "images/sec/chip")
+    assert exc_info.value.code == 1
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["metric"] == "wd_vit_tagging_throughput"
+    assert line["value"] == 0.0
+    assert "still down" in line["error"]
+
+
+def test_watchdog_bounds_a_wedged_run():
+    # Real subprocess: the watchdog uses os._exit, which would kill pytest.
+    src = (
+        "import bench, time\n"
+        "bench._run_guarded(lambda: time.sleep(60), 'm', 'u')\n"
+    )
+    env = dict(os.environ,
+               AIIS_BENCH_DEADLINE_S="1",
+               PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    out = subprocess.run([sys.executable, "-c", src], capture_output=True,
+                         text=True, timeout=30, env=env)
+    assert out.returncode == 1
+    line = json.loads(out.stdout.strip())
+    assert "watchdog" in line["error"]
