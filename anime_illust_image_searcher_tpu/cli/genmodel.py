@@ -65,6 +65,13 @@ def main(arg_str: List[str]) -> None:
                         help="shard Doc2Vec training batches across all visible chips")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the run to DIR")
+    parser.add_argument("--no-reuse-model", action="store_true",
+                        help="always retrain, even when a finished doc2vec_model "
+                             "trained from exactly this corpus/config already "
+                             "exists (reuse is bit-identical to retraining — "
+                             "training is seeded and deterministic — and is how "
+                             "a build that crashed after training skips the "
+                             "training bill on rerun)")
     parser.add_argument("--checkpoint-every", type=int, default=10, metavar="N",
                         help="snapshot training state every N epochs for crash "
                              "resume (0 disables; default 10). Each snapshot "
@@ -117,6 +124,22 @@ def main(arg_str: List[str]) -> None:
         _build(args, cfg, mesh, processed_docs)
 
 
+def _ensure_serve_cache(model: Doc2VecModel) -> None:
+    """Refresh the mmap'd serving sidecar only if it doesn't match the (reused,
+    untouched) model pickle — e.g. the prior run crashed before writing it."""
+    from ..utils.sidecar_cache import read_manifest
+
+    path = artifacts.DOC2VEC_MODEL
+    try:
+        manifest = read_manifest(Doc2VecModel.serve_cache_dir(path))
+        if (manifest is not None
+                and manifest.get("fp") == Doc2VecModel._serve_cache_fp(path)):
+            return
+        model.write_serve_cache(path)
+    except OSError:
+        pass
+
+
 def _build(args, cfg, mesh, processed_docs) -> None:
     if args.update:
         if args.epochs is not None:
@@ -135,20 +158,28 @@ def _build(args, cfg, mesh, processed_docs) -> None:
     else:
         dictionary = TagDictionary(processed_docs)
         dictionary.save(artifacts.DOC2VEC_DICTIONARY)
+        # checkpoint_path is passed even with snapshots disabled
+        # (--checkpoint-every 0): it also names the finished artifact that a
+        # rerun on identical inputs can reuse instead of retraining.
         model = Doc2VecModel.train(
             processed_docs, cfg, log_every=10,
-            checkpoint_path=(artifacts.DOC2VEC_MODEL
-                             if args.checkpoint_every > 0 else None),
+            checkpoint_path=artifacts.DOC2VEC_MODEL,
             checkpoint_every=args.checkpoint_every,
             mesh=mesh,
+            reuse_finished=not args.no_reuse_model,
         )
-        model.save(artifacts.DOC2VEC_MODEL)
-        # Pre-derive the mmap'd serving sidecar (skips the big unpickle at
-        # engine start; ARCHITECTURE §3). Best-effort — serving rebuilds it.
-        try:
-            model.write_serve_cache(artifacts.DOC2VEC_MODEL)
-        except OSError:
-            pass
+        if getattr(model, "reused_finished", False):
+            # the on-disk pickle IS this model — rewriting ~GBs would only
+            # invalidate the serve cache it already has
+            _ensure_serve_cache(model)
+        else:
+            model.save(artifacts.DOC2VEC_MODEL)
+            # Pre-derive the mmap'd serving sidecar (skips the big unpickle at
+            # engine start; ARCHITECTURE §3). Best-effort — serving rebuilds it.
+            try:
+                model.write_serve_cache(artifacts.DOC2VEC_MODEL)
+            except OSError:
+                pass
         index = None
         new_docs = processed_docs
 

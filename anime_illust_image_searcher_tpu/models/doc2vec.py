@@ -483,6 +483,13 @@ class Doc2VecModel:
     # (runtime-only — never pickled; ``save`` serializes explicit keys)
     mesh: object = field(default=None, repr=False, compare=False)
     _infer_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    # blake2b fingerprint of the (cfg, corpus, batch_size) this model was
+    # trained from (same identity as the mid-run snapshots). Training is
+    # seeded and deterministic, so a finished model whose fingerprint matches
+    # a requested rebuild IS the rebuild's result — ``train`` reuses it
+    # instead of retraining (crash recovery for the post-training stages of a
+    # large ``genmodel`` run). None on pre-reuse pickles: those never reuse.
+    train_fp: Optional[str] = field(default=None, repr=False, compare=False)
 
     # ---- training ----------------------------------------------------------
 
@@ -495,11 +502,22 @@ class Doc2VecModel:
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 0,
         mesh=None,
+        reuse_finished: bool = True,
     ) -> "Doc2VecModel":
         """Train PV-DBOW. With ``checkpoint_path`` + ``checkpoint_every``, training
         state (docvecs, syn1neg, epoch) is snapshotted every N epochs and a crashed
         run resumes from the latest snapshot — the reference has no mid-run
         checkpointing at all (SURVEY.md §5.4); its only recovery is .bak copies.
+
+        ``reuse_finished``: when a FINISHED model already sits at
+        ``checkpoint_path`` and its pickled fingerprint matches this exact
+        (cfg, corpus, batch_size), load and return it instead of retraining —
+        seeded deterministic training means retraining would reproduce it
+        bit-for-bit, so this is a pure cache hit. Covers the crash window the
+        mid-run snapshots can't: a large build dying AFTER training (the
+        whole-corpus inference pass / BM25 stage) no longer pays the full
+        training bill again on rerun. The returned model has
+        ``reused_finished=True`` set so callers can skip re-saving.
 
         ``mesh``: optional jax.sharding.Mesh with a 'data' axis — each step's
         document batch shards across chips; syn1 replicates and GSPMD psums its
@@ -531,6 +549,14 @@ class Doc2VecModel:
             return fp_h.hexdigest()
 
         ckpt_fp = snapshot_fp() if checkpoint_path else ""
+
+        if checkpoint_path and reuse_finished:
+            reused = Doc2VecModel._try_reuse_finished(
+                checkpoint_path, ckpt_fp, n_docs, dim)
+            if reused is not None:
+                reused.mesh = mesh
+                reused.reused_finished = True
+                return reused
 
         rng = np.random.RandomState(cfg.seed)
         docvecs = jnp.asarray(
@@ -692,7 +718,34 @@ class Doc2VecModel:
         # device slice would be a fresh post-training compile) and trim on host
         docvecs_np = _d2h_chunked(docvecs)[:n_docs]
         return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np,
-                            corpus_count=n_docs, mesh=mesh)
+                            corpus_count=n_docs, mesh=mesh,
+                            train_fp=ckpt_fp or None)
+
+    @staticmethod
+    def _try_reuse_finished(path: str, fp: str, n_docs: int,
+                            dim: int) -> Optional["Doc2VecModel"]:
+        """Load the finished model at ``path`` iff it was trained from exactly
+        this (cfg, corpus, batch_size). A tiny ``.trained_fp`` sidecar gates
+        the expensive unpickle (the pickle is ~1.2 GB at 1M docs); the
+        pickled ``train_fp`` is then re-checked so a sidecar/pickle pair torn
+        by a crash between the two writes can never smuggle in a stale model."""
+        fp_file = path + ".trained_fp"
+        if not (os.path.exists(fp_file) and os.path.exists(path)):
+            return None
+        try:
+            with open(fp_file, "r", encoding="ascii") as f:
+                if f.read().strip() != fp:
+                    return None
+            model = Doc2VecModel.load(path)
+        except Exception as e:  # noqa: BLE001 — any unusable artifact: retrain
+            print(f"doc2vec: ignoring unusable finished model {path} ({e})")
+            return None
+        if model.train_fp != fp or model.docvecs.shape != (n_docs, dim):
+            return None
+        print(f"doc2vec: reusing finished model {path} — same corpus/config/"
+              "batch, and training is deterministic so retraining would "
+              "reproduce it bit-for-bit (--no-reuse-model forces a retrain)")
+        return model
 
     # ---- inference ----------------------------------------------------------
 
@@ -937,6 +990,7 @@ class Doc2VecModel:
             "syn1neg": self.syn1neg,
             "docvecs": self.docvecs,
             "corpus_count": self.corpus_count,
+            "train_fp": self.train_fp,
             "format": "aiis-tpu-doc2vec-v1",
         }
         if include_tag_vectors:
@@ -949,6 +1003,13 @@ class Doc2VecModel:
 
         atomic_put(os.path.dirname(path) or ".", os.path.basename(path),
                    lambda f: pickle.dump(state, f))
+        if self.train_fp:
+            # sidecar gates _try_reuse_finished's unpickle; written AFTER the
+            # pickle so a crash between the two leaves reuse disabled, never
+            # a sidecar endorsing a pickle that isn't there yet
+            atomic_put(os.path.dirname(path) or ".",
+                       os.path.basename(path) + ".trained_fp",
+                       lambda f: f.write(self.train_fp.encode("ascii")))
 
     @staticmethod
     def _from_state(cfg: "Doc2VecConfig", tokens: List[str], counts: np.ndarray,
@@ -971,12 +1032,14 @@ class Doc2VecModel:
             state = pickle.load(f)
         counts = np.asarray(state["counts"])
         tv = state.get("tag_vectors")
-        return Doc2VecModel._from_state(
+        model = Doc2VecModel._from_state(
             state["cfg"], state["tokens"], counts,
             np.asarray(state["syn1neg"]), np.asarray(state["docvecs"]),
             state.get("corpus_count", len(state["docvecs"])),
             np.asarray(tv) if tv is not None else None,
         )
+        model.train_fp = state.get("train_fp")
+        return model
 
     # ---- serving cache -------------------------------------------------------
     #

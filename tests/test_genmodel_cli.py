@@ -91,6 +91,41 @@ def test_update_vectors_match_fresh_inference(fresh_build):
     np.testing.assert_allclose(idx.vector_by_id(3), expected, rtol=1e-5, atol=1e-6)
 
 
+def test_rerun_after_post_training_crash_reuses_model(fresh_build, capsys):
+    """A build that crashed AFTER training (inference/BM25 stages) must not
+    retrain on rerun: the finished model pickle is fingerprint-matched and
+    reused, the untouched pickle keeps its bytes/mtime, and the downstream
+    artifacts are rebuilt identically (training is deterministic)."""
+    index_before = open(artifacts.DOC2VEC_INDEX, "rb").read()
+    model_stat = os.stat(artifacts.DOC2VEC_MODEL)
+    # simulate the crash window: post-training artifacts are gone/partial
+    os.remove(artifacts.DOC2VEC_INDEX)
+    os.remove("bm25_corpus")
+
+    capsys.readouterr()
+    genmodel.main(["--epochs", "5"])
+    out = capsys.readouterr().out
+    assert "reusing finished model" in out
+    after = os.stat(artifacts.DOC2VEC_MODEL)
+    assert (after.st_mtime_ns, after.st_size) == (
+        model_stat.st_mtime_ns, model_stat.st_size)
+    assert open(artifacts.DOC2VEC_INDEX, "rb").read() == index_before
+    assert os.path.exists("bm25_corpus")
+
+
+def test_rerun_with_changed_corpus_retrains(fresh_build, capsys):
+    write_tags(LINES + NEW_LINES)
+    capsys.readouterr()
+    genmodel.main(["--epochs", "5"])
+    assert "reusing finished model" not in capsys.readouterr().out
+
+
+def test_no_reuse_model_flag_retrains(fresh_build, capsys):
+    capsys.readouterr()
+    genmodel.main(["--epochs", "5", "--no-reuse-model"])
+    assert "reusing finished model" not in capsys.readouterr().out
+
+
 def test_checkpoint_every_zero_disables_snapshots(tmp_cwd):
     """--checkpoint-every 0 must train without writing (or needing) the
     .ckpt.npz snapshot — at production scale a snapshot D2H-copies the full
