@@ -124,6 +124,102 @@ def main(arg_str: List[str]) -> None:
         _build(args, cfg, mesh, processed_docs)
 
 
+def _infer_vectors_resumable(model: Doc2VecModel, docs) -> "np.ndarray":
+    """Whole-corpus inference with crash resume for large builds.
+
+    Per-doc inference is deterministic and batch-invariant (seeded from token
+    ids; pinned by tests), so slicing the corpus and persisting each finished
+    slice is result-identical to one ``infer_vectors`` call — and a build
+    that dies mid-pass (≈11 min of the 67-min 1M build; the relay-crash
+    window that remains after finished-model reuse) resumes from the last
+    completed slice instead of re-inferring everything. Progress lives in
+    ``doc2vec_model.infer_progress/`` keyed by (model identity, cfg, docs):
+    any mismatch recomputes from scratch; the caller removes the directory
+    once the downstream index artifact is safely written.
+    AIIS_INFER_RESUME_SLICE sets the slice size (docs; 0 disables)."""
+    import hashlib
+    import json
+    import os
+
+    import numpy as np
+
+    n = len(docs)
+    slice_docs = int(os.environ.get("AIIS_INFER_RESUME_SLICE", "131072"))
+    if slice_docs <= 0 or n <= slice_docs:
+        return model.infer_vectors(docs)
+
+    h = hashlib.blake2b(digest_size=16)
+    ident = model.train_fp or hashlib.blake2b(
+        np.ascontiguousarray(model.syn1neg).tobytes(), digest_size=16
+    ).hexdigest()
+    h.update(ident.encode())
+    h.update(repr(model.cfg).encode())
+    h.update(np.int64(n).tobytes())
+    h.update(np.int64(slice_docs).tobytes())
+    for doc in docs:
+        for t in doc:
+            h.update(t.encode())
+            h.update(b"\0")
+        h.update(b"\1")
+    fp = h.hexdigest()
+
+    d = _infer_progress_dir()
+    manifest_path = os.path.join(d, "manifest.json")
+    done: set = set()
+    if os.path.exists(manifest_path):
+        try:
+            with open(manifest_path, "r", encoding="ascii") as f:
+                manifest = json.load(f)
+            if manifest.get("fp") == fp:
+                done = set(manifest.get("done", []))
+            else:
+                print("doc2vec: inference progress is from a different "
+                      "model/corpus — recomputing")
+        except (OSError, ValueError):
+            pass
+    os.makedirs(d, exist_ok=True)
+
+    out = np.empty((n, model.cfg.vector_size), np.float32)
+    starts = list(range(0, n, slice_docs))
+    resumed = 0
+    for i, s in enumerate(starts):
+        e = min(s + slice_docs, n)
+        slice_path = os.path.join(d, f"slice_{i}.npy")
+        if i in done and os.path.exists(slice_path):
+            try:
+                arr = np.load(slice_path)
+                if arr.shape == (e - s, model.cfg.vector_size):
+                    out[s:e] = arr
+                    resumed += 1
+                    continue
+            except (OSError, ValueError):
+                pass  # unreadable slice: recompute it
+        out[s:e] = model.infer_vectors(docs[s:e])
+        tmp = f"{slice_path}.tmp{os.getpid()}"
+        with open(tmp, "wb") as f:  # file object: np.save can't append .npy
+            np.save(f, out[s:e])
+        os.replace(tmp, slice_path)
+        done.add(i)
+        tmp_m = f"{manifest_path}.tmp{os.getpid()}"
+        with open(tmp_m, "w", encoding="ascii") as f:
+            json.dump({"fp": fp, "done": sorted(done)}, f)
+        os.replace(tmp_m, manifest_path)
+    if resumed:
+        print(f"doc2vec: resumed inference — {resumed}/{len(starts)} slices "
+              "loaded from progress")
+    return out
+
+
+def _infer_progress_dir() -> str:
+    return artifacts.DOC2VEC_MODEL + ".infer_progress"
+
+
+def _clear_infer_progress() -> None:
+    import shutil
+
+    shutil.rmtree(_infer_progress_dir(), ignore_errors=True)
+
+
 def _ensure_serve_cache(model: Doc2VecModel) -> None:
     """Refresh the mmap'd serving sidecar only if it doesn't match the (reused,
     untouched) model pickle — e.g. the prior run crashed before writing it."""
@@ -186,7 +282,7 @@ def _build(args, cfg, mesh, processed_docs) -> None:
     # Per-doc infer_vector, batched on device (reference loops one doc at a time —
     # genmodel.py:168-173).
     if new_docs:
-        vectors = model.infer_vectors(new_docs)
+        vectors = _infer_vectors_resumable(model, new_docs)
         if index is None:
             index = SimilarityIndex(artifacts.DOC2VEC_INDEX, num_features=cfg.vector_size)
         index.add_documents(list(vectors))
@@ -194,6 +290,8 @@ def _build(args, cfg, mesh, processed_docs) -> None:
     # loads an existing index), so index is always set by this point
     assert index is not None
     index.save(artifacts.DOC2VEC_INDEX)
+    # the inference results are now durable downstream; drop the slice files
+    _clear_infer_progress()
 
     # BM25 is always regenerated from the full corpus (genmodel.py:134,177).
     stats = build_bm25_stats(processed_docs, dictionary)
