@@ -549,10 +549,21 @@ class Doc2VecModel:
             return fp_h.hexdigest()
 
         ckpt_fp = snapshot_fp() if checkpoint_path else ""
+        # Finished-model identity additionally pins the data-parallel mode:
+        # dp and single-device training agree only to GSPMD-reduction ulps
+        # (tests/test_parallel.py, rtol 1e-4), so cross-mode reuse would break
+        # the bit-for-bit promise. Mid-run snapshots keep the plain fp — any
+        # valid (cfg, corpus, batch) state is resumable regardless of mode.
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+
+            reuse_fp = f"{ckpt_fp}:dp{mesh.shape[DATA_AXIS]}" if ckpt_fp else ""
+        else:
+            reuse_fp = ckpt_fp
 
         if checkpoint_path and reuse_finished:
             reused = Doc2VecModel._try_reuse_finished(
-                checkpoint_path, ckpt_fp, n_docs, dim)
+                checkpoint_path, reuse_fp, n_docs, dim)
             if reused is not None:
                 reused.mesh = mesh
                 reused.reused_finished = True
@@ -719,7 +730,7 @@ class Doc2VecModel:
         docvecs_np = _d2h_chunked(docvecs)[:n_docs]
         return Doc2VecModel(cfg, vocab, np.asarray(syn1), docvecs_np,
                             corpus_count=n_docs, mesh=mesh,
-                            train_fp=ckpt_fp or None)
+                            train_fp=reuse_fp or None)
 
     @staticmethod
     def _try_reuse_finished(path: str, fp: str, n_docs: int,

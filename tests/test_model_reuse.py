@@ -93,6 +93,32 @@ def test_torn_sidecar_pickle_pair_cannot_smuggle_stale_model(tmp_cwd):
     assert not getattr(m, "reused_finished", False)
 
 
+def test_cross_dp_mode_never_reuses(tmp_cwd):
+    """dp and single-device training agree only to GSPMD-reduction ulps, so a
+    single-device finished model must not satisfy a --data-parallel rebuild
+    (or vice versa) — the reuse fingerprint pins the mode."""
+    from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+    single = _train_and_save()
+    assert ":dp" not in single.train_fp
+    mesh = make_mesh(n_data=8)
+    dp = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                            checkpoint_path="doc2vec_model", checkpoint_every=0,
+                            mesh=mesh)
+    assert not getattr(dp, "reused_finished", False)
+    assert dp.train_fp.endswith(":dp8")
+    dp.save("doc2vec_model")  # mesh is runtime-only; save() serializes keys
+    # same dp shape now reuses; a single-device rerun must retrain again
+    dp2 = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                             checkpoint_path="doc2vec_model",
+                             checkpoint_every=0, mesh=mesh)
+    assert getattr(dp2, "reused_finished", False)
+    back = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                              checkpoint_path="doc2vec_model",
+                              checkpoint_every=0)
+    assert not getattr(back, "reused_finished", False)
+
+
 def test_train_fp_survives_pickle_roundtrip(tmp_cwd):
     m = _train_and_save()
     assert m.train_fp
