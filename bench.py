@@ -241,6 +241,14 @@ def main() -> None:
     _ = [np.asarray(x) for x in pending]
     dt = (time.perf_counter() - t0) / MEASURE_STEPS
     images_per_sec = batch / dt
+    _PARTIAL_HEADLINE.clear()
+    _PARTIAL_HEADLINE.update({
+        "metric": "wd_vit_tagging_throughput",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / REFERENCE_GPU_IMAGES_PER_SEC, 2),
+        "batch": batch,
+    })
 
     # Secondary metric: end-to-end query latency on the 100k-doc index
     # (VERDICT r1 #4: the driver artifact must carry both numbers). Printed
@@ -342,7 +350,28 @@ def main() -> None:
     print(json.dumps(headline))
 
 
+# Set by main() the moment the headline number exists (before the secondary
+# benches): if a LATER stage wedges or crashes, the guard emits this instead
+# of a zero line — the driver parses the LAST JSON line, and a dead secondary
+# must never erase a measured headline.
+_PARTIAL_HEADLINE: dict = {}
+
+
 def _error_line(metric: str, unit: str, detail: str) -> str:
+    import os
+
+    partial = _PARTIAL_HEADLINE
+    if partial.get("metric") != metric:
+        # a measured headline from the pre-retry process rides the exec env
+        try:
+            partial = json.loads(os.environ.get("AIIS_BENCH_PARTIAL", "null"))
+        except ValueError:
+            partial = None
+        if not isinstance(partial, dict) or partial.get("metric") != metric:
+            partial = None
+    if partial:
+        return json.dumps({**partial,
+                           "partial": f"secondary benches incomplete: {detail}"})
     return json.dumps({"metric": metric, "value": 0.0, "unit": unit,
                        "vs_baseline": 0.0, "error": detail})
 
@@ -386,6 +415,8 @@ def _run_guarded(fn, metric: str, unit: str) -> None:
     except Exception as exc:
         if os.environ.get("AIIS_BENCH_RETRIED") != "1":
             os.environ["AIIS_BENCH_RETRIED"] = "1"
+            if _PARTIAL_HEADLINE:
+                os.environ["AIIS_BENCH_PARTIAL"] = json.dumps(_PARTIAL_HEADLINE)
             delay = float(os.environ.get("AIIS_BENCH_RETRY_DELAY_S", "60"))
             print(f"bench attempt failed ({exc!r}); retrying once in a "
                   f"fresh process after {delay:.0f}s", file=sys.stderr)

@@ -64,6 +64,50 @@ def test_second_crash_emits_error_json(monkeypatch, capsys):
     assert "still down" in line["error"]
 
 
+def test_measured_headline_survives_secondary_crash(monkeypatch, capsys):
+    """A dead SECONDARY bench must never erase a measured headline: the guard
+    emits the partial headline (flagged) instead of a zero line."""
+    monkeypatch.setenv("AIIS_BENCH_RETRIED", "1")
+    monkeypatch.setenv("AIIS_BENCH_DEADLINE_S", "0")
+    monkeypatch.setitem(bench._PARTIAL_HEADLINE, "metric",
+                        "wd_vit_tagging_throughput")
+    monkeypatch.setitem(bench._PARTIAL_HEADLINE, "value", 147.0)
+
+    def boom():
+        raise RuntimeError("query bench wedged")
+
+    with pytest.raises(SystemExit):
+        bench._run_guarded(boom, "wd_vit_tagging_throughput",
+                           "images/sec/chip")
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["value"] == 147.0
+    assert "query bench wedged" in line["partial"]
+
+
+def test_partial_headline_rides_the_retry_exec_env(monkeypatch, capsys):
+    monkeypatch.delenv("AIIS_BENCH_RETRIED", raising=False)
+    monkeypatch.setenv("AIIS_BENCH_RETRY_DELAY_S", "0")
+    monkeypatch.setenv("AIIS_BENCH_DEADLINE_S", "0")
+    monkeypatch.setitem(bench._PARTIAL_HEADLINE, "metric", "m")
+    monkeypatch.setitem(bench._PARTIAL_HEADLINE, "value", 9.0)
+    monkeypatch.setattr(os, "execv",
+                        lambda exe, argv: (_ for _ in ()).throw(SystemExit(99)))
+
+    def boom():
+        raise RuntimeError("crash")
+
+    with pytest.raises(SystemExit):
+        bench._run_guarded(boom, "m", "u")
+    # the pre-retry process exported its measured headline for the retry
+    assert json.loads(os.environ["AIIS_BENCH_PARTIAL"])["value"] == 9.0
+    # a fresh process (empty _PARTIAL_HEADLINE) falls back to the env copy
+    monkeypatch.setattr(bench, "_PARTIAL_HEADLINE", {})
+    line = json.loads(bench._error_line("m", "u", "still down"))
+    assert line["value"] == 9.0 and "still down" in line["partial"]
+    # bench code writes this key directly; monkeypatch can't restore it
+    os.environ.pop("AIIS_BENCH_PARTIAL", None)
+
+
 def test_watchdog_bounds_a_wedged_run():
     # Real subprocess: the watchdog uses os._exit, which would kill pytest.
     src = (
