@@ -175,6 +175,12 @@ def _infer_vectors_resumable(model: Doc2VecModel, docs) -> "np.ndarray":
             else:
                 print("doc2vec: inference progress is from a different "
                       "model/corpus — recomputing")
+                # Drop the stale slices now, not on build success: repeated
+                # crashed builds over changing corpora otherwise accumulate
+                # orphaned multi-hundred-MB slice_*.npy files (ADVICE r4).
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
         except (OSError, ValueError):
             pass
     os.makedirs(d, exist_ok=True)

@@ -549,11 +549,15 @@ class Doc2VecModel:
             return fp_h.hexdigest()
 
         ckpt_fp = snapshot_fp() if checkpoint_path else ""
-        # Finished-model identity additionally pins the data-parallel mode:
-        # dp and single-device training agree only to GSPMD-reduction ulps
-        # (tests/test_parallel.py, rtol 1e-4), so cross-mode reuse would break
-        # the bit-for-bit promise. Mid-run snapshots keep the plain fp — any
-        # valid (cfg, corpus, batch) state is resumable regardless of mode.
+        # Both identities pin the data-parallel mode: dp and single-device
+        # training agree only to GSPMD-reduction ulps (tests/test_parallel.py,
+        # rtol 1e-4). Finished-model reuse across modes would break the
+        # bit-for-bit promise — and so would a cross-mode RESUME: a run
+        # snapshotted in dp mode and finished single-device is a mixed-mode
+        # model that matches neither pure retrain, yet would be stamped with
+        # the finishing run's train_fp and later reused as "bit-identical"
+        # (ADVICE r4). Mode-mismatched snapshots are therefore refused (the
+        # resume falls back to training from scratch, which is always sound).
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
 
@@ -607,7 +611,7 @@ class Doc2VecModel:
             # ignored, not crash the recovery run it exists to serve
             try:
                 snap = np.load(ckpt_file)
-                snap_ok = ("fp" in snap.files and str(snap["fp"]) == ckpt_fp
+                snap_ok = ("fp" in snap.files and str(snap["fp"]) == reuse_fp
                            and snap["docvecs"].shape == docvecs.shape
                            and snap["syn1"].shape == syn1.shape
                            # snapshots are only written strictly mid-run (the
@@ -624,7 +628,7 @@ class Doc2VecModel:
                 print(f"doc2vec: resumed from {ckpt_file} at epoch {start_epoch}")
             else:
                 print(f"doc2vec: ignoring {ckpt_file} (different config/corpus/"
-                      "batch, or corrupt) — training from scratch")
+                      "batch/dp-mode, or corrupt) — training from scratch")
 
         doc_idx_b = jnp.asarray(doc_index.reshape(n_batches, batch_size))
         words_b = words_all.reshape(n_batches, batch_size, cfg.max_doc_len)
@@ -716,7 +720,7 @@ class Doc2VecModel:
                 tmp = f"{ckpt_file}.tmp{os.getpid()}.npz"
                 try:
                     np.savez(tmp, docvecs=_d2h_chunked(docvecs),
-                             syn1=np.asarray(syn1), epoch=epoch, fp=ckpt_fp)
+                             syn1=np.asarray(syn1), epoch=epoch, fp=reuse_fp)
                     os.replace(tmp, ckpt_file)
                 except BaseException:
                     if os.path.exists(tmp):

@@ -397,6 +397,20 @@ def _run_guarded(fn, metric: str, unit: str) -> None:
     # Default leaves headroom for cold compiles on a healthy relay; a wedged
     # run still ends with a parseable line well inside the driver's patience.
     deadline = float(os.environ.get("AIIS_BENCH_DEADLINE_S", "2700"))
+    # The deadline bounds the WHOLE bench including the one fresh-process
+    # retry: the first attempt's start rides the exec env (CLOCK_MONOTONIC is
+    # system-wide, so it survives os.execv) and the retried process's watchdog
+    # gets only the remaining budget — a driver calibrated to one deadline
+    # never waits ~2x for the guaranteed JSON line (ADVICE r4). A retry with
+    # almost nothing left still gets a small floor (never beyond the
+    # configured deadline itself) so the error line can print.
+    t_start = time.monotonic()
+    if deadline > 0 and "AIIS_BENCH_T0" in os.environ:
+        try:
+            elapsed = t_start - float(os.environ["AIIS_BENCH_T0"])
+        except ValueError:
+            elapsed = 0.0
+        deadline = max(deadline - elapsed, min(deadline, 30.0))
 
     def _expire() -> None:
         print(_error_line(metric, unit,
@@ -415,6 +429,9 @@ def _run_guarded(fn, metric: str, unit: str) -> None:
     except Exception as exc:
         if os.environ.get("AIIS_BENCH_RETRIED") != "1":
             os.environ["AIIS_BENCH_RETRIED"] = "1"
+            # hand the retried process this attempt's start so its watchdog
+            # arms only the remaining budget (see deadline math above)
+            os.environ.setdefault("AIIS_BENCH_T0", repr(t_start))
             if _PARTIAL_HEADLINE:
                 os.environ["AIIS_BENCH_PARTIAL"] = json.dumps(_PARTIAL_HEADLINE)
             delay = float(os.environ.get("AIIS_BENCH_RETRY_DELAY_S", "60"))

@@ -41,7 +41,11 @@ import pytest  # noqa: E402
 
 # In-process tests that require an 8-device mesh (the subprocess-isolated
 # distributed tests pin their own CPU env and are unaffected).
-_NEEDS_8_DEVICES = ("test_rerank_diffs_learned_metric_on_mesh",)
+_NEEDS_8_DEVICES = (
+    "test_rerank_diffs_learned_metric_on_mesh",
+    "test_cross_mode_checkpoint_refused",
+    "test_same_mode_dp_snapshot_resumes",
+)
 
 
 def pytest_collection_modifyitems(config, items):

@@ -122,3 +122,64 @@ def test_watchdog_bounds_a_wedged_run():
     assert out.returncode == 1
     line = json.loads(out.stdout.strip())
     assert "watchdog" in line["error"]
+
+
+def test_retry_deadline_subtracts_first_attempt(monkeypatch):
+    """The one fresh-process retry must NOT restart the watchdog from zero:
+    the first attempt's start time rides AIIS_BENCH_T0 across the exec and
+    the retried guard arms only the remaining budget (floored), so total wall
+    time stays ~one deadline, not two (ADVICE r4)."""
+    import threading
+    import time as _time
+
+    import bench
+
+    monkeypatch.setenv("AIIS_BENCH_RETRIED", "1")  # no second exec
+    monkeypatch.setenv("AIIS_BENCH_DEADLINE_S", "1000")
+    # pretend the first attempt burned 990 s before exec'ing us
+    monkeypatch.setenv("AIIS_BENCH_T0", repr(_time.monotonic() - 990.0))
+
+    armed = {}
+    real_timer = threading.Timer
+
+    class SpyTimer(real_timer):
+        def __init__(self, interval, fn, *a, **kw):
+            armed["interval"] = interval
+            super().__init__(interval, fn, *a, **kw)
+
+    monkeypatch.setattr(threading, "Timer", SpyTimer)
+    bench._run_guarded(lambda: None, "m", "u")
+    # 1000 - 990 = 10 remaining, floored to 30
+    assert armed["interval"] == 30.0
+
+    # and a first (non-exec'd) run arms the full deadline
+    monkeypatch.delenv("AIIS_BENCH_T0", raising=False)
+    bench._run_guarded(lambda: None, "m", "u")
+    assert armed["interval"] == 1000.0
+    # T0 is only exported on the retry-exec path, never by a clean run
+    assert "AIIS_BENCH_T0" not in os.environ
+
+
+def test_retry_exec_exports_t0(monkeypatch):
+    """The crash->exec path must export AIIS_BENCH_T0 so the retried process
+    can subtract the first attempt's elapsed time."""
+    import bench
+
+    monkeypatch.delenv("AIIS_BENCH_RETRIED", raising=False)
+    monkeypatch.delenv("AIIS_BENCH_T0", raising=False)
+    monkeypatch.setenv("AIIS_BENCH_RETRY_DELAY_S", "0")
+    monkeypatch.setenv("AIIS_BENCH_DEADLINE_S", "0")
+    execd = {}
+
+    def fake_execv(*a):
+        execd["args"] = a
+        raise SystemExit(99)  # stand-in for the process image swap
+
+    monkeypatch.setattr(os, "execv", fake_execv)
+    with pytest.raises(SystemExit):
+        bench._run_guarded(lambda: 1 / 0, "m", "u")
+    assert "args" in execd
+    assert "AIIS_BENCH_T0" in os.environ
+    float(os.environ["AIIS_BENCH_T0"])  # parseable
+    for k in ("AIIS_BENCH_T0", "AIIS_BENCH_RETRIED"):
+        os.environ.pop(k, None)  # written directly by bench code

@@ -101,6 +101,70 @@ def test_foreign_config_checkpoint_ignored(tmp_cwd, monkeypatch, capsys):
     np.testing.assert_array_equal(model.docvecs, fresh.docvecs)
 
 
+def test_cross_mode_checkpoint_refused(tmp_cwd, monkeypatch, capsys):
+    """A snapshot written under a dp mesh must NOT resume a single-device run
+    (and vice versa): dp and single-device training agree only to
+    GSPMD-reduction ulps, so a mixed-mode model would be stamped with the
+    finishing run's mode-pinned train_fp and later reused as 'bit-identical'
+    to a pure retrain it does not match (ADVICE r4). Snapshot fingerprints are
+    mode-pinned; a cross-mode resume retrains from scratch instead."""
+    import pytest as _pytest
+
+    from anime_illust_image_searcher_tpu.models import doc2vec as d2v
+    from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8)
+    real = _crash_after_first_segment(monkeypatch, d2v)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        Doc2VecModel.train(CORPUS, CFG, batch_size=8, mesh=mesh,
+                           checkpoint_path="m", checkpoint_every=4)
+    monkeypatch.setattr(d2v, "_train_epochs", real)
+    assert os.path.exists("m.ckpt.npz")  # dp-mode snapshot on disk
+
+    # single-device resume over a dp snapshot: refused, trains from scratch
+    model = Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                               checkpoint_path="m", checkpoint_every=4)
+    assert "ignoring m.ckpt.npz" in capsys.readouterr().out
+    fresh = Doc2VecModel.train(CORPUS, CFG, batch_size=8)
+    np.testing.assert_array_equal(model.syn1neg, fresh.syn1neg)
+    np.testing.assert_array_equal(model.docvecs, fresh.docvecs)
+
+    # and the mirror: a single-device snapshot must not resume a dp run
+    real = _crash_after_first_segment(monkeypatch, d2v)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        Doc2VecModel.train(CORPUS, CFG, batch_size=8,
+                           checkpoint_path="m2", checkpoint_every=4)
+    monkeypatch.setattr(d2v, "_train_epochs", real)
+    Doc2VecModel.train(CORPUS, CFG, batch_size=8, mesh=mesh,
+                       checkpoint_path="m2", checkpoint_every=4)
+    assert "ignoring m2.ckpt.npz" in capsys.readouterr().out
+
+
+def test_same_mode_dp_snapshot_resumes(tmp_cwd, monkeypatch, capsys):
+    """Mode-pinning must not break the legitimate case: a dp-mode snapshot
+    resumed under the SAME dp mesh still resumes (and matches the
+    uninterrupted dp run bit-for-bit)."""
+    import pytest as _pytest
+
+    from anime_illust_image_searcher_tpu.models import doc2vec as d2v
+    from anime_illust_image_searcher_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8)
+    full = Doc2VecModel.train(CORPUS, CFG, batch_size=8, mesh=mesh)
+
+    real = _crash_after_first_segment(monkeypatch, d2v)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        Doc2VecModel.train(CORPUS, CFG, batch_size=8, mesh=mesh,
+                           checkpoint_path="m", checkpoint_every=4)
+    monkeypatch.setattr(d2v, "_train_epochs", real)
+
+    resumed = Doc2VecModel.train(CORPUS, CFG, batch_size=8, mesh=mesh,
+                                 checkpoint_path="m", checkpoint_every=4)
+    assert "resumed from m.ckpt.npz" in capsys.readouterr().out
+    np.testing.assert_array_equal(resumed.syn1neg, full.syn1neg)
+    np.testing.assert_array_equal(resumed.docvecs, full.docvecs)
+
+
 def test_foreign_corpus_checkpoint_ignored(tmp_cwd, monkeypatch, capsys):
     """Same cfg and SAME array shapes but different corpus content: resume
     must be refused (the old check silently trained doc vectors from another

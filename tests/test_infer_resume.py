@@ -80,6 +80,24 @@ def test_stale_progress_is_recomputed(model, monkeypatch, capsys):
     assert not np.array_equal(out, whole)
 
 
+def test_stale_slices_are_deleted_on_fp_mismatch(model, monkeypatch):
+    """On a fingerprint mismatch the whole progress dir is dropped BEFORE the
+    new pass starts — repeated crashed builds over changing corpora must not
+    accumulate orphaned slice files (multi-hundred-MB each at 1M-doc scale;
+    ADVICE r4). A shrunken corpus makes the orphan visible: the old corpus
+    wrote 3 slices, the new one only ever writes 2."""
+    monkeypatch.setenv("AIIS_INFER_RESUME_SLICE", "16")
+    genmodel._infer_vectors_resumable(model, CORPUS)  # 40 docs -> slices 0..2
+    d = genmodel._infer_progress_dir()
+    assert os.path.exists(os.path.join(d, "slice_2.npy"))
+
+    other = [[f"x{i}", f"x{i + 1}", f"x{i + 2}", "common"] for i in range(32)]
+    genmodel._infer_vectors_resumable(model, other)  # 32 docs -> slices 0..1
+    assert not os.path.exists(os.path.join(d, "slice_2.npy"))  # orphan gone
+    names = sorted(f for f in os.listdir(d) if f.startswith("slice_"))
+    assert names == ["slice_0.npy", "slice_1.npy"]
+
+
 def test_corrupt_slice_and_manifest_are_recomputed(model, monkeypatch):
     monkeypatch.setenv("AIIS_INFER_RESUME_SLICE", "16")
     whole = model.infer_vectors(CORPUS)
