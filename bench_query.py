@@ -286,6 +286,31 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
     }
 
 
+def _render_probe_images(paths: list) -> None:
+    """Write a real decodable PNG at each path (smooth structure + mild
+    texture, same recipe as bench_ingest.make_corpus — noise images decode
+    unrealistically slowly). The character bench's live-path comparison must
+    pay real decode cost, not the all-decodes-failed cheap branch."""
+    import numpy as np
+    from PIL import Image
+
+    from bench_ingest import RESOLUTIONS
+
+    rng = np.random.RandomState(7)
+    for i, p in enumerate(paths):
+        if os.path.exists(p) and os.path.getsize(p) > 0:
+            continue
+        w, h = RESOLUTIONS[i % len(RESOLUTIONS)]
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.stack([
+            127 + 120 * np.sin(xx / (30 + 10 * (i % 5)) + i),
+            127 + 120 * np.cos(yy / (40 + 5 * (i % 7))),
+            127 + 120 * np.sin((xx + yy) / 60),
+        ], axis=-1)
+        img += rng.randn(h, w, 3) * 8
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(p)
+
+
 def run_character_mode_bench(n_rows: int = 100_000, image_size: int = 384,
                              k: int = 10, repeats: int = 3) -> dict:
     """Character-mode rerank device stage at index scale (the reference's worst
@@ -423,18 +448,33 @@ def run_character_e2e_bench(n_docs: int = 100_000, vocab: int = 10_000,
         base = [tag_names[rng.randint(200)] for _ in range(rng.randint(1, 4))]
         queries.append(" ".join(base))
 
-    # first pass (live-path fallback: files don't exist yet) reveals each
-    # query's top-10 docs; create those files so the gather path is eligible
+    # Discovery passes (output suppressed — decode-failure prints from the
+    # probe-less first queries are expected here and counted, not spammed):
+    # find every measured query's top-10 under BOTH stage-A shapes, then
+    # render a real decodable PNG for each hit. Empty probe files used to make
+    # the multi-call comparison measure the all-decodes-failed cheap branch of
+    # the live path, flattering the fused speedup (VERDICT r4 #6).
+    import io
+    from contextlib import redirect_stdout
+
     mode = "character oriented"
     os.makedirs(os.path.join(directory, "img"), exist_ok=True)
-    for q in queries:
-        for doc_id, _ in engine.find_similar_documents(q, 800, mode)[:10]:
-            p = doc_paths[doc_id]
-            if not os.path.exists(p):
-                with open(p, "wb"):
-                    pass
-    # re-instantiate the reranker: files now exist (eligibility is checked per
-    # query; only _row_of/_stamps caching is per-instance and unchanged)
+    hit_ids: set = set()
+    with redirect_stdout(io.StringIO()):
+        for q in queries:
+            for doc_id, _ in engine.find_similar_documents(q, 800, mode)[:10]:
+                hit_ids.add(doc_id)
+        engine.character_fused_available = lambda doc: False  # type: ignore[method-assign]
+        try:
+            for q in queries:
+                for doc_id, _ in engine.find_similar_documents(
+                        q, 800, mode)[:10]:
+                    hit_ids.add(doc_id)
+        finally:
+            del engine.character_fused_available
+    _render_probe_images([doc_paths[d] for d in sorted(hit_ids)])
+    # files now exist (eligibility is checked per query; only _row_of/_stamps
+    # caching is per-instance and unchanged)
     for q in queries[:3]:  # warm both stage programs on the gather path
         engine.find_similar_documents(q, 800, mode)
     top10 = engine.find_similar_documents(queries[0], 800, mode)[:10]
@@ -456,12 +496,29 @@ def run_character_e2e_bench(n_docs: int = 100_000, vocab: int = 10_000,
     fused_dispatches = engine.character_fused_dispatches
     one_dispatch = engine.character_one_dispatch_queries - one_before
 
+    # Multi-call comparison in the REFERENCE's actual shape: separate stage-A
+    # dispatches AND live stage B (decode the top-10 hit files, batched
+    # extraction + mean + metric) — the reference gets live CCIP features per
+    # query (webui.py:292-303). AIIS_RERANK_LIVE=1 forces the live path; the
+    # probe PNGs rendered above make those real decodes, and any residual
+    # decode failure is counted (a non-zero count would mean the comparison
+    # ran the cheap all-failed branch again).
     engine.character_fused_available = lambda doc: False  # type: ignore[method-assign]
+    prev_live = os.environ.get("AIIS_RERANK_LIVE")
+    os.environ["AIIS_RERANK_LIVE"] = "1"
     try:
-        engine.find_similar_documents(queries[0], 800, mode)  # warm multicall
-        multi_lat = time_queries()
+        with redirect_stdout(io.StringIO()):
+            engine.find_similar_documents(queries[0], 800, mode)  # warm live
+        sink = io.StringIO()
+        with redirect_stdout(sink):
+            multi_lat = time_queries()
+        decode_errors = sink.getvalue().count("Error:")
     finally:
         del engine.character_fused_available
+        if prev_live is None:
+            os.environ.pop("AIIS_RERANK_LIVE", None)
+        else:
+            os.environ["AIIS_RERANK_LIVE"] = prev_live
     assert engine.character_fused_dispatches == fused_dispatches
 
     return {
@@ -471,6 +528,7 @@ def run_character_e2e_bench(n_docs: int = 100_000, vocab: int = 10_000,
                 % (n_docs // 1000),
         "p95_ms": round(float(np.percentile(fused_lat, 95)), 2),
         "multicall_p50_ms": round(float(np.percentile(multi_lat, 50)), 2),
+        "multicall_decode_errors": int(decode_errors),
         "n_queries": n_queries,
         # how many of the timed queries ran as a SINGLE device call (stage A +
         # rerank fused, ccip_character_query_matches_op) vs two dispatches
