@@ -343,8 +343,10 @@ def _matches_from_rows(
     threshold) so count over-approximates the host's f64 compare — when
     count <= cap every true match is among the candidates; the caller falls
     back to the full-diffs op otherwise. Values are the same f32 diffs the
-    full op returns (same computation, then a top-k gather)."""
-    from ..ops.fused_query import exact_top_k
+    full op returns (same computation, then a top-k gather). Candidate row
+    ids ride as int32 bit patterns (ops.fused_query.encode_ids_f32 — exact at
+    any index size); hosts decode with decode_ids."""
+    from ..ops.fused_query import encode_ids_f32, exact_top_k
 
     diffs = _rerank_diffs_from_rows(index_matrix, norms, row_ids, valid)
     if num_real and num_real < index_matrix.shape[0]:
@@ -356,7 +358,7 @@ def _matches_from_rows(
                           diffs, jnp.inf)
     count = jnp.sum((diffs < thresh).astype(jnp.int32)).astype(jnp.float32)
     vals, idx = exact_top_k(-diffs, cap)  # smallest diffs, lowest-index ties
-    return jnp.concatenate([count[None], idx.astype(jnp.float32), -vals])
+    return jnp.concatenate([count[None], encode_ids_f32(idx), -vals])
 
 
 ccip_rerank_matches_from_rows_op = partial(
@@ -401,7 +403,7 @@ def _character_query_matches_impl(
     from this one. Candidate semantics match ccip_rerank_matches_from_rows_op
     (count over-approximates via the rounded-up threshold; (diff asc, index
     asc) order)."""
-    from ..ops.fused_query import _fused_final, exact_top_k
+    from ..ops.fused_query import _fused_final, encode_ids_f32, exact_top_k
 
     final = _fused_final(doc_matrix, term_mat, contrib_mat, packed,
                          bm25_weight, doc2vec_weight, num_docs, num_real,
@@ -414,7 +416,7 @@ def _character_query_matches_impl(
                               jnp.ones((k,), bool), thresh, cap,
                               num_real=cf_num_real)
     return jnp.concatenate([
-        top_vals, top_idx.astype(jnp.float32), ok[None], body])
+        top_vals, encode_ids_f32(top_idx), ok[None], body])
 
 
 ccip_character_query_matches_op = partial(jax.jit, static_argnames=(

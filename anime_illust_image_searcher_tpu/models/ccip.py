@@ -361,7 +361,9 @@ class CCIPPredictor:
             jnp.asarray(np.asarray(row_ids, np.int32)),
             jnp.asarray(np.arange(k) < n_valid),
             jnp.float32(thresh_up), cap=cap))
-        return (int(out[0]), out[1 : 1 + cap].astype(np.int64),
+        from ..ops.fused_query import decode_ids
+
+        return (int(out[0]), decode_ids(out[1 : 1 + cap]).astype(np.int64),
                 out[1 + cap :])
 
     def rerank_matches_from_rows_batch(
@@ -382,8 +384,12 @@ class CCIPPredictor:
             index._device(), index._device_norms_arr(),
             jnp.asarray(ids), jnp.asarray(valid),
             jnp.float32(thresh_up), cap=cap))
+        from ..ops.fused_query import decode_ids
+
         return (out[:, 0].astype(np.int64),
-                out[:, 1 : 1 + cap].astype(np.int64), out[:, 1 + cap :])
+                decode_ids(out[:, 1 : 1 + cap]).reshape(
+                    -1, cap).astype(np.int64),
+                out[:, 1 + cap :])
 
     def rerank_diffs_from_rows_batch(
             self, row_ids: np.ndarray, n_valid: np.ndarray, index,

@@ -20,7 +20,9 @@ exactly one H2D transfer, one execution, one D2H transfer:
 
 The 10 stored raw vectors are row·norm reconstructions — bit-identical to re-running
 infer_vector (inference is deterministically seeded), so no SGD happens at query time.
-Document indices ride in the f32 output buffer, exact below 2^24 (16M docs).
+Document/term ids ride in the f32 buffers as int32 BIT PATTERNS (encode_ids_f32 /
+pack_query), exact at any corpus/vocab size — the old value-encode capped the
+one-dispatch path at 2^24 (16M) docs.
 
 Round 4 measured the program's 21 ms/query cost at 1M docs and rebuilt the hot
 stages (ARCHITECTURE §3): the elbow cut is decided from the top-(k+kk+1) prefix
@@ -42,6 +44,24 @@ import numpy as np
 
 
 MAX_QUERY_TERMS = 64
+
+
+def encode_ids_f32(ids: jax.Array) -> jax.Array:
+    """Bit-exact int32 ids riding in an f32 result buffer.
+
+    The packed output buffers are single f32 vectors (one D2H per query);
+    ``ids.astype(f32)`` was exact only below 2^24 — beyond 16M docs the
+    one-dispatch paths silently returned wrong ids and the engine had to
+    degrade to the ~18x multi-call path (round-4 ceiling, VERDICT r4 #4).
+    Bitcasting the int32 id pattern into f32 lanes is exact for ANY 32-bit id;
+    hosts decode with ``decode_ids``. Realistic ids (< 2^31) can't form an f32
+    NaN/Inf pattern, and the buffers are never arithmetic on the id lanes."""
+    return jax.lax.bitcast_convert_type(ids.astype(jnp.int32), jnp.float32)
+
+
+def decode_ids(buf: np.ndarray) -> np.ndarray:
+    """Host-side inverse of ``encode_ids_f32`` (works on any f32 slice)."""
+    return np.ascontiguousarray(np.asarray(buf, np.float32)).view(np.int32)
 # Packed-buffer term-slot buckets. Queries pick the smallest bucket that fits their
 # distinct-term count; each bucket compiles its own program (the BM25 comparison
 # sweep is (docs × slots × Q), so small queries shouldn't pay a big-Q sweep). The
@@ -51,7 +71,8 @@ MAX_QUERY_TERMS = 64
 QUERY_TERM_BUCKETS = (8, MAX_QUERY_TERMS, 256)
 DIFF_FILTER_THRESH = 1e-6  # webui.py:58
 # "no flag at this position" sentinel for the elbow prefix info — must stay exact
-# as f32 and above any possible cut position (doc counts are < 2^24 by contract)
+# as f32 and above any possible flag position (flags are PREFIX positions,
+# bounded by k+kk+1 ≈ topn+2k+1 << 2^24 at any corpus size)
 CUT_SENTINEL = 2 ** 24 - 1
 
 
@@ -148,24 +169,25 @@ def pack_query(
 ) -> np.ndarray:
     """One f32 buffer: [qids(Q) | qw(Q) | qexcl(Q) | qreq(Q) | qvec(F) | n_req].
 
-    Term ids ride as f32 (exact below 2^24). Unused slots get id -1, which never
-    matches a corpus slot. Queries are human-typed tag lists; more than
-    ``max_terms`` raises rather than silently truncating.
+    Term ids ride as int32 BIT PATTERNS in the f32 lanes (exact for any id —
+    see encode_ids_f32; the device side bitcasts them back before the integer
+    term compare). Unused slots get id -1, which never matches a corpus slot.
+    Queries are human-typed tag lists; more than ``max_terms`` raises rather
+    than silently truncating.
     """
     if len(term_weights) > max_terms:
         raise ValueError(f"query has {len(term_weights)} terms; max {max_terms}")
     q = max_terms
     packed = np.zeros(4 * q + len(query_vec) + 1, dtype=np.float32)
-    qids = packed[:q]
+    qids = np.full(q, -1, dtype=np.int32)
     qw = packed[q : 2 * q]
     qexcl = packed[2 * q : 3 * q]
     qreq = packed[3 * q : 4 * q]
-    qids[:] = -1.0
     n_req = 0
     for j, (term_id, weight) in enumerate(term_weights.items()):
         if term_id < 0 or term_id >= vocab_size:
             continue
-        qids[j] = float(term_id)
+        qids[j] = term_id
         if weight < 0:
             qexcl[j] = 1.0
         elif weight > magic:
@@ -174,6 +196,7 @@ def pack_query(
             n_req += 1
         else:
             qw[j] = weight
+    packed[:q] = qids.view(np.float32)
     packed[4 * q : 4 * q + len(query_vec)] = query_vec
     packed[-1] = n_req
     return packed
@@ -206,7 +229,9 @@ def _fused_final(
     f = matrix.shape[1]
     # slot count rides in the (static) buffer length: [4 term blocks | qvec | n_req]
     q = (packed.shape[0] - f - 1) // 4
-    qids = packed[:q]
+    # term ids ride as int32 bit patterns in the f32 lanes (pack_query) so the
+    # term compare is exact at ANY vocab size, not just below 2^24
+    qids = jax.lax.bitcast_convert_type(packed[:q], jnp.int32)
     qw = packed[q : 2 * q]
     qexcl = packed[2 * q : 3 * q]
     qreq = packed[3 * q : 4 * q]
@@ -220,7 +245,7 @@ def _fused_final(
     # fused register-level intermediate; no corpus-sized gathers or scatters (each
     # segment-sum scatter measured ~25 ms, each big-table gather ~23 ms at 100k docs).
     w_slots = term_mat.shape[1]
-    tm = term_mat.astype(jnp.float32)[:, :, None]          # (D, W, 1)
+    tm = term_mat[:, :, None]                              # (D, W, 1) int32
     match = (tm == qids[None, None, :]).astype(jnp.float32)  # (D, W, Q)
     slot_w = jnp.einsum("dwq,q->dw", match, qw)
     bm25 = jnp.sum(slot_w * contrib_mat, axis=1)
@@ -231,7 +256,7 @@ def _fused_final(
         # without spilled pairs add exactly 0.0, keeping their scores
         # bit-identical to the no-overflow layout.
         ov_doc, ov_term, ov_contrib = overflow
-        match_o = (ov_term.astype(jnp.float32)[:, None]
+        match_o = (ov_term[:, None]
                    == qids[None, :]).astype(jnp.float32)   # (nnz_o, Q)
         w_o = match_o @ qw
         bm25 = bm25 + jnp.zeros((num_docs,), jnp.float32).at[ov_doc].add(
@@ -391,7 +416,7 @@ def _fused_query_impl(
     first_two = jnp.nonzero(flags, size=2, fill_value=CUT_SENTINEL)[0]
 
     return jnp.concatenate([
-        top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32),
+        top_vals, encode_ids_f32(top_idx), r_vals, encode_ids_f32(r_idx),
         first_two.astype(jnp.float32), count[None],
     ])
 
@@ -435,7 +460,7 @@ def _fused_query_exact_impl(
     cut = elbow_cut_index(full, diff_thresh).astype(jnp.float32)
 
     return jnp.concatenate([
-        top_vals, top_idx.astype(jnp.float32), r_vals, r_idx.astype(jnp.float32),
+        top_vals, encode_ids_f32(top_idx), r_vals, encode_ids_f32(r_idx),
         cut[None],
     ])
 
@@ -471,7 +496,7 @@ def _character_top_impl(
                          bm25_weight, doc2vec_weight, num_docs, num_real,
                          overflow=overflow, ov_max_len=ov_max_len)
     top_vals, top_idx = exact_top_k(final, k)
-    return jnp.concatenate([top_vals, top_idx.astype(jnp.float32)])
+    return jnp.concatenate([top_vals, encode_ids_f32(top_idx)])
 
 
 fused_character_top = partial(jax.jit, static_argnames=(
@@ -606,11 +631,12 @@ def unpack_result(
     Flag positions are CUT_SENTINEL when absent. The engine resolves them to a
     cut (or an exact re-dispatch) in SearchEngine._assemble_fused."""
     top_vals = out[:k]
-    top_idx = out[k : 2 * k].astype(np.int64)
+    top_idx = decode_ids(out[k : 2 * k]).astype(np.int64)
     rest = out[2 * k : -3]
     kk = len(rest) // 2
     cut_info = (int(out[-3]), int(out[-2]), int(out[-1]))
-    return top_vals, top_idx, rest[:kk], rest[kk : 2 * kk].astype(np.int64), cut_info
+    return (top_vals, top_idx, rest[:kk],
+            decode_ids(rest[kk : 2 * kk]).astype(np.int64), cut_info)
 
 
 def unpack_result_exact(
@@ -618,8 +644,9 @@ def unpack_result_exact(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Split the EXACT program's buffer: trailing field is the full-list cut."""
     top_vals = out[:k]
-    top_idx = out[k : 2 * k].astype(np.int64)
+    top_idx = decode_ids(out[k : 2 * k]).astype(np.int64)
     rest = out[2 * k : -1]
     kk = len(rest) // 2
     cut = int(out[-1])
-    return top_vals, top_idx, rest[:kk], rest[kk : 2 * kk].astype(np.int64), cut
+    return (top_vals, top_idx, rest[:kk],
+            decode_ids(rest[kk : 2 * kk]).astype(np.int64), cut)

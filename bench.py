@@ -434,6 +434,19 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         print(f"1M-scale query bench failed: {exc!r}")
 
+    # Beyond the old 2^24 (16M-doc) f32-id ceiling: ids now ride the fused
+    # buffers as int32 bit patterns (round 5), so the ONE-DISPATCH path serves
+    # 17M docs on one chip — dim shrunk to fit HBM (cost scales ~linearly in
+    # dim; exactness at this scale is pinned by tests/test_huge_corpus.py).
+    try:
+        from bench_query import run_synthetic_scale_bench
+
+        scale_17m = run_synthetic_scale_bench(
+            17_000_000, dim=64, terms_per_doc=16, n_queries=10)
+        print(json.dumps(scale_17m))
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"17M-scale query bench failed: {exc!r}")
+
     # Character-mode end-to-end query latency at 100k docs (round 4: fused
     # stage A + row-gather rerank = two device calls/query; ARCHITECTURE §4).
     char_e2e = None

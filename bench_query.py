@@ -280,6 +280,8 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
         "unit": "ms/query @ %dk docs (serialized scan, synthetic arrays, "
                 "64-term bucket)" % (n_docs // 1000),
         "n_queries": n_queries,
+        "dim": dim,
+        "terms_per_doc": terms_per_doc,
         "wall_ms_one_dispatch": round(wall, 2),
         "interactive_bucket_ms_per_query": round(wall8 / n_queries, 3),
         "vs_baseline": None,
@@ -643,6 +645,12 @@ def main() -> None:
                         metavar="N_DOCS",
                         help="device query cost at corpus scale N on synthetic "
                              "device arrays (no artifact build; e.g. 1000000)")
+    parser.add_argument("--dim", type=int, default=300,
+                        help="doc-vector width for --synthetic-scale (shrink "
+                             "it to fit >16M-doc corpora in one chip's HBM, "
+                             "e.g. --synthetic-scale 17000000 --dim 64)")
+    parser.add_argument("--terms-per-doc", type=int, default=30,
+                        help="dense BM25 width for --synthetic-scale")
     parser.add_argument("--character-mode", action="store_true",
                         help="character-rerank device stage at 100k cfeature "
                              "rows (random weights; FLOPs-representative)")
@@ -669,8 +677,10 @@ def main() -> None:
         )
 
         enable_persistent_compile_cache()
-        print(json.dumps(run_synthetic_scale_bench(args.synthetic_scale,
-                                                   vocab=args.vocab)))
+        print(json.dumps(run_synthetic_scale_bench(
+            args.synthetic_scale, vocab=args.vocab, dim=args.dim,
+            terms_per_doc=args.terms_per_doc,
+            n_queries=min(args.queries, 50))))
         return
     if args.device_only:
         from anime_illust_image_searcher_tpu.utils.jax_setup import (

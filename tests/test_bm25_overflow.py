@@ -290,4 +290,6 @@ def test_batch_and_character_programs_accept_overflow(pair):
             jnp.asarray(di.contrib_mat), jnp.asarray(pk), 0.5, 0.5,
             vocab_size=VOCAB, num_docs=di.num_docs, k=10,
             overflow=o, ov_max_len=di.max_doc_len))
-        assert int(got[10]) == 7  # first top-k id
+        from anime_illust_image_searcher_tpu.ops.fused_query import decode_ids
+
+        assert int(decode_ids(got[10:11])[0]) == 7  # first top-k id

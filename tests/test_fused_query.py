@@ -135,8 +135,10 @@ def test_pack_query_big_bucket_layout():
     assert packed.shape[0] == 4 * 256 + 8 + 1
     q = (packed.shape[0] - 8 - 1) // 4
     assert q == 256
-    np.testing.assert_array_equal(packed[:70], np.arange(70, dtype=np.float32))
-    assert np.all(packed[70:256] == -1.0)          # unused id slots
+    # id slots carry int32 bit patterns (exact at any vocab size)
+    ids = packed[:256].view(np.int32)
+    np.testing.assert_array_equal(ids[:70], np.arange(70, dtype=np.int32))
+    assert np.all(ids[70:] == -1)                  # unused id slots
     np.testing.assert_array_equal(packed[256:256 + 70], np.ones(70, np.float32))
     np.testing.assert_array_equal(packed[4 * 256: 4 * 256 + 8], vec)
 
