@@ -71,6 +71,14 @@ class CAFormerConfig:
     mlp_hidden: Optional[Tuple[Tuple[int, ...], ...]] = None
     sepconv_hidden: Optional[Tuple[Tuple[int, ...], ...]] = None
     dtype: Any = jnp.bfloat16
+    # LayerNorm variance path. Round-5 on-chip attribution found the f32
+    # two-pass LN was THE stage-0 cost (5.55 ms per LN at 96²x64; ~39 ms of
+    # the 78 ms stage-0, tools/probe_caformer_stage0.py) — one-pass
+    # E[x²]−E[x]² (flax use_fast_variance) trades ~1e-6-relative activation
+    # drift (well inside the 1e-4 converted-weight oracle gate) for the
+    # second reduction pass. Measured in-model before flipping the default —
+    # see ARCHITECTURE §8.
+    fast_variance: bool = False
 
     def mlp_hidden_of(self, stage: int, blk: int) -> int:
         if self.mlp_hidden is not None:
@@ -169,7 +177,7 @@ class MetaFormerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
-        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="norm1", dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=cfg.fast_variance, name="norm1", dtype=jnp.float32)(x)
         if self.heads:
             y = AttentionMixer(self.dim, self.heads, cfg.dtype, self.use_pallas,
                                name="mixer")(y)
@@ -181,7 +189,7 @@ class MetaFormerBlock(nn.Module):
         else:
             x = x + y
 
-        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="norm2", dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=cfg.fast_variance, name="norm2", dtype=jnp.float32)(x)
         y = Mlp(self.dim, self.mlp_hidden, cfg.dtype, name="mlp")(y)
         if self.use_res_scale:
             res_scale2 = self.param("res_scale2", nn.initializers.ones, (self.dim,))
@@ -211,11 +219,11 @@ class CAFormer(nn.Module):
                 x = nn.Conv(cfg.dims[0], kernel_size=(7, 7), strides=(4, 4),
                             padding=((2, 2), (2, 2)), name="stem", dtype=cfg.dtype)(x)
                 if cfg.stem_post_norm:
-                    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="stem_norm",
+                    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=cfg.fast_variance, name="stem_norm",
                                      dtype=jnp.float32)(x)
             else:
                 if cfg.downsample_pre_norm:
-                    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False,
+                    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=cfg.fast_variance,
                                      name=f"downsample_{stage}_norm",
                                      dtype=jnp.float32)(x)
                 x = nn.Conv(cfg.dims[stage], kernel_size=(3, 3), strides=(2, 2),
@@ -230,13 +238,13 @@ class CAFormer(nn.Module):
                 )(x)
         # official metaformer: mean-pool over HxW, THEN the final norm
         pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
-        pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="norm",
+        pooled = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=cfg.fast_variance, name="norm",
                               dtype=jnp.float32)(pooled)
         if cfg.head_mlp:
             hidden = cfg.head_hidden or cfg.mlp_ratio * cfg.dims[-1]
             h = nn.Dense(hidden, name="head_fc1", dtype=jnp.float32)(pooled)
             h = SquaredReLU(name="head_act")(h)
-            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=False, name="head_norm",
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_fast_variance=cfg.fast_variance, name="head_norm",
                              dtype=jnp.float32)(h)
             feat = nn.Dense(cfg.feature_dim, name="head_fc2", dtype=jnp.float32)(h)
         else:

@@ -442,7 +442,7 @@ def main() -> None:
         from bench_query import run_synthetic_scale_bench
 
         scale_17m = run_synthetic_scale_bench(
-            17_000_000, dim=64, terms_per_doc=16, n_queries=10)
+            17_000_000, dim=64, terms_per_doc=16, n_queries=10, buckets=(8,))
         print(json.dumps(scale_17m))
     except Exception as exc:  # pragma: no cover - defensive
         print(f"17M-scale query bench failed: {exc!r}")

@@ -194,7 +194,8 @@ def run_device_only_bench(engine, queries, repeats: int = 3) -> dict:
 def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
                               dim: int = 300, n_queries: int = 50,
                               terms_per_doc: int = 30,
-                              overflow_nnz: int = 0) -> dict:
+                              overflow_nnz: int = 0,
+                              buckets: tuple = (None, 8)) -> dict:
     """Device-side query cost at corpus scale N, on synthetic device arrays.
 
     The fused program's cost depends only on array shapes, not data provenance,
@@ -270,22 +271,27 @@ def run_synthetic_scale_bench(n_docs: int, vocab: int = 10_000,
             walls.append((time.perf_counter() - t0) * 1000.0)
         return float(np.median(walls))
 
-    # 64-slot bucket: comparable to earlier rounds' numbers. 8-slot bucket:
-    # what 1-5-term interactive queries actually ride since round 4.
-    wall = measure(MAX_QUERY_TERMS)
-    wall8 = measure(8)
-    return {
+    # Default buckets: the 64-slot program (comparable to earlier rounds'
+    # numbers) + the 8-slot bucket 1-5-term interactive queries actually ride
+    # since round 4. Very large corpora pass buckets=(8,) — the 64-slot
+    # sweep's (D, Q) intermediates alone exceed HBM at 17M docs.
+    sizes = [MAX_QUERY_TERMS if b is None else b for b in buckets]
+    walls = {b: measure(b) for b in sizes}
+    wall = walls[sizes[0]]
+    result = {
         "metric": "query_device_ms_at_scale",
         "value": round(wall / n_queries, 3),
         "unit": "ms/query @ %dk docs (serialized scan, synthetic arrays, "
-                "64-term bucket)" % (n_docs // 1000),
+                "%d-term bucket)" % (n_docs // 1000, sizes[0]),
         "n_queries": n_queries,
         "dim": dim,
         "terms_per_doc": terms_per_doc,
         "wall_ms_one_dispatch": round(wall, 2),
-        "interactive_bucket_ms_per_query": round(wall8 / n_queries, 3),
         "vs_baseline": None,
     }
+    if 8 in walls and sizes[0] != 8:
+        result["interactive_bucket_ms_per_query"] = round(walls[8] / n_queries, 3)
+    return result
 
 
 def _render_probe_images(paths: list) -> None:

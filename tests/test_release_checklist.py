@@ -1,7 +1,14 @@
-"""Wiring smoke test for the one-command release checklist (VERDICT r2 #7):
-every network-gated step's entry point must exist, import, and parse its CLI
-in THIS environment, so the release machine never discovers broken plumbing."""
+"""Release checklist gates.
 
+- wiring smoke (VERDICT r2 #7): every network-gated step's entry point must
+  exist, import, and parse its CLI in THIS environment.
+- offline rehearsal (VERDICT r4 #5): the whole convert -> validate -> consume
+  chain runs end-to-end against staged synthetic HF-shaped repos
+  (tools/stage_synthetic_release.py) and leaves the written gap list of what a
+  networked release machine would still exercise differently.
+"""
+
+import os
 import subprocess
 import sys
 
@@ -19,3 +26,38 @@ def test_check_wiring_passes():
                  "reference-run", "gensim-import", "pyinstaller-build",
                  "test-suite"):
         assert step in out.stdout, step
+
+
+def test_offline_rehearsal_end_to_end(tmp_path):
+    """Stage synthetic HF-shaped repos, run the real converters + validators +
+    predictor consumption against them, and verify the gap list is written —
+    the closest offline approximation of the real-weight day as one command."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo" + (
+                   ":" + os.environ["PYTHONPATH"]
+                   if os.environ.get("PYTHONPATH") else ""))
+    out = subprocess.run(
+        [sys.executable, "tools/release_checklist.py", "--offline-rehearsal",
+         "--workdir", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stdout[-4000:] + out.stderr[-4000:]
+    assert "offline rehearsal complete" in out.stdout
+    # the real converters ran: both checkpoint dirs exist and are complete
+    assert os.path.exists(tmp_path / "wd-eva02-v3" / "model.safetensors")
+    assert os.path.exists(tmp_path / "wd-eva02-v3" / "selected_tags.csv")
+    assert os.path.exists(tmp_path / "ccip" / "params.npz")
+    assert os.path.exists(tmp_path / "ccip" / "config.json")
+    # the staged tagger uses a PUBLISHED geometry so head-count autodetection
+    # ran exactly as it will for the real checkpoint (no base-config crutch)
+    assert "dim 384" in out.stdout
+    # the metric verdict ran and recognized the 1-cosine graph
+    assert "is_one_minus_cosine" in out.stdout
+    # the consumption probe drove both predictors over the converted dirs
+    assert "converted checkpoints load and run" in out.stdout
+    # the written gap list names every network-gated remainder
+    gaps = (tmp_path / "rehearsal_gaps.md").read_text()
+    for needle in ("fetch-tagger", "timm", "reference-run", "gensim",
+                   "pyinstaller", "model_metrics.onnx"):
+        assert needle in gaps, needle

@@ -75,6 +75,14 @@ def main(argv) -> int:
             print(f"forward self-check skipped: {e}")
             print("verify with onnxruntime on this machine instead")
             ref = None
+        except KeyError as e:
+            # a structurally-convertible graph whose node program isn't a
+            # complete executable dataflow (e.g. a hand-staged initializer
+            # dump) — the conversion itself already succeeded above
+            print(f"forward self-check skipped: graph is not executable by "
+                  f"the numpy interpreter (dangling tensor {e})")
+            print("verify with onnxruntime on this machine instead")
+            ref = None
         if ref is not None:
             fcfg = dataclasses.replace(cfg, dtype=jnp.float32)
             got = np.asarray(CAFormer(fcfg, use_pallas=False).apply(

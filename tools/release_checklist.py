@@ -215,16 +215,152 @@ Then re-run this checklist (or set AIIS_REFERENCE_RUN_DIR).
 """
 
 
+REHEARSAL_GAPS_HEADER = """\
+# Offline release rehearsal — remaining gaps vs a networked release machine
+
+This run drove the convert -> validate -> consume chain end-to-end against
+STAGED synthetic repos (tools/stage_synthetic_release.py). Everything below is
+what a real release machine would still exercise differently:
+"""
+
+
+def run_offline_rehearsal(workdir: str) -> int:
+    """Drive the release chain end-to-end OFFLINE against staged synthetic
+    repos shaped like the real HF downloads (VERDICT r4 #5): stage ->
+    convert-tagger -> quant-report -> convert-ccip (incl. the metric-graph
+    verdict) -> load both checkpoints through the predictors the CLIs use.
+    Network-only steps are recorded in <workdir>/rehearsal_gaps.md instead of
+    silently skipped."""
+    os.makedirs(workdir, exist_ok=True)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        import stage_synthetic_release as stager
+    finally:
+        sys.path.pop(0)
+
+    env = {**os.environ, "PYTHONPATH": _pythonpath()}
+    # rehearsal must run anywhere, including hosts whose default JAX platform
+    # is an unreachable accelerator relay
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    gaps = []
+
+    print("== stage: synthetic HF-shaped repos")
+    staged = stager.stage(os.path.join(workdir, "staged"))
+    gaps.append("fetch-tagger / fetch-ccip: the real snapshot_download / "
+                "hf_hub_download calls never ran (zero egress); staged "
+                "synthetic repos stand in. models/hub.py's download plumbing "
+                "is covered by tests/test_hub.py with a fake hub.")
+
+    print("== convert-tagger (real converter, staged snapshot)")
+    tagger_dest = os.path.join(workdir, "wd-eva02-v3")
+    if _run([sys.executable, _tool("convert_checkpoint.py"),
+             "--src", staged["tagger"], "--dest", tagger_dest],
+            cwd=REPO, env=env) != 0:
+        return 1
+    gaps.append("convert-tagger ran on a 384-d/2-block staged geometry; the "
+                "real checkpoint is 1024-d/24-block (same code path — "
+                "autodetection from shapes — but real-shape conversion time/"
+                "memory unmeasured).")
+
+    print("== tagger-parity (timm oracle)")
+    img = os.path.join(workdir, "parity_probe.png")
+    if not os.path.exists(img):
+        import numpy as np
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        Image.fromarray(rng.randint(0, 255, (600, 450, 3), np.uint8)).save(img)
+    _run([sys.executable, _tool("parity_harness.py"),
+          "--model-dir", tagger_dest, "--image", img], cwd=REPO, env=env)
+    gaps.append("tagger-parity vs the REAL timm oracle needs network + timm "
+                "(absent here; the harness prints SKIP). The math is covered "
+                "offline by the vendored-oracle tests "
+                "(tests/test_eva02_oracle.py, incl. full production "
+                "geometry), but the published weights have never flowed "
+                "through it.")
+
+    print("== quant-report (int8 gate on the converted dir)")
+    if _run([sys.executable, _tool("quant_report.py"),
+             "--model-dir", tagger_dest], cwd=REPO, env=env) != 0:
+        return 1
+    gaps.append("quant-report measured random staged weights — an arithmetic "
+                "characterization only; the int8 ship/no-ship gate needs the "
+                "real weights' logit margins.")
+
+    print("== convert-ccip (real converter + metric-graph verdict)")
+    ccip_dest = os.path.join(workdir, "ccip")
+    if _run([sys.executable, _tool("convert_ccip.py"),
+             "--feat", os.path.join(staged["ccip"], "model_feat.onnx"),
+             "--metrics", os.path.join(staged["ccip"], "model_metrics.onnx"),
+             "--metrics-json", os.path.join(staged["ccip"], "metrics.json"),
+             "--dest", ccip_dest], cwd=REPO, env=env) != 0:
+        return 1
+    gaps.append("convert-ccip's numpy-interpreter forward self-check needs a "
+                "complete executable ONNX node program; the staged graph is "
+                "the structural export mimic, so the check reported itself "
+                "skipped here (conversion equivalence is covered offline by "
+                "tests/test_ccip_convert.py's torch-oracle comparisons).")
+    gaps.append("convert-ccip's metric verdict ran on a synthetic 1-cosine "
+                "graph; whether the PUBLISHED model_metrics.onnx is 1-cosine "
+                "(vs a learned metric the converter would ship) is still an "
+                "open empirical question for the release machine.")
+
+    print("== consume: load both converted checkpoints through the "
+          "predictors the CLIs use")
+    probe = (
+        "import numpy as np\n"
+        "from anime_illust_image_searcher_tpu.models.tagger import TaggerPredictor\n"
+        "from anime_illust_image_searcher_tpu.models.ccip import CCIPPredictor\n"
+        f"p = TaggerPredictor(model_dir={tagger_dest!r})\n"
+        "p.load_model()\n"
+        "s = p.model_cfg.img_size\n"
+        "lines = p.predict(np.zeros((2, s, s, 3), np.uint8), 0.3, True, 0.3, True)\n"
+        "assert len(lines) == 2\n"
+        f"c = CCIPPredictor(model_dir={ccip_dest!r})\n"
+        "c.load_model()\n"
+        "sc = c.model_cfg.img_size\n"
+        "f = c.ccip_batch_extract_features(np.zeros((2, sc, sc, 3), np.uint8))\n"
+        "assert f.shape == (2, c.model_cfg.feature_dim)\n"
+        "assert abs(c.ccip_default_threshold() - 0.17847511429108218) < 1e-12\n"
+        "print('converted checkpoints load and run through the CLI predictors')\n"
+    )
+    if _run([sys.executable, "-c", probe], cwd=REPO, env=env) != 0:
+        return 1
+    gaps.append("test-suite: the rehearsal drove the predictor consumption "
+                "path; the release machine runs the FULL suite with "
+                "AIIS_MODEL_DIR/AIIS_CCIP_MODEL_DIR pointing at the real "
+                "converted checkpoints, then regenerates golden fixtures "
+                "from a reference run (reference-run/gensim-import steps — "
+                "need the reference's torch/gensim environment) and builds "
+                "the Windows binaries (pyinstaller-build).")
+
+    gaps_path = os.path.join(workdir, "rehearsal_gaps.md")
+    with open(gaps_path, "w", encoding="utf-8") as f:
+        f.write(REHEARSAL_GAPS_HEADER)
+        for g in gaps:
+            f.write(f"\n- {g}\n")
+    print(f"offline rehearsal complete; gap list: {gaps_path}")
+    return 0
+
+
 def main(argv) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--workdir", default="/tmp/aiis_release")
     parser.add_argument("--check-wiring", action="store_true",
                         help="in-env smoke mode: verify every step's entry "
                              "point exists/imports/parses; no network needed")
+    parser.add_argument("--offline-rehearsal", action="store_true",
+                        help="drive the whole convert->validate->consume "
+                             "chain offline against staged synthetic repos "
+                             "(tools/stage_synthetic_release.py) and write "
+                             "the remaining-gaps list")
     parser.add_argument("--from", dest="from_step", default=None,
                         help="resume from this step name")
     parser.add_argument("--only", default=None, help="run a single step")
     args = parser.parse_args(argv)
+
+    if args.offline_rehearsal:
+        return run_offline_rehearsal(args.workdir)
 
     steps = build_steps()
 
