@@ -173,6 +173,7 @@ class PrefetchLoader:
         self.failed_count = 0
         # The C++ ingest runtime (runtime/ingest.cpp) handles the default PIL-shaped
         # decode path; custom decode_fn (e.g. .npy loading) stays in Python.
+        self._default_decode = decode_fn is None
         if use_native is None:
             use_native = decode_fn is None
         self.use_native = bool(use_native) and decode_fn is None
@@ -214,6 +215,20 @@ class PrefetchLoader:
                 batch = Batch(packed, paths, len(good))
             if not put(batch):
                 return  # consumer gone
+
+    def _proc_producer(self, put: Callable[[Batch], bool], pool) -> None:
+        """Subprocess-pool producer (data/ingest_proc.py): decode runs in
+        jax-free worker processes, so the relay client's GIL/CPU time in THIS
+        process no longer serializes with it (ARCHITECTURE §6; opt-in via
+        AIIS_DECODE_PROC). Batch semantics identical to _native_producer."""
+        for paths, images in pool.iter_chunks(self.file_list):
+            good = len(paths)
+            packed = np.zeros(
+                (self.batch_size, self.size, self.size, 3), dtype=np.uint8)
+            packed[:good] = images
+            if not put(Batch(packed, paths, good)):
+                return  # consumer gone
+        self.failed_count += pool.failed_count
 
     def _python_producer(self, put: Callable[[Batch], bool],
                          stop: threading.Event) -> None:
@@ -270,8 +285,21 @@ class PrefetchLoader:
         out_q: "queue.Queue[object]" = queue.Queue(maxsize=self.queue_depth)
         stop = threading.Event()
 
+        pool = None
+        if self._default_decode:
+            from .ingest_proc import ProcessDecodePool, proc_workers_requested
+
+            n_procs = proc_workers_requested()
+            if n_procs and self.resample in (Image.BILINEAR, Image.BICUBIC):
+                pool = ProcessDecodePool(
+                    n_procs, self.batch_size, self.size,
+                    pad_to_square=self.pad_to_square,
+                    bilinear=self.resample == Image.BILINEAR,
+                    threads_per_proc=max(1, self.workers // n_procs),
+                    use_native=self.use_native)
+
         decoder = None
-        if self.use_native:
+        if self.use_native and pool is None:
             from . import native_ingest
 
             if native_ingest.available():
@@ -292,7 +320,9 @@ class PrefetchLoader:
 
         def producer() -> None:
             try:
-                if decoder is not None:
+                if pool is not None:
+                    self._proc_producer(put, pool)
+                elif decoder is not None:
                     self._native_producer(put, decoder)
                 else:
                     self._python_producer(put, stop)
@@ -323,6 +353,8 @@ class PrefetchLoader:
             t.join()
             if decoder is not None:
                 decoder.close()
+            if pool is not None:
+                pool.close()
 
 
 def iter_fixed_batches(arrays: Iterable[np.ndarray], batch_size: int) -> Iterator[Tuple[np.ndarray, int]]:

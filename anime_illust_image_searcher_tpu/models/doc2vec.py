@@ -211,10 +211,19 @@ def _sample_negatives(key: jax.Array, cum_table: jax.Array, shape) -> jax.Array:
     # searchsorted's default 'scan' lowering (a log2(V)-step binary-search loop of
     # random gathers) measured 34.8 ms per (512,128,5) draw on v5e — it was the
     # entire training-step bottleneck. 'compare_all' (one fused compare-reduce
-    # sweep) returns IDENTICAL indices at 2.3 ms for small vocabularies; 'sort'
-    # (~5 ms, V-independent) takes over for large ones where the O(n·V) sweep
-    # would grow past it.
-    method = "compare_all" if cum_table.shape[0] <= 16384 else "sort"
+    # sweep) returns IDENTICAL indices; 'sort' is V-independent and takes over
+    # where the O(n·V) sweep grows past it. Crossover re-measured on-chip at
+    # the production (512,128,5) shape (round 5): compare_all 4.1/7.9/12.8/50.6 ms
+    # vs sort 7.7/8.6/8.3/9.5 ms at V=2k/10k/16k/100k — threshold set between
+    # the 10k win and the 16k loss. Both methods are exact, so the threshold
+    # never changes sampled indices.
+    # An O(1) Vose alias-method sampler was built and A/B'd IN-MODEL on the
+    # chip (round 5): 19.8 vs 17.1 ms/step at the 1M-doc config — SLOWER.
+    # 654k random scalar gathers from the tiny alias tables lose to the dense
+    # compare sweep on TPU (no hardware gather); the sweep is MXU/VPU-shaped.
+    # Negative sampling is therefore at its measured floor here
+    # (ARCHITECTURE §2a), and the sampler stays searchsorted everywhere.
+    method = "compare_all" if cum_table.shape[0] <= 12000 else "sort"
     return jnp.searchsorted(cum_table, u, method=method).astype(jnp.int32)
 
 

@@ -247,10 +247,15 @@ def run_e2e_bench(n: int = E2E_IMAGES) -> dict:
             jax.block_until_ready(predictor.params)
             results["e2e_model_load_s"] = round(time.perf_counter() - t0, 1)
 
-            def one_pass(out_name: str, scaled: bool) -> float:
+            def one_pass(out_name: str, scaled: bool,
+                         proc_workers: int = 0) -> float:
                 outdir = os.path.join(root, out_name)
                 os.makedirs(outdir)
                 os.environ["AIIS_SCALED_DECODE"] = "1" if scaled else "0"
+                if proc_workers:
+                    os.environ["AIIS_DECODE_PROC"] = str(proc_workers)
+                else:
+                    os.environ.pop("AIIS_DECODE_PROC", None)
                 os.chdir(outdir)
                 try:
                     t0 = time.perf_counter()
@@ -265,10 +270,22 @@ def run_e2e_bench(n: int = E2E_IMAGES) -> dict:
                     return n / dt
                 finally:
                     os.chdir(cwd)
+                    os.environ.pop("AIIS_DECODE_PROC", None)
 
             one_pass("warmup", scaled=False)  # compile + page-cache warmup
             results["e2e_img_s"] = round(one_pass("full", scaled=False), 1)
             results["e2e_scaled_img_s"] = round(one_pass("scaled", scaled=True), 1)
+            # Process-isolated decode (VERDICT r4 #2): the decode pool runs in
+            # jax-free worker subprocesses so the relay client's in-process
+            # GIL/CPU time stops serializing with it. One worker per spare
+            # core (min 1); same output bytes (tests/test_ingest_proc.py).
+            n_procs = max(1, (os.cpu_count() or 1) - 1)
+            try:
+                results["e2e_proc_img_s"] = round(
+                    one_pass("proc", scaled=False, proc_workers=n_procs), 1)
+                results["e2e_proc_workers"] = n_procs
+            except Exception as exc:  # pragma: no cover - defensive
+                results["e2e_proc_error"] = repr(exc)
     finally:
         os.chdir(cwd)
         if prev_scaled is None:
