@@ -628,6 +628,7 @@ def _run_guarded(fn, metric: str, unit: str) -> None:
                           "(relay wedged mid-run?)"), flush=True)
         os._exit(1)
 
+    timer = None
     if deadline > 0:
         timer = threading.Timer(deadline, _expire)
         timer.daemon = True
@@ -652,6 +653,14 @@ def _run_guarded(fn, metric: str, unit: str) -> None:
         print(_error_line(metric, unit, f"bench failed after retry: {exc!r}"),
               flush=True)
         sys.exit(1)
+    finally:
+        # The guard may run inside a LIVING host process (tests import bench
+        # and call _run_guarded directly); a still-armed timer would os._exit
+        # that process minutes after the bench finished. Harmless for the CLI
+        # (the process exits first) but it silently killed a 459-test pytest
+        # run at the 1000 s mark before this cancel existed.
+        if timer is not None:
+            timer.cancel()
 
 
 if __name__ == "__main__":

@@ -160,6 +160,33 @@ def test_retry_deadline_subtracts_first_attempt(monkeypatch):
     assert "AIIS_BENCH_T0" not in os.environ
 
 
+def test_watchdog_cancelled_after_completion(monkeypatch):
+    """A finished guard must leave NO armed watchdog behind: tests (and any
+    importer) call _run_guarded in a long-lived process, and a leftover timer
+    os._exit(1)s that process minutes later — this silently killed full
+    pytest runs at the 1000 s mark before the finally-cancel existed."""
+    import threading
+
+    import bench
+
+    import time as _time
+
+    monkeypatch.setenv("AIIS_BENCH_DEADLINE_S", "1000")
+    before = {t for t in threading.enumerate() if isinstance(t, threading.Timer)}
+    bench._run_guarded(lambda: None, "m", "u")
+
+    def leftover():
+        return [t for t in threading.enumerate()
+                if isinstance(t, threading.Timer) and t not in before
+                and t.is_alive()]
+
+    # cancel() wakes the timer thread asynchronously; give it a moment to die
+    deadline = _time.monotonic() + 5.0
+    while leftover() and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    assert not leftover()
+
+
 def test_retry_exec_exports_t0(monkeypatch):
     """The crash->exec path must export AIIS_BENCH_T0 so the retried process
     can subtract the first attempt's elapsed time."""
