@@ -451,19 +451,6 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         print(f"1M-scale query bench failed: {exc!r}")
 
-    # Beyond the old 2^24 (16M-doc) f32-id ceiling: ids now ride the fused
-    # buffers as int32 bit patterns (round 5), so the ONE-DISPATCH path serves
-    # 17M docs on one chip — dim shrunk to fit HBM (cost scales ~linearly in
-    # dim; exactness at this scale is pinned by tests/test_huge_corpus.py).
-    try:
-        from bench_query import run_synthetic_scale_bench
-
-        scale_17m = run_synthetic_scale_bench(
-            17_000_000, dim=64, terms_per_doc=16, n_queries=10, buckets=(8,))
-        print(json.dumps(scale_17m))
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"17M-scale query bench failed: {exc!r}")
-
     # Character-mode end-to-end query latency at 100k docs (round 4: fused
     # stage A + row-gather rerank = two device calls/query; ARCHITECTURE §4).
     char_e2e = None
@@ -524,6 +511,28 @@ def main() -> None:
         e2e = run_e2e_bench()
     except Exception as exc:  # pragma: no cover - defensive
         print(f"e2e bench failed: {exc!r}")
+
+    # Beyond the old 2^24 (16M-doc) f32-id ceiling: ids ride the fused
+    # buffers as int32 bit patterns (round 5), so the ONE-DISPATCH path
+    # serves 17M docs on one chip — dim shrunk to fit HBM (cost scales
+    # ~linearly in dim; exactness pinned by tests/test_huge_corpus.py).
+    # Runs LAST and in a SUBPROCESS: its ~7 GB of device arrays need a fresh
+    # backend (running it mid-bench OOM'd on the other sections' residue and
+    # the RESOURCE_EXHAUSTED poisoned every later section's dispatches).
+    try:
+        import subprocess
+        import sys as _sys
+
+        out = subprocess.run(
+            [_sys.executable, "-m", "bench_query",
+             "--synthetic-scale", "17000000", "--dim", "64",
+             "--terms-per-doc", "16", "--queries", "10"],
+            capture_output=True, text=True, timeout=900)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        print(line)
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"17M-scale query bench failed: {exc!r}")
 
     headline = {
         "metric": "wd_vit_tagging_throughput",

@@ -683,10 +683,13 @@ def main() -> None:
         )
 
         enable_persistent_compile_cache()
+        # >=16M docs: the 64-slot sweep's (D, Q) intermediates alone exceed
+        # one chip's HBM — huge corpora ride the interactive 8-slot bucket
+        buckets = (8,) if args.synthetic_scale >= 2 ** 24 else (None, 8)
         print(json.dumps(run_synthetic_scale_bench(
             args.synthetic_scale, vocab=args.vocab, dim=args.dim,
             terms_per_doc=args.terms_per_doc,
-            n_queries=min(args.queries, 50))))
+            n_queries=min(args.queries, 50), buckets=buckets)))
         return
     if args.device_only:
         from anime_illust_image_searcher_tpu.utils.jax_setup import (
