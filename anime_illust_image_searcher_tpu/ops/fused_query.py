@@ -46,6 +46,18 @@ import numpy as np
 MAX_QUERY_TERMS = 64
 
 
+# Id lanes ride f32 buffers as BIASED int32 bit patterns: pattern = id + 2^30.
+# The bias keeps every realistic id inside the NORMAL f32 range [~2.0, huge):
+# raw patterns of ids < 2^23 are f32 DENORMALS, which XLA:TPU flushes to zero
+# somewhere along the output path (caught by the on-chip suite: every small
+# doc id decoded as 0), and id -1's raw pattern is a NaN the transport may
+# canonicalize. Biased patterns are exact for ids in [-1, ID_ENCODE_LIMIT);
+# the limit (~1.06e9) is far beyond any single-program corpus (a 1B-doc
+# matrix would not fit HBM at any dim; shard the mesh long before).
+_ID_BIAS = np.int32(0x4000_0000)
+ID_ENCODE_LIMIT = int(0x7F80_0000 - 0x4000_0000)  # first Inf/NaN pattern
+
+
 def encode_ids_f32(ids: jax.Array) -> jax.Array:
     """Bit-exact int32 ids riding in an f32 result buffer.
 
@@ -53,15 +65,16 @@ def encode_ids_f32(ids: jax.Array) -> jax.Array:
     ``ids.astype(f32)`` was exact only below 2^24 — beyond 16M docs the
     one-dispatch paths silently returned wrong ids and the engine had to
     degrade to the ~18x multi-call path (round-4 ceiling, VERDICT r4 #4).
-    Bitcasting the int32 id pattern into f32 lanes is exact for ANY 32-bit id;
-    hosts decode with ``decode_ids``. Realistic ids (< 2^31) can't form an f32
-    NaN/Inf pattern, and the buffers are never arithmetic on the id lanes."""
-    return jax.lax.bitcast_convert_type(ids.astype(jnp.int32), jnp.float32)
+    Bias-bitcasting the int32 id (see _ID_BIAS) is exact for any id below
+    ID_ENCODE_LIMIT (~1.06e9); hosts decode with ``decode_ids``."""
+    return jax.lax.bitcast_convert_type(
+        ids.astype(jnp.int32) + _ID_BIAS, jnp.float32)
 
 
 def decode_ids(buf: np.ndarray) -> np.ndarray:
     """Host-side inverse of ``encode_ids_f32`` (works on any f32 slice)."""
-    return np.ascontiguousarray(np.asarray(buf, np.float32)).view(np.int32)
+    raw = np.ascontiguousarray(np.asarray(buf, np.float32)).view(np.int32)
+    return raw - _ID_BIAS
 # Packed-buffer term-slot buckets. Queries pick the smallest bucket that fits their
 # distinct-term count; each bucket compiles its own program (the BM25 comparison
 # sweep is (docs × slots × Q), so small queries shouldn't pay a big-Q sweep). The
@@ -169,11 +182,11 @@ def pack_query(
 ) -> np.ndarray:
     """One f32 buffer: [qids(Q) | qw(Q) | qexcl(Q) | qreq(Q) | qvec(F) | n_req].
 
-    Term ids ride as int32 BIT PATTERNS in the f32 lanes (exact for any id —
-    see encode_ids_f32; the device side bitcasts them back before the integer
-    term compare). Unused slots get id -1, which never matches a corpus slot.
-    Queries are human-typed tag lists; more than ``max_terms`` raises rather
-    than silently truncating.
+    Term ids ride as BIASED int32 bit patterns in the f32 lanes (exact for
+    any realistic id — see encode_ids_f32/_ID_BIAS; the device side bitcasts
+    and un-biases them before the integer term compare). Unused slots get id
+    -1, which never matches a corpus slot. Queries are human-typed tag lists;
+    more than ``max_terms`` raises rather than silently truncating.
     """
     if len(term_weights) > max_terms:
         raise ValueError(f"query has {len(term_weights)} terms; max {max_terms}")
@@ -196,7 +209,7 @@ def pack_query(
             n_req += 1
         else:
             qw[j] = weight
-    packed[:q] = qids.view(np.float32)
+    packed[:q] = (qids + _ID_BIAS).view(np.float32)
     packed[4 * q : 4 * q + len(query_vec)] = query_vec
     packed[-1] = n_req
     return packed
@@ -229,9 +242,9 @@ def _fused_final(
     f = matrix.shape[1]
     # slot count rides in the (static) buffer length: [4 term blocks | qvec | n_req]
     q = (packed.shape[0] - f - 1) // 4
-    # term ids ride as int32 bit patterns in the f32 lanes (pack_query) so the
-    # term compare is exact at ANY vocab size, not just below 2^24
-    qids = jax.lax.bitcast_convert_type(packed[:q], jnp.int32)
+    # term ids ride as biased int32 bit patterns in the f32 lanes (pack_query)
+    # so the term compare is exact at ANY vocab size, not just below 2^24
+    qids = jax.lax.bitcast_convert_type(packed[:q], jnp.int32) - _ID_BIAS
     qw = packed[q : 2 * q]
     qexcl = packed[2 * q : 3 * q]
     qreq = packed[3 * q : 4 * q]

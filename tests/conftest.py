@@ -45,6 +45,7 @@ _NEEDS_8_DEVICES = (
     "test_rerank_diffs_learned_metric_on_mesh",
     "test_cross_mode_checkpoint_refused",
     "test_same_mode_dp_snapshot_resumes",
+    "test_cross_dp_mode_never_reuses",
 )
 
 

@@ -135,10 +135,16 @@ def test_pack_query_big_bucket_layout():
     assert packed.shape[0] == 4 * 256 + 8 + 1
     q = (packed.shape[0] - 8 - 1) // 4
     assert q == 256
-    # id slots carry int32 bit patterns (exact at any vocab size)
-    ids = packed[:256].view(np.int32)
+    # id slots carry BIASED int32 bit patterns (exact at any vocab size; the
+    # bias keeps small ids out of the f32 denormal range TPU flushes to zero)
+    from anime_illust_image_searcher_tpu.ops.fused_query import decode_ids
+
+    ids = decode_ids(packed[:256])
     np.testing.assert_array_equal(ids[:70], np.arange(70, dtype=np.int32))
     assert np.all(ids[70:] == -1)                  # unused id slots
+    # every lane is a NORMAL f32 (no denormals/NaN/Inf to be flushed/mangled)
+    lanes = packed[:256].view(np.int32) & 0x7FFFFFFF
+    assert np.all(lanes >= 0x00800000) and np.all(lanes < 0x7F800000)
     np.testing.assert_array_equal(packed[256:256 + 70], np.ones(70, np.float32))
     np.testing.assert_array_equal(packed[4 * 256: 4 * 256 + 8], vec)
 

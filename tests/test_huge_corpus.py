@@ -27,10 +27,18 @@ TWO24 = 2 ** 24
 def test_encode_decode_roundtrip_large_ids():
     import jax
 
-    ids = np.array([0, 1, TWO24 - 1, TWO24, TWO24 + 1, 2 ** 30 + 12345,
-                    2 ** 31 - 1], np.int32)
+    from anime_illust_image_searcher_tpu.ops.fused_query import ID_ENCODE_LIMIT
+
+    ids = np.array([-1, 0, 1, TWO24 - 1, TWO24, TWO24 + 1,
+                    ID_ENCODE_LIMIT - 1], np.int32)
     out = np.asarray(jax.jit(encode_ids_f32)(jnp.asarray(ids)))
     np.testing.assert_array_equal(decode_ids(out), ids)
+    # every encoded lane is a NORMAL f32: raw (unbiased) patterns of small
+    # ids are denormals that XLA:TPU flushes to ZERO on the output path
+    # (caught on-chip round 5: every small doc id decoded as 0), and raw -1
+    # is a NaN the transport may canonicalize — the bias prevents both
+    lanes = out.view(np.int32) & 0x7FFFFFFF
+    assert np.all(lanes >= 0x00800000) and np.all(lanes < 0x7F800000)
     # the f32 VALUE encode these replaced cannot tell 2^24 and 2^24+1 apart
     assert np.float32(TWO24) == np.float32(TWO24 + 1)
 
