@@ -33,7 +33,7 @@ import subprocess
 import sys
 import threading
 from multiprocessing import shared_memory
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 
@@ -146,9 +146,7 @@ class ProcessDecodePool:
                 "slot": slot, "chunk": chunk_id,
                 "paths": chunks[chunk_id]}) + "\n")
             p.stdin.flush()
-            inflight[chunk_id] = slot
 
-        inflight: dict = {}
         next_send = 0
         next_yield = 0
         with ready:

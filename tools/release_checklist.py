@@ -239,9 +239,10 @@ def run_offline_rehearsal(workdir: str) -> int:
         sys.path.pop(0)
 
     env = {**os.environ, "PYTHONPATH": _pythonpath()}
-    # rehearsal must run anywhere, including hosts whose default JAX platform
-    # is an unreachable accelerator relay
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # Force CPU unconditionally: the rehearsal's models are tiny, and a host
+    # whose inherited JAX_PLATFORMS points at a down/slow accelerator relay
+    # would otherwise hang the conversion subprocesses on backend init.
+    env["JAX_PLATFORMS"] = "cpu"
     gaps = []
 
     print("== stage: synthetic HF-shaped repos")
