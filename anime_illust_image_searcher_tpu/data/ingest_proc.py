@@ -15,7 +15,7 @@ Semantics are IDENTICAL to the in-process producers: same decoder chain
 skipped and counted), same chunking as PrefetchLoader._native_producer
 (per-chunk batches, good rows compacted to the front, original order kept),
 so tags-wd-tagger.txt bytes cannot change (pinned by
-tests/test_prefetch_loader.py). Opt-in via AIIS_DECODE_PROC=<n_workers>.
+tests/test_ingest_proc.py). Opt-in via AIIS_DECODE_PROC=<n_workers>.
 
 Protocol (one JSON object per line):
   parent -> worker, first line:  {"shm", "slot_bytes", "size", "pad",
