@@ -102,6 +102,41 @@ def test_proc_pool_worker_env_is_scrubbed():
         os.environ["PYTHONPATH"] = prev
 
 
+def test_proc_pool_worker_death_surfaces_as_error(tmp_path, monkeypatch):
+    """A decode worker dying mid-run must raise through the loader (the
+    producer forwards it to the consumer), never hang the iteration or
+    silently truncate the stream."""
+    import time
+
+    from anime_illust_image_searcher_tpu.data.ingest_proc import (
+        ProcessDecodePool,
+    )
+
+    rng = np.random.RandomState(2)
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"k_{i}.png"
+        Image.fromarray(rng.randint(0, 255, (20, 20, 3), np.uint8)).save(p)
+        paths.append(str(p))
+
+    pool = ProcessDecodePool(1, batch_size=2, size=16, pad_to_square=True,
+                             bilinear=False)
+    try:
+        it = pool.iter_chunks(paths)
+        next(it)  # worker alive and delivering
+        pool.procs[0].kill()
+        pool.procs[0].wait(timeout=10)
+        # must raise the worker-death RuntimeError — StopIteration here would
+        # mean the stream silently truncated, which is exactly the failure
+        # mode this path exists to prevent
+        with pytest.raises(RuntimeError, match="decode worker died"):
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline:
+                next(it)
+    finally:
+        pool.close()
+
+
 def test_proc_pool_many_chunks_in_order(tmp_path, monkeypatch):
     """More chunks than workers/slots: results must come back in file order
     (out-of-order completions are re-ordered, slots recycled)."""
